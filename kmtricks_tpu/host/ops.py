@@ -1,0 +1,278 @@
+"""Host (numpy) golden implementations of the framework's compute ops.
+
+These are the exact, vectorized reference semantics — the device (JAX)
+pipeline in :mod:`kmtricks_tpu.ops` is tested for parity against them, and
+small workloads can run through them directly.
+
+Ops:
+* :func:`count_sequences` — reads -> per-partition canonical k-mer (or hash)
+  counts for one sample (reference KmFillPartitions + *PartCounter +
+  *CountProcessor semantics).
+* :func:`merge_partition` — cross-sample k-way merge with kmtricks'
+  low-abundance rescue (reference merge.hpp:183-260 / 441-517).
+* :func:`bf_rows_from_merge` — dense vertical Bloom-filter window rows
+  (reference HashMerger::write_as_bf, merge.hpp:575-600).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from kmtricks_tpu.core import kmer as kops
+from kmtricks_tpu.core.hashers import xxh64_words
+
+
+# ---------------------------------------------------------------------------
+# Counting
+# ---------------------------------------------------------------------------
+
+def sort_rows(words: np.ndarray) -> np.ndarray:
+    """Sort (N, S) little-endian multi-word values lexicographically."""
+    if words.shape[1] == 1:
+        order = np.argsort(words[:, 0], kind="stable")
+    else:
+        order = np.lexsort(tuple(words[:, i] for i in range(words.shape[1])))
+    return order
+
+
+def run_length_count(words: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """RLE over sorted rows -> (unique rows, counts)."""
+    n = len(words)
+    if n == 0:
+        return words, np.zeros(0, dtype=np.uint64)
+    head = np.ones(n, dtype=bool)
+    head[1:] = (words[1:] != words[:-1]).any(axis=1)
+    starts = np.flatnonzero(head)
+    counts = np.diff(np.append(starts, n)).astype(np.uint64)
+    return words[starts], counts
+
+
+@dataclass
+class SampleCounts:
+    """Per-partition sorted count tables for one sample."""
+    kmer_size: int
+    nb_partitions: int
+    # partition -> (keys, counts); keys (N,S) u64 for kmer mode, (N,) for hash
+    partitions: dict = field(default_factory=dict)
+    n_kmers_total: int = 0  # distinct k-mers before hard-min (for histograms)
+
+
+def count_sequences(
+    sequences: list[bytes],
+    k: int,
+    m: int,
+    repart_table: np.ndarray,
+    hard_min: int = 1,
+    mode: str = "kmer",          # "kmer" | "hash"
+    window_bits: int | None = None,
+    count_max: int = 0xFFFFFFFF,
+    hist=None,
+    partition_filter=None,
+) -> SampleCounts:
+    """Count one sample's reads into per-partition sorted tables.
+
+    Routing semantics (reference fill_partitions.hpp + Sequence2SuperKmer):
+    each valid k-mer window is routed by the minimizer of its FORWARD strand
+    (masked m-mers, NONCANONICAL mode) through the repartition table; the
+    counted key is the canonical k-mer (kmer mode) or its window hash
+    (hash mode: XXH64 % window + window * partition).
+    """
+    nb_parts = int(repart_table.max()) + 1 if len(repart_table) else 1
+    slots = kops.slots_for_k(k)
+
+    all_keys = []   # per-seq packed canonical kmers
+    all_parts = []
+    for seq in sequences:
+        codes, valid = kops.encode_ascii(seq)
+        if len(codes) < k:
+            continue
+        wvalid = kops.window_validity(valid, k)
+        if not wvalid.any():
+            continue
+        minim = kops.window_minimizers(codes, k, m)
+        parts = repart_table[minim[wvalid]]
+        fwd = kops.kmers_from_codes(codes, k)[wvalid]
+        cano = kops.canonical(fwd, k)
+        all_keys.append(cano)
+        all_parts.append(parts.astype(np.uint32))
+
+    out = SampleCounts(kmer_size=k, nb_partitions=nb_parts)
+    if not all_keys:
+        return out
+
+    keys = np.concatenate(all_keys)          # (N, slots)
+    parts = np.concatenate(all_parts)        # (N,)
+
+    if mode == "hash":
+        assert window_bits is not None
+        h = xxh64_words(keys)
+        keys = (h % np.uint64(window_bits)
+                + np.uint64(window_bits) * parts.astype(np.uint64))
+        keys = keys.reshape(-1, 1)
+
+    for p in range(nb_parts):
+        if partition_filter is not None and p not in partition_filter:
+            continue
+        sel = parts == p
+        if not sel.any():
+            pk = keys[sel]
+            out.partitions[p] = (pk if mode == "kmer" else pk.ravel(),
+                                 np.zeros(0, dtype=np.uint32))
+            continue
+        pk = keys[sel]
+        order = sort_rows(pk)
+        uniq, cnt = run_length_count(pk[order])
+        out.n_kmers_total += len(uniq)
+        if hist is not None:
+            hist.inc_counts(cnt)
+        solid = cnt >= hard_min
+        cnt = np.minimum(cnt[solid], count_max).astype(np.uint32)
+        uniq = uniq[solid]
+        out.partitions[p] = (uniq if mode == "kmer" else uniq.ravel(), cnt)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cross-sample merge with rescue
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MergeStats:
+    """Per-sample merge statistics (reference MergeStatistics, merge.hpp:49-100)."""
+    non_solid: np.ndarray
+    rescued: np.ndarray
+    uniq_wo_rescue: np.ndarray
+    uniq_w_rescue: np.ndarray
+    total_wo_rescue: np.ndarray
+    total_w_rescue: np.ndarray
+
+    def serialize(self, path: str) -> None:
+        def line(name, vec):
+            return name + "\t" + "\t".join(str(int(v)) for v in vec) + "\n"
+        with open(path, "w") as f:
+            f.write(line("NON_SOLID", self.non_solid))
+            f.write(line("RESCUED", self.rescued))
+            f.write(line("UNIQUE_WO_RESCUE", self.uniq_wo_rescue))
+            f.write(line("UNIQUE_W_RESCUE", self.uniq_w_rescue))
+            f.write(line("TOTAL_WO_RESCUE", self.total_wo_rescue))
+            f.write(line("TOTAL_W_RESCUE", self.total_w_rescue))
+
+
+@dataclass
+class MergeResult:
+    keys: np.ndarray      # (M, S) u64 (kmer mode) or (M,) u64 (hash mode)
+    counts: np.ndarray    # (M, nb_samples) uint — post-rescue-zeroing
+    keep: np.ndarray      # (M,) bool — recurrence filter verdict
+    stats: MergeStats
+
+
+def merge_partition(
+    keys_list: list[np.ndarray],
+    counts_list: list[np.ndarray],
+    amin_vec: np.ndarray,
+    rmin: int,
+    save_if: int,
+) -> MergeResult:
+    """N-way merge of per-sample sorted count tables with rescue.
+
+    Exact vectorized reformulation of the reference streaming merge
+    (merge.hpp next(), lines 183-260): for each distinct key, a present
+    sample is *solid* iff count >= its abundance-min; non-solid counts are
+    zeroed unless the key is solid in >= ``save_if`` samples (and
+    ``save_if > 0``); a row is kept iff #solid >= ``rmin``.
+    """
+    nsamp = len(keys_list)
+    multiword = keys_list[0].ndim == 2
+    slots = keys_list[0].shape[1] if multiword else 1
+
+    keys = np.concatenate([kk.reshape(len(kk), slots) for kk in keys_list])
+    cnts = np.concatenate([np.asarray(c, dtype=np.uint64) for c in counts_list])
+    samp = np.concatenate([np.full(len(keys_list[i]), i, dtype=np.int32)
+                           for i in range(nsamp)])
+
+    if len(keys) == 0:
+        z = np.zeros(nsamp, dtype=np.uint64)
+        return MergeResult(
+            keys=np.zeros((0, slots) if multiword else (0,), dtype=np.uint64),
+            counts=np.zeros((0, nsamp), dtype=np.uint32),
+            keep=np.zeros(0, dtype=bool),
+            stats=MergeStats(z.copy(), z.copy(), z.copy(), z.copy(), z.copy(),
+                             z.copy()))
+
+    order = sort_rows(keys)
+    keys, cnts, samp = keys[order], cnts[order], samp[order]
+
+    head = np.ones(len(keys), dtype=bool)
+    head[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+    row_id = np.cumsum(head) - 1
+    nrows = int(row_id[-1]) + 1
+
+    mat = np.zeros((nrows, nsamp), dtype=np.uint64)
+    present = np.zeros((nrows, nsamp), dtype=bool)
+    mat[row_id, samp] = cnts
+    present[row_id, samp] = True
+    ukeys = keys[head]
+
+    amin = np.asarray(amin_vec, dtype=np.uint64)[None, :]
+    solid = present & (mat >= amin)
+    solid_in = solid.sum(axis=1)
+    keep = solid_in >= rmin
+    if save_if > 0:
+        rescued = present & ~solid & (solid_in >= save_if)[:, None]
+    else:
+        rescued = np.zeros_like(solid)
+    final = np.where(solid | rescued, mat, 0)
+
+    stats = MergeStats(
+        non_solid=(present & ~solid).sum(axis=0).astype(np.uint64),
+        rescued=rescued.sum(axis=0).astype(np.uint64),
+        uniq_wo_rescue=solid.sum(axis=0).astype(np.uint64),
+        uniq_w_rescue=(solid | rescued).sum(axis=0).astype(np.uint64),
+        total_wo_rescue=np.where(solid, mat, 0).sum(axis=0).astype(np.uint64),
+        total_w_rescue=final.sum(axis=0).astype(np.uint64),
+    )
+    return MergeResult(keys=ukeys if multiword else ukeys.ravel(),
+                       counts=final, keep=keep, stats=stats)
+
+
+def saturate_counts(counts: np.ndarray, count_bytes: int) -> np.ndarray:
+    maxv = (1 << (8 * count_bytes)) - 1
+    return np.minimum(counts, maxv)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter window rows
+# ---------------------------------------------------------------------------
+
+def bf_rows_from_merge(result: MergeResult, lower: int, upper: int,
+                       nb_samples: int) -> np.ndarray:
+    """Dense vertical BF rows for hashes in [lower, upper].
+
+    Row index == hash - lower; rows for absent or non-kept hashes are zero
+    (write_as_bf semantics, merge.hpp:575-600).
+    """
+    window = upper - lower + 1
+    nb = (nb_samples + 7) // 8
+    rows = np.zeros((window, nb), dtype=np.uint8)
+    kept = result.keep
+    if kept.any():
+        hashes = result.keys[kept].astype(np.int64) - lower
+        bits = (result.counts[kept] > 0)
+        rows[hashes] = np.packbits(bits, axis=1, bitorder="little")
+    return rows
+
+
+def pack_counting_bf(counts: np.ndarray, w: int) -> np.ndarray:
+    """Counting-BF log2 packing (packc.hpp:16-43): value stored per sample is
+    min(ceil(log2(c+1)), 2^w - 1) in w bits, little-endian bit order."""
+    c = counts.astype(np.uint64)
+    lg = np.ceil(np.log2(c.astype(np.float64) + 1.0)).astype(np.uint64)
+    maxv = (1 << w) - 1
+    vals = np.minimum(lg, maxv).astype(np.uint8)
+    n, nsamp = vals.shape
+    bits = np.zeros((n, nsamp * w), dtype=np.uint8)
+    for j in range(w):
+        bits[:, j::w] = (vals >> j) & 1
+    return np.packbits(bits, axis=1, bitorder="little")

@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Device tests run on a virtual 8-device CPU mesh so multi-chip sharding is
+exercised without TPU hardware (the driver separately dry-runs the multichip
+path). Must be set before jax initializes its backend.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import pathlib
+
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_data():
+    """Path to the reference repo's tests/data, if mounted."""
+    p = REFERENCE / "tests" / "data"
+    if not p.exists():
+        pytest.skip("reference test data not available")
+    return p
