@@ -1,0 +1,144 @@
+"""Device encode kernel: ASCII read batches -> canonical k-mers, minimizers,
+partitions — the TPU-native replacement for the reference's streaming
+superkmerization (gatb/fill_partitions.hpp + Sequence2SuperKmer).
+
+Superkmers are a disk-era shuffling artifact; on TPU we produce
+(canonical k-mer, partition) tuples directly from fixed-shape read batches
+with validity masks. All semantics are byte-identical to the reference:
+
+* codes via ``(ascii >> 1) & 3`` (A=0,C=1,T=2,G=3), valid iff in "ACGTacgt"
+* canonical k-mer = min(fwd, revcomp) over the 2-bit polynomial packing
+* minimizer = min over the window's masked canonical m-mers (sentinel
+  4^m - 1 for forbidden "AA-after-front" m-mers)
+* partition = repart_table[minimizer]
+
+k <= 32 on this path (uint32-pair k-mers); larger k runs on the host path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kmtricks_tpu.ops import u64 as U
+
+U32 = jnp.uint32
+
+
+def ascii_to_codes(batch):
+    """(B, L) uint8 ASCII -> (codes uint32, valid bool)."""
+    codes = (batch.astype(U32) >> U32(1)) & U32(3)
+    b = batch
+    valid = ((b == 65) | (b == 67) | (b == 71) | (b == 84)
+             | (b == 97) | (b == 99) | (b == 103) | (b == 116))
+    return codes, valid
+
+
+def _rev2bit32(x):
+    """Reverse the sixteen 2-bit groups of each uint32."""
+    x = ((x >> U32(2)) & U32(0x33333333)) | ((x & U32(0x33333333)) << U32(2))
+    x = ((x >> U32(4)) & U32(0x0F0F0F0F)) | ((x & U32(0x0F0F0F0F)) << U32(4))
+    x = ((x >> U32(8)) & U32(0x00FF00FF)) | ((x & U32(0x00FF00FF)) << U32(8))
+    x = (x >> U32(16)) | (x << U32(16))
+    return x
+
+
+def revcomp64(kmer, k: int):
+    """Reverse complement of packed k-mers (k <= 32), (hi, lo) pairs.
+
+    Mirrors Kmer<32>::rev_comp (kmer.hpp:773-785): reverse all 32 2-bit
+    groups, complement (XOR 0b10 per group), shift right to realign.
+    """
+    hi, lo = kmer
+    rhi = _rev2bit32(lo) ^ U32(0xAAAAAAAA)
+    rlo = _rev2bit32(hi) ^ U32(0xAAAAAAAA)
+    return U.shr64((rhi, rlo), 2 * (32 - k))
+
+
+def canonical64(kmer, k: int):
+    rc = revcomp64(kmer, k)
+    return U.min64(kmer, rc), rc
+
+
+def mmer_canonical(v, m: int):
+    """Canonical value of m-mer uint32 values (m <= 15)."""
+    rc = (_rev2bit32(v) ^ U32(0xAAAAAAAA)) >> U32(32 - 2 * m)
+    return jnp.minimum(v, rc)
+
+
+def mmer_allowed(v, m: int):
+    """GATB is_allowed bit trick on uint32 m-mer values."""
+    if m < 3:
+        return jnp.ones_like(v, dtype=bool)
+    mask1 = U32((1 << (2 * m - 4)) - 1)
+    mask00 = U32(0x55555555) & mask1
+    a = ~(v | (v >> U32(2)))
+    a = ((a >> U32(1)) & a) & mask00
+    return a == 0
+
+
+def sliding_min(x, w: int):
+    """Windowed min of width w along the last axis (prefix-doubling:
+    O(log w) vector ops). Output length = n - w + 1."""
+    c = 1
+    y = x
+    while c < w:
+        s = min(c, w - c)
+        y = jnp.minimum(y[..., : y.shape[-1] - s], y[..., s:])
+        c += s
+    return y
+
+
+@partial(jax.jit, static_argnames=("k", "m"))
+def encode_batch(batch, lengths, repart_table, k: int, m: int):
+    """Encode a read batch into routed canonical k-mers.
+
+    Parameters
+    ----------
+    batch : (B, L) uint8 ASCII (padded arbitrarily past ``lengths``)
+    lengths : (B,) int32 actual read lengths
+    repart_table : (4^m,) int32 minimizer -> partition
+    k, m : static sizes (k <= 32, m <= 15)
+
+    Returns
+    -------
+    (hi, lo) : (B, W) uint32 canonical k-mer words, W = L - k + 1
+    parts : (B, W) int32 partition per window
+    valid : (B, W) bool — window contains only ACGT and fits the read
+    """
+    B, L = batch.shape
+    W = L - k + 1
+    Wm = L - m + 1
+    codes, char_valid = ascii_to_codes(batch)
+
+    # window validity: no invalid char among the k, and window inside read
+    bad = (~char_valid).astype(jnp.int32)
+    cs = jnp.cumsum(bad, axis=1)
+    csz = jnp.pad(cs, ((0, 0), (1, 0)))
+    win_clean = (csz[:, k:] - csz[:, :-k]) == 0
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    inside = pos + k <= lengths[:, None]
+    valid = win_clean & inside
+
+    # packed forward k-mers, rolled in over k static slices
+    hi = jnp.zeros((B, W), dtype=U32)
+    lo = jnp.zeros((B, W), dtype=U32)
+    for j in range(k):
+        hi, lo = U.shl64((hi, lo), 2)
+        lo = lo | jax.lax.dynamic_slice_in_dim(codes, j, W, axis=1)
+    cano, _ = canonical64((hi, lo), k)
+
+    # masked canonical m-mers -> windowed min -> minimizer
+    mv = jnp.zeros((B, Wm), dtype=U32)
+    for j in range(m):
+        mv = (mv << U32(2)) | jax.lax.dynamic_slice_in_dim(codes, j, Wm, axis=1)
+    mc = mmer_canonical(mv, m)
+    sentinel = U32((1 << (2 * m)) - 1)
+    masked = jnp.where(mmer_allowed(mc, m), mc, sentinel)
+    minim = sliding_min(masked, k - m + 1)
+
+    parts = repart_table[minim.astype(jnp.int32)]
+    return cano[0], cano[1], parts.astype(jnp.int32), valid

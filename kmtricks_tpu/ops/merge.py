@@ -1,0 +1,132 @@
+"""Device merge kernel: cross-sample k-way merge with low-abundance rescue.
+
+The TPU-native reformulation of the reference's streaming N-way heap merge
+(merge.hpp:183-260 / 441-517): co-sort (key, sample, count) triples, then
+express the rescue semantics as segment reductions —
+
+  solid        = count >= abundance_min[sample]
+  solid_in_row = segment_sum(solid)  over equal-key runs
+  rescued      = present & !solid & save_if>0 & solid_in_row >= save_if
+  final count  = count if solid|rescued else 0
+  keep row     = solid_in_row >= recurrence_min
+
+Fixed shapes: padded flat inputs + validity mask; outputs are full-size with
+head masks (compaction happens on host or downstream).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kmtricks_tpu.host.ops import MergeResult, MergeStats
+from kmtricks_tpu.ops import u64 as U
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+@partial(jax.jit, static_argnames=("nsamp", "rmin", "save_if"))
+def merge_flat(key_hi, key_lo, samp, count, valid, amin_vec,
+               nsamp: int, rmin: int, save_if: int):
+    """Merge flat (key, sample, count) triples.
+
+    Parameters
+    ----------
+    key_hi/key_lo : (N,) uint32 — 64-bit keys (packed k-mer or window hash)
+    samp : (N,) int32 sample ids in [0, nsamp)
+    count : (N,) uint32 pre-merge counts
+    valid : (N,) bool padding mask
+    amin_vec : (nsamp,) uint32 per-sample soft-min thresholds
+
+    Returns (all sorted by key, padding at the end):
+    key_hi, key_lo, samp, final_count : (N,)
+    head : (N,) bool distinct-key marks
+    keep : (N,) bool at head positions — recurrence verdict for the row
+    row_of : (N,) int32 segment id of each element
+    stats : (6, nsamp) uint32 — NON_SOLID, RESCUED, UNIQ_WO, UNIQ_W,
+            TOTAL_WO, TOTAL_W per sample
+    """
+    n = key_hi.shape[0]
+    inv = (~valid).astype(U32)
+    inv_s, hi_s, lo_s, samp_s, cnt_s = jax.lax.sort(
+        (inv, key_hi, key_lo, samp.astype(U32), count), dimension=0, num_keys=3)
+    valid_s = inv_s == 0
+    samp_s = samp_s.astype(I32)
+
+    diff = (jnp.ones((n,), dtype=bool)
+            .at[1:].set((hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])))
+    head = diff & valid_s
+    row_of = jnp.cumsum(head.astype(I32)) - 1
+
+    amin = jnp.asarray(amin_vec, dtype=U32)
+    solid = valid_s & (cnt_s >= amin[samp_s])
+    solid_in_row = jax.ops.segment_sum(solid.astype(I32), row_of,
+                                       num_segments=n)
+    solid_in = solid_in_row[row_of]
+
+    if save_if > 0:
+        rescued = valid_s & ~solid & (solid_in >= save_if)
+    else:
+        rescued = jnp.zeros_like(solid)
+    final = jnp.where(solid | rescued, cnt_s, U32(0))
+    keep = head & (solid_in >= rmin)
+
+    # per-sample statistics (merge.hpp:49-100)
+    def by_sample(mask_or_vals):
+        return jax.ops.segment_sum(mask_or_vals.astype(jnp.uint32), samp_s,
+                                   num_segments=nsamp)
+    stats = jnp.stack([
+        by_sample(valid_s & ~solid),            # NON_SOLID
+        by_sample(rescued),                     # RESCUED
+        by_sample(solid),                       # UNIQUE_WO_RESCUE
+        by_sample(solid | rescued),             # UNIQUE_W_RESCUE
+        by_sample(jnp.where(solid, cnt_s, U32(0))),       # TOTAL_WO
+        by_sample(final),                                  # TOTAL_W
+    ])
+    return hi_s, lo_s, samp_s, final, head, keep, row_of, stats
+
+
+def merge_partition_device(keys_list, counts_list, amin_vec,
+                           rmin: int, save_if: int) -> MergeResult:
+    """Drop-in device-backed replacement for host.ops.merge_partition.
+
+    Accepts (N_i,) uint64 hash keys or (N_i, 1) packed k-mer keys per sample
+    (k <= 32 single-word on this path).
+    """
+    nsamp = len(keys_list)
+    multiword = keys_list[0].ndim == 2
+    keys = np.concatenate([k.reshape(-1) for k in keys_list]).astype(np.uint64)
+    cnts = np.concatenate(counts_list).astype(np.uint32)
+    samp = np.concatenate([np.full(len(keys_list[i]), i, dtype=np.int32)
+                           for i in range(nsamp)])
+    n = len(keys)
+    if n == 0:
+        z = np.zeros(nsamp, dtype=np.uint64)
+        return MergeResult(
+            keys=np.zeros((0, 1) if multiword else (0,), dtype=np.uint64),
+            counts=np.zeros((0, nsamp), dtype=np.uint32),
+            keep=np.zeros(0, dtype=bool),
+            stats=MergeStats(z.copy(), z.copy(), z.copy(), z.copy(),
+                             z.copy(), z.copy()))
+
+    hi, lo = U.from_u64_np(keys)
+    out = merge_flat(jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(samp),
+                     jnp.asarray(cnts), jnp.ones(n, dtype=bool),
+                     np.asarray(amin_vec, dtype=np.uint32),
+                     nsamp, int(rmin), int(save_if))
+    hi_s, lo_s, samp_s, final, head, keep, row_of, stats = map(np.asarray, out)
+
+    ukeys = U.to_u64_np(hi_s[head], lo_s[head])
+    nrows = len(ukeys)
+    mat = np.zeros((nrows, nsamp), dtype=np.uint32)
+    mat[row_of, samp_s] = final
+    st = stats.astype(np.uint64)
+    return MergeResult(
+        keys=ukeys.reshape(-1, 1) if multiword else ukeys,
+        counts=mat,
+        keep=keep[head],
+        stats=MergeStats(st[0], st[1], st[2], st[3], st[4], st[5]))

@@ -7,8 +7,15 @@ path). Must be set before jax initializes its backend.
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# The axon sitecustomize force-registers the TPU backend and overrides
+# jax_platforms via jax.config — env vars alone are not enough. Re-override
+# here, before any backend initializes (lazily, at first device use).
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
