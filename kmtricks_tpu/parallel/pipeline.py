@@ -1,0 +1,160 @@
+"""Multi-chip SPMD pipeline: encode -> all_to_all shuffle -> count+merge.
+
+The TPU-native replacement for the reference's filesystem-mediated
+parallelism (SURVEY.md §2.5): where kmtricks routes superkmers to
+per-partition FILES (gatb/fill_partitions.hpp) and later N-way-merges
+per-sample files per partition (merge.hpp), we
+ - shard read batches across devices (data parallelism over samples/reads),
+ - route each (canonical k-mer | window hash, sample) occurrence to the
+   device owning its partition with ONE ``jax.lax.all_to_all`` over ICI
+   (the minimizer shuffle — the all-to-all IS the per-partition file set),
+ - run the fused count+merge segment kernel per device on its partitions
+   (partitions are disjoint across devices, so no further collective),
+ - ``psum`` the per-sample merge statistics across the mesh.
+
+Everything is fixed-shape: each device sends at most ``cap`` occurrences to
+each peer; overflow is counted and reported (``dropped``) so callers can
+re-run with a bigger cap (the reference's PartiInfo pre-sizing plays the
+same role, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from kmtricks_tpu.ops.count_merge import count_merge_flat
+from kmtricks_tpu.ops.encode import encode_batch
+from kmtricks_tpu.ops.xxh64 import window_hash
+
+U32 = jnp.uint32
+I32 = jnp.int32
+SENT = np.uint32(0xFFFFFFFF)   # sentinel sample id marking empty slots
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def partition_to_device(nb_parts: int, ndev: int) -> np.ndarray:
+    """Contiguous block mapping partition -> owning device."""
+    return (np.arange(nb_parts, dtype=np.int64) * ndev // nb_parts).astype(
+        np.int32)
+
+
+def _bucket_and_route(hi, lo, samp, part, valid, dest, ndev: int, cap: int,
+                      axis: str):
+    """Scatter occurrences into per-destination fixed slots and all_to_all.
+
+    Returns received (hi, lo, samp, part, valid) flat arrays of length
+    ndev*cap plus the local dropped-occurrence count.
+    """
+    n = hi.shape[0]
+    group = jnp.where(valid, dest, ndev)
+    order = jnp.argsort(group, stable=True)
+    group_s = group[order]
+    counts = jnp.bincount(group, length=ndev + 1)
+    starts = jnp.cumsum(counts) - counts
+    pos = jnp.arange(n, dtype=I32) - starts[group_s].astype(I32)
+    in_range = (group_s < ndev) & (pos < cap)
+    slot = jnp.where(in_range, group_s * cap + pos, ndev * cap)
+    dropped = jnp.sum((group_s < ndev) & (pos >= cap))
+
+    payload = jnp.stack([hi, lo, samp.astype(U32), part.astype(U32)],
+                        axis=1)[order]
+    buf = jnp.full((ndev * cap, 4), SENT, dtype=U32)
+    buf = buf.at[slot].set(payload, mode="drop")
+
+    recv = jax.lax.all_to_all(buf.reshape(ndev, cap, 4), axis,
+                              split_axis=0, concat_axis=0, tiled=False)
+    recv = recv.reshape(ndev * cap, 4)
+    r_samp = recv[:, 2]
+    r_valid = r_samp != SENT
+    r_part = jnp.where(r_valid, recv[:, 3], U32(0)).astype(I32)
+    r_samp = jnp.where(r_valid, r_samp, U32(0)).astype(I32)
+    return recv[:, 0], recv[:, 1], r_samp, r_part, r_valid, dropped
+
+
+def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
+                 mode: str, window_bits):
+    """Shared encode stage -> flat (hi, lo, samp, part, valid) occurrences."""
+    hi, lo, parts, valid = encode_batch(batch, lengths, repart_table, k, m)
+    B, W = hi.shape
+    hi, lo = hi.ravel(), lo.ravel()
+    parts, valid = parts.ravel(), valid.ravel()
+    sampw = jnp.broadcast_to(samp[:, None], (B, W)).ravel()
+    if mode == "hash":
+        hi, lo = window_hash([(hi, lo)], parts, window_bits)
+    return hi, lo, sampw, parts, valid
+
+
+def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
+                           cap: int, nsamp: int, hard_min: int = 1,
+                           rmin: int = 1, save_if: int = 0,
+                           mode: str = "kmer", window_bits: int | None = None,
+                           count_max: int = 0xFFFFFFFF):
+    """Build the jitted SPMD pipeline step over ``mesh``.
+
+    The returned function takes GLOBAL arrays (leading axis divisible by the
+    mesh size): ``step(batch (B,L) u8, lengths (B,) i32, samp (B,) i32,
+    repart_table (4^m,) i32, amin_vec (nsamp,) u32)`` and returns
+    (part, hi, lo, samp, final, present, key_head, row_keep, stats, dropped)
+    where the per-occurrence outputs are sharded by device (each device's
+    slice covers its own partitions, sorted) and stats/dropped are global.
+    """
+    (axis,) = mesh.axis_names
+    ndev = mesh.shape[axis]
+    dest_table = jnp.asarray(partition_to_device(nb_parts, ndev))
+    assert mode in ("kmer", "hash")
+    if mode == "hash":
+        assert window_bits is not None
+
+    def step(batch, lengths, samp, repart_table, amin_vec):
+        hi, lo, sampw, parts, valid = _encode_flat(
+            batch, lengths, samp, repart_table, k, m, mode, window_bits)
+        dest = dest_table[parts]
+        rhi, rlo, rsamp, rpart, rvalid, dropped = _bucket_and_route(
+            hi, lo, sampw, parts, valid, dest, ndev, cap, axis)
+        (part_s, hi_s, lo_s, samp_s, final, present, key_head, row_keep,
+         _row_of, stats) = count_merge_flat(
+            rpart, rhi, rlo, rsamp, rvalid, amin_vec, nsamp=nsamp,
+            hard_min=hard_min, rmin=rmin, save_if=save_if,
+            count_max=count_max)
+        stats = jax.lax.psum(stats, axis)
+        dropped = jax.lax.psum(dropped, axis)
+        return (part_s, hi_s, lo_s, samp_s, final, present, key_head,
+                row_keep, stats, dropped)
+
+    sh = P(axis)
+    rep = P()
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(sh, sh, sh, rep, rep),
+        out_specs=(sh, sh, sh, sh, sh, sh, sh, sh, rep, rep)))
+
+
+def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
+                           rmin: int = 1, save_if: int = 0,
+                           mode: str = "kmer", window_bits: int | None = None,
+                           count_max: int = 0xFFFFFFFF):
+    """Single-device fused forward step (no collectives): encode -> hash ->
+    sort -> count+merge. Jittable; used by ``__graft_entry__.entry`` and the
+    benchmark."""
+    assert mode in ("kmer", "hash")
+
+    def step(batch, lengths, samp, repart_table, amin_vec):
+        hi, lo, sampw, parts, valid = _encode_flat(
+            batch, lengths, samp, repart_table, k, m, mode, window_bits)
+        return count_merge_flat(
+            parts, hi, lo, sampw, valid, amin_vec, nsamp=nsamp,
+            hard_min=hard_min, rmin=rmin, save_if=save_if,
+            count_max=count_max)
+
+    return step
