@@ -48,14 +48,16 @@ def main() -> None:
     args = (jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(samp),
             jnp.asarray(repart.table.astype(np.int32)), jnp.asarray(amin))
 
-    jax.block_until_ready(step(*args))          # compile + warm
-    jax.block_until_ready(step(*args))
+    # NOTE: block_until_ready does not reliably block through the remote
+    # device tunnel — fetch a small output (the 6 x nsamp stats block) to
+    # force completion of each step.
+    np.asarray(step(*args)[9])                  # compile + warm
+    np.asarray(step(*args)[9])
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(*args)
-    jax.block_until_ready(out)
+        np.asarray(step(*args)[9])
     dt = (time.perf_counter() - t0) / iters
 
     kmers_per_step = B * (L - K + 1)

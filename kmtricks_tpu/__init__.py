@@ -17,3 +17,22 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def build_infos() -> str:
+    """Build/version info dump (reference `kmtricks infos`, cmd/infos.hpp)."""
+    import platform
+    import sys
+
+    lines = [
+        f"kmtricks_tpu {__version__}",
+        f"python {sys.version.split()[0]} ({platform.platform()})",
+    ]
+    try:
+        import jax
+        lines.append(f"jax {jax.__version__}")
+    except ImportError:
+        lines.append("jax not available")
+    import numpy as np
+    lines.append(f"numpy {np.__version__}")
+    return "\n".join(lines) + "\n"

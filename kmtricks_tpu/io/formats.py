@@ -414,14 +414,19 @@ def write_vector_matrix_file(path: str, rows: np.ndarray, bits: int,
 
 
 def read_vector_matrix_file(path: str):
+    info, rows = read_vector_matrix_payload(path)
+    return info, rows.reshape(-1, nbytes(info.bits))
+
+
+def read_vector_matrix_payload(path: str):
+    """Raw payload variant: needed for transposed (bft) matrices whose row
+    width is ROUND_UP(window,8)/8 bytes, not nbytes(header.bits)."""
     with open(path, "rb") as f:
         compressed, (bits, first, window, sid, part) = _read_header(
             f, C.MAGIC_BITMATRIX, "<IQQII")
         payload = _payload(f, compressed)
     info = VectorMatrixFileInfo(bits, sid, part, first, window, compressed)
-    nb = nbytes(bits)
-    rows = np.frombuffer(payload, dtype=np.uint8)
-    return info, rows.reshape(-1, nb)
+    return info, np.frombuffer(payload, dtype=np.uint8)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,103 @@
+"""Per-sample Bloom filter files: HowDe-SBT ``.bf`` and SDSL ``.sdsl``.
+
+Reference: include/kmtricks/howde_utils.hpp:56-122 (write_header) — the
+header is written twice: first with the "unfinished" magic, then seek(0) and
+rewrite with the final magic once the bit payload is complete. The single
+bit-vector entry is an SDSL-serialized bit_vector (u64 bit count, then the
+bits packed into little-endian u64 words), ``numBytes = bloom/8 + 8``.
+
+NOTE on constants: the reference's writer includes ``<bloom_filter_file.h>``
+from HowDeSBT, which is NOT vendored in the reference tree (src/howde is not
+built — see SURVEY.md fork notes), so the magic values below could not be
+cross-checked against reference source and follow the public HowDeSBT layout
+(struct field order/sizes verified against the reference writer's usage).
+Verify the magics against HowDeSBT before relying on cross-tool interop.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# HowDeSBT bloom_filter_file.h constants (see module docstring caveat)
+BF_MAGIC_UNFINISHED = 0xD0B10F20D0B10F20
+BF_MAGIC = 0xD0B10F21D0B10F21
+BF_VERSION = 2
+BFKIND_SIMPLE = 1
+BVCOMP_UNCOMPRESSED = 0
+
+_HDR = struct.Struct("<QIIIII4xQQQQI?3xQ")     # bffileheader (no info[])
+_INFO = struct.Struct("<IIQQQ")                # bfvectorinfo
+_PREFIX_SIZE = 16                              # sizeof(bffileprefix)
+
+
+def _round_up_16(b: int) -> int:
+    return (b + 15) & ~15
+
+
+def header_size(num_vectors: int = 1) -> int:
+    return _round_up_16(_HDR.size + num_vectors * _INFO.size)
+
+
+def _header_bytes(magic: int, hsize_field: int, bloom_size: int,
+                  kmer_size: int, total: int) -> bytes:
+    hdr = _HDR.pack(magic, hsize_field, BF_VERSION, BFKIND_SIMPLE,
+                    kmer_size, 1, 0, 0, bloom_size, bloom_size, 1, False, 0)
+    info = _INFO.pack(BVCOMP_UNCOMPRESSED, 0, total,
+                      bloom_size // 8 + 8, 0)
+    out = hdr + info
+    return out + b"\x00" * (total - len(out))
+
+
+def bits_to_sdsl_words(bits: np.ndarray, bloom_size: int) -> np.ndarray:
+    """Bit payload (LSB-first bytes) -> SDSL u64 word array."""
+    raw = np.asarray(bits, dtype=np.uint8).ravel()
+    nbytes = (bloom_size + 63) // 64 * 8
+    buf = np.zeros(nbytes, dtype=np.uint8)
+    buf[:len(raw)] = raw[:nbytes]
+    return buf.view(np.uint64)
+
+
+def write_bf_file(path: str, bits: np.ndarray, bloom_size: int,
+                  kmer_size: int, fmt: str = "howdesbt") -> None:
+    """Write one sample's full Bloom filter.
+
+    ``bits``: LSB-first packed bytes, partition windows already concatenated
+    in partition order (bit h of the filter = bit h%8 of byte h//8).
+    ``fmt``: "howdesbt" (bffileheader + sdsl vector) or "sdsl" (bare
+    sdsl::bit_vector serialization).
+    """
+    words = bits_to_sdsl_words(bits, bloom_size)
+    if fmt == "sdsl":
+        with open(path, "wb") as f:
+            f.write(struct.pack("<Q", bloom_size))
+            f.write(words.tobytes())
+        return
+    total = header_size(1)
+    with open(path, "wb") as f:
+        # first pass: unfinished magic (write_header:61-66)
+        f.write(_header_bytes(BF_MAGIC_UNFINISHED, _PREFIX_SIZE,
+                              bloom_size, kmer_size, total))
+        f.write(struct.pack("<Q", bloom_size))
+        f.write(words.tobytes())
+        # rewrite with final magic
+        f.seek(0)
+        f.write(_header_bytes(BF_MAGIC, total, bloom_size, kmer_size, total))
+
+
+def read_bf_file(path: str) -> tuple[dict, np.ndarray]:
+    """Read back a .bf written by :func:`write_bf_file` (or any simple
+    uncompressed single-vector HowDeSBT bf)."""
+    with open(path, "rb") as f:
+        head = f.read(_HDR.size)
+        (magic, hsize, version, kind, smer, nhash, s1, s2, modulus,
+         nbits, nvec, ssk, ssize) = _HDR.unpack(head)
+        info = _INFO.unpack(f.read(_INFO.size))
+        f.seek(info[2])
+        (bloom_size,) = struct.unpack("<Q", f.read(8))
+        words = np.frombuffer(f.read(info[3] - 8), dtype=np.uint64)
+    meta = {"magic": magic, "version": version, "bfKind": kind,
+            "smerSize": smer, "numHashes": nhash, "hashModulus": modulus,
+            "numBits": nbits, "numVectors": nvec}
+    return meta, words.view(np.uint8)

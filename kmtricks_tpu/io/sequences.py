@@ -1,0 +1,243 @@
+"""Sequence input banks: FASTA / FASTQ (plain or gzip) / BAM.
+
+Mirrors the reference bank layer (thirdparty/gatb-core-stripped/src/gatb/
+bank/impl/): URI -> format detection with BAM checked before FASTA
+(Bank.cpp:44-60), gzip-transparent FASTA/FASTQ parsing (BankFasta.cpp),
+BAM decoding with samtools-style flag / reference filtering
+(BankBam.cpp:440-550, fork addition), and sample-based size estimation
+feeding the configuration stage (BankFasta estimate, ConfigurationAlgorithm).
+
+All banks yield raw sequence ``bytes`` (name available via iter_named).
+A "bank" URI may be a comma-separated list of files (composite bank).
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import Iterator
+
+# BAM 4-bit nibble codes (BankBam.cpp:238-241)
+BAM_NT_DECODE = b"=ACMGRSVTWYHKDBN"
+_BAM_COMP = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+# ---------------------------------------------------------------------------
+# Format detection (Bank.cpp: album, bam, fasta registration order)
+# ---------------------------------------------------------------------------
+
+def _is_gzip(head: bytes) -> bool:
+    return head[:2] == b"\x1f\x8b"
+
+
+def sniff_format(path: str) -> str:
+    """Return 'bam' | 'fasta' | 'fastq'. BAM is checked before FASTA to
+    prevent misdetection (Bank.cpp:49-53)."""
+    with open(path, "rb") as f:
+        head = f.read(4096)
+    if _is_gzip(head):
+        try:
+            inner = zlib.decompressobj(wbits=31).decompress(head, 256)
+        except zlib.error:
+            inner = b""
+        if inner[:4] == b"BAM\x01":
+            return "bam"
+        head = inner
+    first = head.lstrip()[:1]
+    if first == b">":
+        return "fasta"
+    if first == b"@":
+        return "fastq"
+    raise IOError(f"Unable to detect sequence format of {path}")
+
+
+# ---------------------------------------------------------------------------
+# FASTA / FASTQ
+# ---------------------------------------------------------------------------
+
+def _open_maybe_gz(path: str):
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if _is_gzip(head):
+        return gzip.open(path, "rb")
+    return open(path, "rb", buffering=1 << 18)
+
+
+def iter_fasta(path: str) -> Iterator[tuple[bytes, bytes]]:
+    name, chunks = None, []
+    with _open_maybe_gz(path) as f:
+        for line in f:
+            line = line.rstrip(b"\r\n")
+            if line.startswith(b">"):
+                if name is not None:
+                    yield name, b"".join(chunks)
+                name, chunks = line[1:], []
+            elif line:
+                chunks.append(line)
+        if name is not None:
+            yield name, b"".join(chunks)
+
+
+def iter_fastq(path: str) -> Iterator[tuple[bytes, bytes]]:
+    with _open_maybe_gz(path) as f:
+        while True:
+            header = f.readline()
+            if not header:
+                return
+            seq = f.readline().rstrip(b"\r\n")
+            f.readline()   # '+'
+            f.readline()   # quals
+            yield header[1:].rstrip(b"\r\n"), seq
+
+
+# ---------------------------------------------------------------------------
+# BAM (BankBam.cpp — fork addition)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BamFilter:
+    """samtools-style filters (cli_common.hpp:54-75): ``require_flags`` = -f
+    (all bits must be set), ``exclude_flags`` = -F (no bit may be set),
+    ``excluded_refs`` = skip reads mapped to these reference names."""
+    require_flags: int = 0
+    exclude_flags: int = 0
+    excluded_refs: frozenset[str] = frozenset()
+
+
+def iter_bam(path: str, filt: BamFilter | None = None
+             ) -> Iterator[tuple[bytes, bytes]]:
+    """Yield (name, sequence) from a BAM file.
+
+    Semantics of BankBam (BankBam.cpp:440-550): secondary (0x100) and
+    supplementary (0x800) alignments are always skipped; -f/-F flag filters
+    and excluded-reference filtering apply; reverse-complemented reads
+    (0x10) are reverse-complemented back to original orientation (ambiguous
+    bases left unchanged).
+    """
+    filt = filt or BamFilter()
+    with gzip.open(path, "rb") as f:   # BGZF = concatenated gzip members
+        def read(n):
+            b = f.read(n)
+            if len(b) != n:
+                raise EOFError
+            return b
+
+        if read(4) != b"BAM\x01":
+            raise IOError(f"{path}: not a BAM file")
+        (l_text,) = struct.unpack("<i", read(4))
+        read(l_text)
+        (n_ref,) = struct.unpack("<i", read(4))
+        ref_names = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", read(4))
+            ref_names.append(read(l_name)[:-1].decode())
+            read(4)  # l_ref
+        excluded_ids = {i for i, n in enumerate(ref_names)
+                        if n in filt.excluded_refs}
+
+        while True:
+            raw = f.read(4)
+            if len(raw) < 4:
+                return
+            (block_size,) = struct.unpack("<i", raw)
+            block = read(block_size)
+            ref_id, = struct.unpack_from("<i", block, 0)
+            l_read_name = block[8]
+            n_cigar_op, flag = struct.unpack_from("<HH", block, 12)
+            l_seq, = struct.unpack_from("<i", block, 16)
+            if flag & 0x100 or flag & 0x800:
+                continue
+            if filt.require_flags and \
+                    (flag & filt.require_flags) != filt.require_flags:
+                continue
+            if filt.exclude_flags and (flag & filt.exclude_flags):
+                continue
+            if ref_id in excluded_ids:
+                continue
+            name = block[32:32 + l_read_name].split(b"\x00", 1)[0]
+            off = 32 + l_read_name + 4 * n_cigar_op
+            packed = block[off:off + (l_seq + 1) // 2]
+            seq = bytearray(l_seq)
+            for i in range(l_seq):
+                b = packed[i >> 1]
+                seq[i] = BAM_NT_DECODE[(b >> 4) & 0xF if i % 2 == 0
+                                       else b & 0xF]
+            if flag & 0x10:
+                seq = bytes(seq)[::-1].translate(_BAM_COMP)
+            yield name, bytes(seq)
+
+
+# ---------------------------------------------------------------------------
+# Bank facade
+# ---------------------------------------------------------------------------
+
+def iter_bank(uri: str | list[str], bam_filter: BamFilter | None = None
+              ) -> Iterator[tuple[bytes, bytes]]:
+    """Iterate (name, seq) over a bank URI: one path, a comma-separated list,
+    or a list of paths (composite bank, BankAlbum/BankComposite)."""
+    paths = uri if isinstance(uri, list) else uri.split(",")
+    for p in paths:
+        p = p.strip()
+        fmt = sniff_format(p)
+        if fmt == "fasta":
+            yield from iter_fasta(p)
+        elif fmt == "fastq":
+            yield from iter_fastq(p)
+        else:
+            yield from iter_bam(p, bam_filter)
+
+
+def iter_sequences(uri: str | list[str],
+                   bam_filter: BamFilter | None = None) -> Iterator[bytes]:
+    for _, seq in iter_bank(uri, bam_filter):
+        yield seq
+
+
+@dataclass
+class BankEstimate:
+    sequences: int
+    total_bases: int
+    max_size: int
+
+
+def estimate(uri: str | list[str], sample: int = 5000) -> BankEstimate:
+    """Sample-based size estimation (BankFasta estimate semantics: read the
+    first ``sample`` sequences, extrapolate by compressed file size ratio)."""
+    import os
+
+    paths = uri if isinstance(uri, list) else uri.split(",")
+    total_seqs = 0
+    total_bases = 0
+    max_size = 0
+    for p in paths:
+        p = p.strip()
+        n, bases, consumed = 0, 0, 0
+        it = iter_bank(p)
+        for _, seq in it:
+            n += 1
+            bases += len(seq)
+            max_size = max(max_size, len(seq))
+            if n >= sample:
+                break
+        fsize = os.path.getsize(p)
+        if n < sample:           # fully read
+            total_seqs += n
+            total_bases += bases
+        else:
+            # extrapolate: assume uniform record size across the file
+            mean = bases / max(n, 1)
+            # bytes per record estimate from plain-text size heuristics
+            with open(p, "rb") as f:
+                head = f.read(2)
+            overhead = 2.0 if sniff_format(p) == "fastq" else 1.1
+            if head == b"\x1f\x8b":
+                # gz: assume ~4x compression of text
+                est_records = fsize * 4 / (mean * overhead + 32)
+            else:
+                est_records = fsize / (mean * overhead + 32)
+            est_records = max(n, int(est_records))
+            total_seqs += est_records
+            total_bases += int(est_records * mean)
+    return BankEstimate(total_seqs, total_bases, max_size)

@@ -1,0 +1,467 @@
+"""Pipeline orchestrator: config -> repart -> count -> merge (-> format).
+
+The stage decomposition, run-directory persistence, ``--until`` early exit
+and restrict lists reproduce the reference's TaskScheduler + module commands
+(include/kmtricks/task_scheduler.hpp:38-476, cmd.hpp) — without threads:
+each stage is a batch program (host numpy or jitted device code) and the run
+directory records every stage's output, so every stage is independently
+re-runnable as a module exactly like the reference's repart/superk/count/
+merge subcommands.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from kmtricks_tpu import constants as C
+from kmtricks_tpu.core.bitmatrix import round_up, transpose_bits
+from kmtricks_tpu.core.hashers import HashWindow, bloom_fp
+from kmtricks_tpu.core.histogram import KHist, compute_merge_thresholds
+from kmtricks_tpu.core.kmer import kmers_to_strings
+from kmtricks_tpu.core.repartition import Repartition
+from kmtricks_tpu.host import ops as hops
+from kmtricks_tpu.io import formats as F
+from kmtricks_tpu.io import sequences as seqio
+from kmtricks_tpu.io.fof import Fof
+from kmtricks_tpu.runtime.config import Config, configure
+from kmtricks_tpu.runtime.kmdir import KmDir
+
+VALID_MODES = {
+    ("kmer", "count", "bin"), ("kmer", "count", "text"),
+    ("kmer", "pa", "bin"), ("kmer", "pa", "text"),
+    ("hash", "count", "bin"), ("hash", "count", "text"),
+    ("hash", "pa", "bin"), ("hash", "pa", "text"),
+    ("hash", "bf", "bin"), ("hash", "bft", "bin"), ("hash", "bfc", "bin"),
+}
+
+
+def parse_mode(s: str) -> tuple[str, str, str]:
+    """``<count_format:mode:out>`` grammar + constraints (cli.cpp:150-199)."""
+    parts = s.split(":")
+    if len(parts) != 3:
+        raise ValueError(f"Invalid mode: {s}")
+    cf, mode, out = parts
+    if (cf, mode, out) not in VALID_MODES:
+        raise ValueError(f"Invalid mode: {s} (bf/bft/bfc require hash + bin)")
+    return cf, mode, out
+
+
+@dataclass
+class PipelineOptions:
+    fof: str = ""
+    run_dir: str = ""
+    kmer_size: int = C.DEFAULT_KMER_SIZE
+    minim_size: int = C.DEFAULT_MINIM_SIZE
+    mode: str = "kmer:count:bin"
+    hard_min: int = C.DEFAULT_HARD_MIN
+    soft_min: str = str(C.DEFAULT_SOFT_MIN)   # int | float(0,1) | path
+    share_min: int = C.DEFAULT_SHARE_MIN      # save_if
+    recurrence_min: int = C.DEFAULT_RECURRENCE_MIN
+    nb_partitions: int = 0
+    bloom_size: int = C.DEFAULT_BLOOM_SIZE
+    bitw: int = C.DEFAULT_BITW
+    until: str = "all"            # repart|superk|count|merge|all
+    hist: bool = False
+    cpr: bool = False
+    kff: bool = False
+    keep_tmp: bool = False
+    repart_from: str | None = None
+    static_repart: bool = False
+    restrict_to: float = 1.0
+    restrict_to_list: list[int] | None = None
+    minim_type: int = 0
+    repart_type: int = 0
+    max_memory_mb: int = 8192
+    backend: str = "host"         # host | device
+    bf_format: str = "howdesbt"
+    focus: float = 0.5            # accepted for CLI parity (no-op here)
+    verbose: str = "info"
+    bam_require_flags: int = 0
+    bam_exclude_flags: int = 0
+    bam_excluded_refs: list[str] = field(default_factory=list)
+
+    def bam_filter(self) -> seqio.BamFilter:
+        return seqio.BamFilter(self.bam_require_flags,
+                               self.bam_exclude_flags,
+                               frozenset(self.bam_excluded_refs))
+
+    def display(self) -> str:
+        keys = ["fof", "run_dir", "kmer_size", "minim_size", "mode",
+                "hard_min", "soft_min", "share_min", "recurrence_min",
+                "nb_partitions", "bloom_size", "bitw", "until", "hist",
+                "cpr", "kff", "repart_from", "static_repart", "minim_type",
+                "repart_type", "backend", "bf_format"]
+        return "".join(f"{k}: {getattr(self, k)}\n" for k in keys)
+
+
+# ---------------------------------------------------------------------------
+# Stage: config
+# ---------------------------------------------------------------------------
+
+def stage_config(opts: PipelineOptions) -> tuple[KmDir, Config]:
+    kmdir = KmDir.init(opts.run_dir, opts.fof, first=True)
+    config = configure(kmdir.fof, opts.kmer_size, opts.minim_size,
+                       opts.nb_partitions, opts.bloom_size,
+                       opts.max_memory_mb, opts.mode, opts.hard_min,
+                       opts.minim_type, opts.repart_type)
+    config.save(kmdir.config_storage)
+    hw = HashWindow(config.bloom_size, config.nb_partitions,
+                    config.minim_size)
+    hw.serialize(kmdir.hash_win)          # task.hpp:120-121
+    kmdir.init_parts(config.nb_partitions)
+    with open(kmdir.options_path, "w") as f:
+        f.write(opts.display())
+    return kmdir, config
+
+
+# ---------------------------------------------------------------------------
+# Stage: repartition
+# ---------------------------------------------------------------------------
+
+def sample_minimizer_bins(kmdir: KmDir, config: Config,
+                          bam_filter=None) -> np.ndarray:
+    """Tally sampled k-mers per minimizer (RepartitionAlgorithm.cpp:157-243
+    semantics; we tally k-mer windows where the reference tallies kx-mers —
+    proportional loads, same LPT result shape; deterministic: first-N
+    sampling, like the reference's CancellableIterator cutoff)."""
+    from kmtricks_tpu.core import kmer as kops
+
+    k, m = config.kmer_size, config.minim_size
+    bins = np.zeros(4 ** m, dtype=np.int64)
+    total_cutoff = max(int(0.05 * max(config.seq_number, 1)), 1_000_000)
+    seen = 0
+    for entry in kmdir.fof:
+        for seq in seqio.iter_sequences(entry.paths, bam_filter):
+            if seen >= total_cutoff:
+                break
+            seen += 1
+            codes, valid = kops.encode_ascii(seq)
+            if len(codes) < k:
+                continue
+            wv = kops.window_validity(valid, k)
+            if not wv.any():
+                continue
+            minim = kops.window_minimizers(codes, k, m)[wv]
+            np.add.at(bins, minim.astype(np.int64), 1)
+    return bins
+
+
+def stage_repart(kmdir: KmDir, config: Config,
+                 opts: PipelineOptions) -> Repartition:
+    if opts.repart_from:
+        src = os.path.join(opts.repart_from, "repartition",
+                           "repartition.minimRepart")
+        rep = Repartition.load(src)
+        # compatibility check (task.hpp:209-222)
+        if rep.nb_partitions != config.nb_partitions or \
+                rep.nb_minimizers != 4 ** config.minim_size:
+            raise ValueError("--repart-from: incompatible repartition "
+                             f"({rep.nb_partitions} partitions, "
+                             f"{rep.nb_minimizers} minimizers)")
+    elif opts.static_repart:
+        rep = Repartition.from_xxh(config.nb_partitions, config.minim_size)
+    else:
+        bins = sample_minimizer_bins(kmdir, config, opts.bam_filter())
+        rep = Repartition.from_bin_sizes(bins, config.nb_partitions)
+    rep.save(kmdir.repart_path)
+    if config.minim_size <= 12:   # task.hpp:160-168
+        rep.write_minimizers(kmdir.get_minim_paths(config.nb_partitions),
+                             config.minim_size)
+    return rep
+
+
+# ---------------------------------------------------------------------------
+# Stage: count (one sample)
+# ---------------------------------------------------------------------------
+
+def _count_backend(opts: PipelineOptions, config: Config):
+    if opts.backend == "device" and config.kmer_size <= 32:
+        from kmtricks_tpu.ops.pipeline import count_sample_device
+        return count_sample_device
+    return hops.count_sequences
+
+
+def stage_count(kmdir: KmDir, config: Config, repart: Repartition,
+                sample_idx: int, opts: PipelineOptions,
+                partitions: list[int] | None = None,
+                count_mode: str | None = None) -> KHist | None:
+    """Count one sample into per-partition files.
+
+    count_mode: "kmer" -> .kmer files, "hash" -> .hash files,
+    "vector" -> dense per-partition window bit vectors (.vector).
+    """
+    entry = kmdir.fof.entries[sample_idx]
+    cf, _, _ = parse_mode(opts.mode)
+    count_mode = count_mode or cf
+    hw = HashWindow.load(kmdir.hash_win) if count_mode != "kmer" else None
+    hard_min = entry.abundance_min or opts.hard_min
+    count_max = (1 << (8 * config.count_bytes)) - 1
+
+    hist = KHist(sample_idx, config.kmer_size) if opts.hist else None
+    seqs = list(seqio.iter_sequences(entry.paths, opts.bam_filter()))
+    counter = _count_backend(opts, config)
+    sc = counter(seqs, config.kmer_size, config.minim_size,
+                 repart.table, hard_min=hard_min,
+                 mode="kmer" if count_mode == "kmer" else "hash",
+                 window_bits=hw.window_size_bits if hw else None,
+                 count_max=count_max, hist=hist)
+
+    parts = partitions if partitions is not None \
+        else range(config.nb_partitions)
+    for p in parts:
+        keys, counts = sc.partitions.get(
+            p, (np.zeros((0, config.kmer_slots), dtype=np.uint64)
+                if count_mode == "kmer" else np.zeros(0, dtype=np.uint64),
+                np.zeros(0, dtype=np.uint32)))
+        if count_mode == "kmer":
+            path = kmdir.get_count_part_path(entry.id, p, opts.cpr, "kmer")
+            F.write_kmer_file(path, keys, counts, config.kmer_size,
+                              config.count_bytes, sample_idx, p,
+                              compressed=opts.cpr)
+        elif count_mode == "hash":
+            path = kmdir.get_count_part_path(entry.id, p, False, "hash")
+            F.write_hash_file(path, keys, counts, config.count_bytes,
+                              sample_idx, p)
+        elif count_mode == "vector":
+            w = hw.window_size_bits
+            vec = np.zeros(F.nbytes(w), dtype=np.uint8)
+            rel = (np.asarray(keys, dtype=np.uint64)
+                   - np.uint64(w) * np.uint64(p)).astype(np.int64)
+            byte, bit = rel >> 3, rel & 7
+            np.bitwise_or.at(vec, byte, (1 << bit).astype(np.uint8))
+            path = kmdir.get_count_part_path(entry.id, p, opts.cpr, "vector")
+            F.write_bit_vector_file(path, vec, w, sample_idx, p,
+                                    compressed=opts.cpr)
+    if hist is not None:
+        F.write_hist_file(kmdir.get_hist_path(entry.id), hist)
+    return hist
+
+
+# ---------------------------------------------------------------------------
+# Stage: merge (one partition)
+# ---------------------------------------------------------------------------
+
+def resolve_soft_min(spec: str, kmdir: KmDir, nsamp: int) -> np.ndarray:
+    """--soft-min polymorphism (cli.cpp:556-575 + cmd.hpp:237-245):
+    an int (same threshold for all), a float in (0,1) (per-sample quantile
+    thresholds from histograms), or a file of per-sample ints."""
+    try:
+        v = int(spec)
+        return np.full(nsamp, v, dtype=np.uint32)
+    except ValueError:
+        pass
+    try:
+        p = float(spec)
+    except ValueError:
+        p = None
+    if p is not None:
+        if not 0 < p < 1:
+            raise ValueError("--soft-min float must be in (0, 1)")
+        hists = []
+        for e in kmdir.fof:
+            info, hu, hn = F.read_hist_file(kmdir.get_hist_path(e.id))
+            h = KHist(info.id, info.kmer_size, info.lower, info.upper)
+            h.hist_u, h.hist_n = hu, hn
+            h.uniq, h.total = info.uniq, info.total
+            hists.append(h)
+        thr = compute_merge_thresholds(hists, p, kmdir.get_merge_th_path())
+        return np.asarray(thr, dtype=np.uint32)
+    with open(spec) as f:
+        vals = [int(line) for line in f if line.strip()]
+    if len(vals) != nsamp:
+        raise ValueError(f"soft-min file: {len(vals)} values, "
+                         f"expected {nsamp}")
+    return np.asarray(vals, dtype=np.uint32)
+
+
+def _merge_backend(opts: PipelineOptions, config: Config, cf: str):
+    if opts.backend == "device" and (cf == "hash"
+                                     or config.kmer_size <= 32):
+        from kmtricks_tpu.ops.merge import merge_partition_device
+        return merge_partition_device
+    return hops.merge_partition
+
+
+def stage_merge(kmdir: KmDir, config: Config, opts: PipelineOptions,
+                partition: int, amin_vec: np.ndarray) -> None:
+    cf, mode, out = parse_mode(opts.mode)
+    nsamp = len(kmdir.fof)
+    keys_list, counts_list = [], []
+    for path in kmdir.get_files_to_merge(partition, opts.cpr, cf):
+        if cf == "kmer":
+            _, kk, cc = F.read_kmer_file(path)
+        else:
+            _, kk, cc = F.read_hash_file(path)
+        keys_list.append(kk)
+        counts_list.append(cc)
+
+    merger = _merge_backend(opts, config, cf)
+    res = merger(keys_list, counts_list, amin_vec,
+                 opts.recurrence_min, opts.share_min)
+    out_path = kmdir.get_matrix_path(partition, mode, out, cf,
+                                     opts.cpr and mode in ("count", "pa"))
+    kept = res.keep
+    keys = res.keys[kept] if len(res.keys) else res.keys
+    counts = res.counts[kept] if len(res.counts) else res.counts
+    cb = config.count_bytes
+
+    if mode == "count" and out == "bin":
+        if cf == "kmer":
+            F.write_matrix_file(out_path, keys, counts, config.kmer_size,
+                                cb, 0, partition, compressed=opts.cpr)
+        else:
+            F.write_matrix_hash_file(out_path, keys, counts, cb, 0,
+                                     partition, compressed=opts.cpr)
+    elif mode == "count" and out == "text":
+        _write_matrix_text(out_path, keys, counts, cf, config.kmer_size,
+                           pa=False)
+    elif mode == "pa" and out == "bin":
+        rows = F.pack_pa_bits(counts > 0)
+        if cf == "kmer":
+            F.write_pa_matrix_file(out_path, keys, rows, config.kmer_size,
+                                   nsamp, 0, partition, compressed=opts.cpr)
+        else:
+            F.write_pa_hash_matrix_file(out_path, keys, rows, nsamp, 0,
+                                        partition, compressed=opts.cpr)
+    elif mode == "pa" and out == "text":
+        _write_matrix_text(out_path, keys, counts, cf, config.kmer_size,
+                           pa=True)
+    elif mode in ("bf", "bfc", "bft"):
+        hw = HashWindow.load(kmdir.hash_win)
+        lower, upper = hw.lower(partition), hw.upper(partition)
+        window = upper - lower + 1
+        if mode == "bfc":
+            rows = np.zeros((window, F.nbytes(nsamp * opts.bitw)),
+                            dtype=np.uint8)
+            if kept.any():
+                rel = (res.keys[kept].astype(np.int64) - lower)
+                rows[rel] = hops.pack_counting_bf(counts, opts.bitw)
+            F.write_vector_matrix_file(out_path, rows, nsamp * opts.bitw,
+                                       0, partition, lower, window)
+        else:
+            rows = hops.bf_rows_from_merge(res, lower, upper, nsamp)
+            if mode == "bft":
+                rows = transpose_bits(rows)   # merge.hpp:631-644
+            F.write_vector_matrix_file(out_path, rows, nsamp, 0,
+                                       partition, lower, window)
+
+    res.stats.serialize(kmdir.get_merge_info_path(partition))
+    if mode == "bf":   # task.hpp:849-860
+        hw = HashWindow.load(kmdir.hash_win)
+        with open(kmdir.get_fpr_path(partition), "w") as f:
+            for n in res.stats.uniq_w_rescue:
+                f.write(f"{bloom_fp(hw.window_size_bits, int(n)):.6f}\n")
+
+
+def _write_matrix_text(path: str, keys, counts, cf: str, k: int,
+                       pa: bool) -> None:
+    """Text matrix rows (merge.hpp:288-316 / 531-573)."""
+    with open(path, "w") as f:
+        if cf == "kmer":
+            names = kmers_to_strings(keys, k)
+        else:
+            names = [str(int(h)) for h in np.asarray(keys).ravel()]
+        for i, name in enumerate(names):
+            row = counts[i]
+            if pa:
+                vals = " ".join("1" if c > 0 else "0" for c in row)
+            else:
+                vals = " ".join(str(int(c)) for c in row)
+            f.write(f"{name} {vals}\n")
+
+
+# ---------------------------------------------------------------------------
+# Stage: format (per-sample BFs — the BASELINE north-star deliverable)
+# ---------------------------------------------------------------------------
+
+def stage_format(kmdir: KmDir, config: Config, opts: PipelineOptions) -> None:
+    """Assemble per-sample HowDe-SBT BFs by gathering each sample's window
+    slice across all partitions (BloomBuilderFromHash/Vec semantics,
+    howde_utils.hpp:133-214; requires mode hash:bft or vector counts)."""
+    from kmtricks_tpu.io.howde import write_bf_file
+
+    hw = HashWindow.load(kmdir.hash_win)
+    nsamp = len(kmdir.fof)
+    nb = F.nbytes(hw.window_size_bits)
+    slices = [[] for _ in range(nsamp)]
+    for p in range(config.nb_partitions):
+        path = kmdir.get_matrix_path(p, "bft", "bin", "hash", False)
+        info, payload = F.read_vector_matrix_payload(path)
+        # bft payload: transposed rows — ROUND_UP(nsamp,8) rows of
+        # ROUND_UP(window,8)/8 bytes (merge.hpp:631-644)
+        rows = payload.reshape(round_up(nsamp, 8),
+                               round_up(info.window, 8) // 8)
+        for s in range(nsamp):
+            slices[s].append(rows[s, :nb])
+    for s, entry in enumerate(kmdir.fof):
+        bits = np.concatenate(slices[s])
+        write_bf_file(kmdir.get_filter_path(entry.id, opts.bf_format),
+                      bits, hw.bloom_size, config.kmer_size,
+                      fmt=opts.bf_format)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+def run_pipeline(opts: PipelineOptions) -> KmDir:
+    t0 = time.time()
+    cf, mode, out = parse_mode(opts.mode)
+    if opts.kff and (opts.until != "count" or cf != "kmer"):
+        raise ValueError("--kff-output requires --until count and kmer mode")
+    if mode in ("bf", "bft", "bfc") and (opts.restrict_to < 1.0
+                                         or opts.restrict_to_list):
+        raise ValueError("bf modes require all partitions")
+
+    kmdir, config = stage_config(opts)
+    repart = stage_repart(kmdir, config, opts)
+    if opts.until == "repart":
+        return _finish(kmdir, t0)
+
+    partitions = _selected_partitions(opts, config)
+    if opts.until == "superk":
+        # superkmer files are a disk-era shuffle artifact; module parity is
+        # provided by the `superk` command (see runtime/superk.py)
+        from kmtricks_tpu.runtime.superk import stage_superk
+        for s in range(len(kmdir.fof)):
+            stage_superk(kmdir, config, repart, s, opts)
+        return _finish(kmdir, t0)
+
+    for s in range(len(kmdir.fof)):
+        stage_count(kmdir, config, repart, s, opts, partitions=partitions)
+    if opts.until == "count":
+        return _finish(kmdir, t0)
+
+    amin_vec = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
+    for p in (partitions if partitions is not None
+              else range(config.nb_partitions)):
+        stage_merge(kmdir, config, opts, p, amin_vec)
+
+    if mode == "bft":
+        stage_format(kmdir, config, opts)
+    return _finish(kmdir, t0)
+
+
+def _selected_partitions(opts: PipelineOptions,
+                         config: Config) -> list[int] | None:
+    if opts.restrict_to_list:
+        return sorted(opts.restrict_to_list)
+    if opts.restrict_to < 1.0:   # random fraction (cli.cpp --restrict-to)
+        n = max(1, int(config.nb_partitions * opts.restrict_to))
+        return sorted(random.sample(range(config.nb_partitions), n))
+    return None
+
+
+def _finish(kmdir: KmDir, t0: float) -> KmDir:
+    import resource
+
+    wall = time.time() - t0
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    with open(kmdir.run_infos, "w") as f:   # task_scheduler.hpp:448-457
+        f.write(f"Done in {wall:.2f}s - Peak RSS -> {peak_mb} MB\n")
+    return kmdir
