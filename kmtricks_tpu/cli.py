@@ -77,6 +77,10 @@ def _add_common_pipeline(p: argparse.ArgumentParser, merge_opts: bool = True):
         p.add_argument("--bitw", type=int, default=C.DEFAULT_BITW)
         p.add_argument("--bf-format", choices=["howdesbt", "sdsl"],
                        default="howdesbt")
+        p.add_argument("--plugin", default=None,
+                       help="merge plugin: file.py[:ClassName]")
+        p.add_argument("--plugin-config", default="",
+                       help="string passed to plugin.configure")
 
 
 def _options_from_args(args) -> "PipelineOptions":
@@ -108,7 +112,8 @@ def _options_from_args(args) -> "PipelineOptions":
         bam_excluded_refs=getattr(args, "bam_exclude_refs", []),
     )
     for k in ("mode", "soft_min", "share_min", "recurrence_min",
-              "bloom_size", "bitw", "bf_format", "until"):
+              "bloom_size", "bitw", "bf_format", "until", "plugin",
+              "plugin_config"):
         if hasattr(args, k):
             setattr(o, k, getattr(args, k))
     o.soft_min = str(o.soft_min)
@@ -160,6 +165,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=C.DEFAULT_RECURRENCE_MIN)
     p.add_argument("--bitw", type=int, default=C.DEFAULT_BITW)
     p.add_argument("--cpr", action="store_true")
+    p.add_argument("--plugin", default=None)
+    p.add_argument("--plugin-config", default="")
     p.add_argument("--verbose", "-v", default="info")
 
     p = sub.add_parser("dump", help="dump a kmtricks file as text")

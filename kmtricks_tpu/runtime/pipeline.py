@@ -84,6 +84,8 @@ class PipelineOptions:
     bam_require_flags: int = 0
     bam_exclude_flags: int = 0
     bam_excluded_refs: list[str] = field(default_factory=list)
+    plugin: str | None = None       # file.py[:Class] (reference --plugin)
+    plugin_config: str = ""
 
     def bam_filter(self) -> seqio.BamFilter:
         return seqio.BamFilter(self.bam_require_flags,
@@ -223,6 +225,11 @@ def stage_count(kmdir: KmDir, config: Config, repart: Repartition,
             F.write_kmer_file(path, keys, counts, config.kmer_size,
                               config.count_bytes, sample_idx, p,
                               compressed=opts.cpr)
+            if opts.kff:   # KffCountProcessor (count_processor.hpp:158-191)
+                from kmtricks_tpu.io.kff import write_kff_file
+                write_kff_file(
+                    kmdir.get_count_part_path(entry.id, p, False, "kff"),
+                    keys, counts, config.kmer_size, config.count_bytes)
         elif count_mode == "hash":
             path = kmdir.get_count_part_path(entry.id, p, False, "hash")
             F.write_hash_file(path, keys, counts, config.count_bytes,
@@ -306,6 +313,15 @@ def stage_merge(kmdir: KmDir, config: Config, opts: PipelineOptions,
     out_path = kmdir.get_matrix_path(partition, mode, out, cf,
                                      opts.cpr and mode in ("count", "pa"))
     kept = res.keep
+    if opts.plugin:
+        from kmtricks_tpu.runtime.plugin import apply_plugin, load_plugin
+        plugin = load_plugin(opts.plugin, opts.plugin_config)
+        plugin.set_out_dir(kmdir.plugin_storage)
+        plugin.set_kmer_size(0 if cf == "hash" else config.kmer_size)
+        plugin.set_partition(partition)
+        # the plugin verdict REPLACES the recurrence one (merge.hpp:252-257)
+        kept = apply_plugin(plugin, res.keys, res.counts, cf == "hash")
+        res.keep = kept
     keys = res.keys[kept] if len(res.keys) else res.keys
     counts = res.counts[kept] if len(res.counts) else res.counts
     cb = config.count_bytes

@@ -1,0 +1,163 @@
+"""Feature tests: BAM input, plugins, KFF output, device backend, banks."""
+
+import gzip
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+from kmtricks_tpu.io import formats as F
+from kmtricks_tpu.io import sequences as seqio
+from kmtricks_tpu.runtime.pipeline import PipelineOptions, run_pipeline
+
+REF = pathlib.Path("/root/reference")
+GOLDEN_ROWS = {0: 57, 1: 67, 2: 70, 3: 82}
+
+
+@pytest.fixture()
+def ref_data():
+    if not REF.exists():
+        pytest.skip("reference not available")
+    return REF / "tests" / "data"
+
+
+@pytest.fixture()
+def repart_src(tmp_path, ref_data):
+    import shutil
+    d = tmp_path / "repart_src"
+    (d / "repartition").mkdir(parents=True)
+    shutil.copyfile(ref_data / "repart_gatb" / "repartition.minimRepart",
+                    d / "repartition" / "repartition.minimRepart")
+    return str(d)
+
+
+@pytest.fixture()
+def fof_path(tmp_path, ref_data):
+    p = tmp_path / "test.fof"
+    p.write_text(f"D1 : {ref_data}/1.fasta\nD2 : {ref_data}/2.fasta\n")
+    return str(p)
+
+
+# ---------------------------------------------------------------------------
+# BAM (fork addition; reference tests/bam_test.cpp)
+# ---------------------------------------------------------------------------
+
+def test_bam_matches_fasta(ref_data):
+    bam = REF / "test.bam"
+    if not bam.exists():
+        pytest.skip("test.bam not available")
+    assert seqio.sniff_format(str(bam)) == "bam"
+    bam_seqs = [s for _, s in seqio.iter_bam(str(bam))]
+    fa_seqs = [s for _, s in seqio.iter_fasta(str(ref_data / "1.fasta"))]
+    assert bam_seqs == fa_seqs
+
+
+def test_bam_flag_filters(ref_data):
+    bam = REF / "test.bam"
+    if not bam.exists():
+        pytest.skip("test.bam not available")
+    total = len(list(seqio.iter_bam(str(bam))))
+    # 0x4 = unmapped; requiring it should drop mapped reads
+    req = len(list(seqio.iter_bam(
+        str(bam), seqio.BamFilter(require_flags=0x4))))
+    exc = len(list(seqio.iter_bam(
+        str(bam), seqio.BamFilter(exclude_flags=0x4))))
+    assert req + exc == total
+
+
+def test_sniff_formats(tmp_path):
+    fa = tmp_path / "a.fa"
+    fa.write_text(">r1\nACGT\n")
+    fq = tmp_path / "a.fq"
+    fq.write_text("@r1\nACGT\n+\nIIII\n")
+    gz = tmp_path / "a.fa.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(">r1\nACGTACGT\n")
+    assert seqio.sniff_format(str(fa)) == "fasta"
+    assert seqio.sniff_format(str(fq)) == "fastq"
+    assert seqio.sniff_format(str(gz)) == "fasta"
+    assert [s for _, s in seqio.iter_bank(str(gz))] == [b"ACGTACGT"]
+    assert [s for _, s in seqio.iter_bank(str(fq))] == [b"ACGT"]
+
+
+# ---------------------------------------------------------------------------
+# Plugins
+# ---------------------------------------------------------------------------
+
+PLUGIN_SRC = '''
+import numpy as np
+from kmtricks_tpu.runtime.plugin import MergePlugin
+
+class MinAll(MergePlugin):
+    """Keep rows where every sample count >= threshold (basic_ex.cpp)."""
+    def configure(self, s):
+        self.threshold = int(s)
+    def process_kmer(self, kmer_data, counts):
+        return bool((counts >= self.threshold).all())
+'''
+
+
+def test_merge_plugin(tmp_path, fof_path, repart_src):
+    plug = tmp_path / "plug.py"
+    plug.write_text(PLUGIN_SRC)
+    base = dict(fof=fof_path, kmer_size=31, hard_min=1, soft_min="1",
+                repart_from=repart_src, mode="kmer:count:bin")
+    k_ref = run_pipeline(PipelineOptions(
+        run_dir=str(tmp_path / "noplug"), **base))
+    k_plug = run_pipeline(PipelineOptions(
+        run_dir=str(tmp_path / "plug"), plugin=f"{plug}:MinAll",
+        plugin_config="1", **base))
+    total_ref = total_plug = expected = 0
+    for p in range(4):
+        _, mk, mc = F.read_matrix_file(
+            k_ref.get_matrix_path(p, "count", "bin", "kmer", False))
+        _, pk, pc = F.read_matrix_file(
+            k_plug.get_matrix_path(p, "count", "bin", "kmer", False))
+        total_ref += len(mk)
+        total_plug += len(pk)
+        expected += int((mc >= 1).all(axis=1).sum())
+        assert (pc >= 1).all()       # plugin kept only all-present rows
+    assert total_ref == sum(GOLDEN_ROWS.values())
+    assert total_plug == expected    # veto applied row-exactly
+
+
+# ---------------------------------------------------------------------------
+# KFF
+# ---------------------------------------------------------------------------
+
+def test_kff_output(tmp_path, fof_path, repart_src):
+    from kmtricks_tpu.core.kmer import kmers_to_strings
+    from kmtricks_tpu.io.kff import read_kff_file
+
+    kmdir = run_pipeline(PipelineOptions(
+        fof=fof_path, run_dir=str(tmp_path / "kffrun"), kmer_size=31,
+        hard_min=1, repart_from=repart_src, mode="kmer:count:bin",
+        until="count", kff=True))
+    for p in range(4):
+        _, kk, cc = F.read_kmer_file(
+            kmdir.get_count_part_path("D1", p, False, "kmer"))
+        gvars, rows = read_kff_file(
+            kmdir.get_count_part_path("D1", p, False, "kff"))
+        assert gvars["k"] == 31 and gvars["data_size"] == 4
+        assert [r[0] for r in rows] == kmers_to_strings(kk, 31)
+        assert [r[1] for r in rows] == [int(c) for c in cc]
+
+
+# ---------------------------------------------------------------------------
+# Device backend end-to-end parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["kmer:count:bin", "hash:bf:bin"])
+def test_pipeline_device_backend(tmp_path, fof_path, repart_src, mode):
+    base = dict(fof=fof_path, kmer_size=31, hard_min=1, soft_min="1",
+                repart_from=repart_src, mode=mode, bloom_size=1_000_000)
+    kh = run_pipeline(PipelineOptions(
+        run_dir=str(tmp_path / "host"), backend="host", **base))
+    kd = run_pipeline(PipelineOptions(
+        run_dir=str(tmp_path / "dev"), backend="device", **base))
+    cf, m, _ = mode.split(":")
+    for p in range(4):
+        a = open(kh.get_matrix_path(p, m, "bin", cf, False), "rb").read()
+        b = open(kd.get_matrix_path(p, m, "bin", cf, False), "rb").read()
+        assert a == b, f"partition {p}: device != host ({mode})"
