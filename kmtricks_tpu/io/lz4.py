@@ -32,7 +32,16 @@ _LAST_LITERALS = 5  # last 5 bytes: no match may start there
 # ---------------------------------------------------------------------------
 
 def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
-    """Decode one LZ4 block."""
+    """Decode one LZ4 block. Uses the native C++ codec when available."""
+    from kmtricks_tpu import native
+
+    if native.lib() is not None:
+        # without a known size, allocate generously (worst-case ratio 255x)
+        cap = max_size if max_size is not None else max(
+            4096, min(len(src) * 255, len(src) * 4 + (16 << 20)))
+        out = native.lz4_decompress_block(src, cap)
+        if out is not None:
+            return out
     dst = bytearray()
     i = 0
     n = len(src)
@@ -76,7 +85,13 @@ def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
 
 
 def compress_block(src: bytes) -> bytes:
-    """Greedy single-pass LZ4 block compressor (valid, moderate ratio)."""
+    """Greedy single-pass LZ4 block compressor (valid, moderate ratio).
+    Uses the native C++ codec when available (kmtricks_tpu.native)."""
+    from kmtricks_tpu import native
+
+    nat = native.lz4_compress_block(src) if len(src) else None
+    if nat is not None:
+        return nat
     n = len(src)
     if n == 0:
         return b"\x00"
@@ -213,7 +228,8 @@ def decompress(data: bytes) -> bytes:
             i += bsize
             if has_block_checksum:
                 i += 4
-            out += block if uncompressed else decompress_block(block)
+            bmax = _BD_BLOCK_MAX.get((bd >> 4) & 7, 4 << 20)
+            out += block if uncompressed else decompress_block(block, bmax)
         if has_content_checksum:
             i += 4
     return bytes(out)

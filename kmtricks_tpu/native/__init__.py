@@ -1,0 +1,140 @@
+"""Native host codecs (C++ via ctypes) with transparent pure-Python fallback.
+
+``lib()`` returns the loaded shared library, building it with g++ on first
+use (cached under this directory). Callers must handle ``None`` (no
+compiler / build failure) by falling back to the Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "kmtricks_native.cpp")
+_SO = os.path.join(_HERE, "_kmtricks_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def build(force: bool = False) -> str | None:
+    if os.path.exists(_SO) and not force and \
+            os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return _SO
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
+def lib():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        so = build()
+        if so is None:
+            return None
+        L = ctypes.CDLL(so)
+        L.km_xxh32.restype = ctypes.c_uint32
+        L.km_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                               ctypes.c_uint32]
+        L.km_xxh64.restype = ctypes.c_uint64
+        L.km_xxh64.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                               ctypes.c_uint64]
+        L.km_xxh64_batch.restype = None
+        L.km_xxh64_batch.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                     ctypes.c_size_t, ctypes.c_uint64,
+                                     ctypes.c_void_p]
+        L.km_lz4_decompress_block.restype = ctypes.c_int64
+        L.km_lz4_decompress_block.argtypes = [ctypes.c_char_p,
+                                              ctypes.c_size_t,
+                                              ctypes.c_void_p,
+                                              ctypes.c_size_t]
+        L.km_lz4_compress_block.restype = ctypes.c_int64
+        L.km_lz4_compress_block.argtypes = [ctypes.c_char_p,
+                                            ctypes.c_size_t,
+                                            ctypes.c_void_p,
+                                            ctypes.c_size_t]
+        L.km_pack_superkmer.restype = ctypes.c_int64
+        L.km_pack_superkmer.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_void_p]
+        L.km_unpack_superkmer.restype = ctypes.c_int64
+        L.km_unpack_superkmer.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                          ctypes.c_int, ctypes.c_void_p]
+        _lib = L
+        return _lib
+
+
+# -- typed wrappers ---------------------------------------------------------
+
+def xxh64(data: bytes, seed: int = 0) -> int | None:
+    L = lib()
+    if L is None:
+        return None
+    return L.km_xxh64(data, len(data), seed)
+
+
+def xxh64_batch(words: np.ndarray, seed: int = 0) -> np.ndarray | None:
+    L = lib()
+    if L is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint64)
+    w2 = np.atleast_2d(words)
+    out = np.empty(w2.shape[0], dtype=np.uint64)
+    L.km_xxh64_batch(w2.ctypes.data, w2.shape[0], w2.shape[1], seed,
+                     out.ctypes.data)
+    return out
+
+
+def lz4_compress_block(data: bytes) -> bytes | None:
+    L = lib()
+    if L is None:
+        return None
+    cap = len(data) + len(data) // 128 + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = L.km_lz4_compress_block(data, len(data), buf, cap)
+    if n < 0:
+        return None
+    return buf.raw[:n]
+
+
+def lz4_decompress_block(data: bytes, max_size: int) -> bytes | None:
+    L = lib()
+    if L is None:
+        return None
+    buf = ctypes.create_string_buffer(max_size)
+    n = L.km_lz4_decompress_block(data, len(data), buf, max_size)
+    if n < 0:
+        return None    # corrupt OR output larger than max_size
+    return buf.raw[:n]
+
+
+def pack_superkmer(codes: np.ndarray, k: int) -> bytes | None:
+    L = lib()
+    if L is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    total = len(codes)
+    out = ctypes.create_string_buffer((total + 3) // 4 + 1)
+    n = L.km_pack_superkmer(codes.ctypes.data, k, total, out)
+    return out.raw[:n]
+
+
+def unpack_superkmer(data: bytes, k: int, nbk: int) -> np.ndarray | None:
+    L = lib()
+    if L is None:
+        return None
+    total = k + nbk - 1
+    out = np.empty(total, dtype=np.uint8)
+    L.km_unpack_superkmer(data, k, nbk, out.ctypes.data)
+    return out

@@ -1,0 +1,337 @@
+// kmtricks_tpu native host codecs.
+//
+// The reference implements its host-side byte-twiddling (lz4 frame streams,
+// superkmer packing, xxHash) in native code (thirdparty/lz4, xxHash, and the
+// gatb superkmer serializer); this module is the TPU framework's native
+// equivalent, exposed to Python via ctypes (no pybind11 in this image).
+//
+// Contents (all clean-room from the public specs):
+//   * LZ4 block + frame codec (compress/decompress), matching the LZ4 Frame
+//     format v1.6.3 (magic 0x184D2204, FLG/BD, optional content checksum) so
+//     files interoperate with the reference's lz4_stream layers.
+//   * XXH32 / XXH64 (needed for frame header checksums and k-mer hashing).
+//   * Batch superkmer pack/unpack (gatb Model.hpp:1388-1433 byte layout).
+//
+// Build: see build.py (g++ -O3 -march=native -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+#include <initializer_list>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// XXH32 / XXH64 (public algorithm, implemented from the spec)
+// ---------------------------------------------------------------------------
+
+static const uint32_t P32_1 = 2654435761U, P32_2 = 2246822519U,
+                      P32_3 = 3266489917U, P32_4 = 668265263U,
+                      P32_5 = 374761393U;
+
+static inline uint32_t rotl32(uint32_t x, int r) {
+  return (x << r) | (x >> (32 - r));
+}
+
+static inline uint32_t rd32(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+
+static inline uint64_t rd64(const uint8_t* p) {
+  uint64_t v;
+  memcpy(&v, p, 8);
+  return v;
+}
+
+uint32_t km_xxh32(const uint8_t* data, size_t len, uint32_t seed) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + len;
+  uint32_t h;
+  if (len >= 16) {
+    uint32_t v1 = seed + P32_1 + P32_2, v2 = seed + P32_2, v3 = seed,
+             v4 = seed - P32_1;
+    const uint8_t* limit = end - 16;
+    do {
+      v1 = rotl32(v1 + rd32(p) * P32_2, 13) * P32_1; p += 4;
+      v2 = rotl32(v2 + rd32(p) * P32_2, 13) * P32_1; p += 4;
+      v3 = rotl32(v3 + rd32(p) * P32_2, 13) * P32_1; p += 4;
+      v4 = rotl32(v4 + rd32(p) * P32_2, 13) * P32_1; p += 4;
+    } while (p <= limit);
+    h = rotl32(v1, 1) + rotl32(v2, 7) + rotl32(v3, 12) + rotl32(v4, 18);
+  } else {
+    h = seed + P32_5;
+  }
+  h += (uint32_t)len;
+  while (p + 4 <= end) {
+    h = rotl32(h + rd32(p) * P32_3, 17) * P32_4;
+    p += 4;
+  }
+  while (p < end) {
+    h = rotl32(h + (*p) * P32_5, 11) * P32_1;
+    p++;
+  }
+  h ^= h >> 15; h *= P32_2; h ^= h >> 13; h *= P32_3; h ^= h >> 16;
+  return h;
+}
+
+static const uint64_t P64_1 = 11400714785074694791ULL,
+                      P64_2 = 14029467366897019727ULL,
+                      P64_3 = 1609587929392839161ULL,
+                      P64_4 = 9650029242287828579ULL,
+                      P64_5 = 2870177450012600261ULL;
+
+static inline uint64_t rotl64(uint64_t x, int r) {
+  return (x << r) | (x >> (64 - r));
+}
+
+static inline uint64_t round64(uint64_t acc, uint64_t input) {
+  return rotl64(acc + input * P64_2, 31) * P64_1;
+}
+
+uint64_t km_xxh64(const uint8_t* data, size_t len, uint64_t seed) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + len;
+  uint64_t h;
+  if (len >= 32) {
+    uint64_t v1 = seed + P64_1 + P64_2, v2 = seed + P64_2, v3 = seed,
+             v4 = seed - P64_1;
+    const uint8_t* limit = end - 32;
+    do {
+      v1 = round64(v1, rd64(p)); p += 8;
+      v2 = round64(v2, rd64(p)); p += 8;
+      v3 = round64(v3, rd64(p)); p += 8;
+      v4 = round64(v4, rd64(p)); p += 8;
+    } while (p <= limit);
+    h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
+    for (uint64_t v : {v1, v2, v3, v4})
+      h = (h ^ round64(0, v)) * P64_1 + P64_4;
+  } else {
+    h = seed + P64_5;
+  }
+  h += (uint64_t)len;
+  while (p + 8 <= end) {
+    h = rotl64(h ^ round64(0, rd64(p)), 27) * P64_1 + P64_4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    h = rotl64(h ^ (rd32(p) * P64_1), 23) * P64_2 + P64_3;
+    p += 4;
+  }
+  while (p < end) {
+    h = rotl64(h ^ ((*p) * P64_5), 11) * P64_1;
+    p++;
+  }
+  h ^= h >> 33; h *= P64_2; h ^= h >> 29; h *= P64_3; h ^= h >> 32;
+  return h;
+}
+
+// batch: XXH64 over rows of `words` u64 little-endian words
+void km_xxh64_batch(const uint64_t* words, size_t n, size_t slots,
+                    uint64_t seed, uint64_t* out) {
+  for (size_t i = 0; i < n; i++)
+    out[i] = km_xxh64((const uint8_t*)(words + i * slots), slots * 8, seed);
+}
+
+// ---------------------------------------------------------------------------
+// LZ4 block codec (clean-room from the public LZ4 block format spec)
+// ---------------------------------------------------------------------------
+
+// Decompress one block. Returns decompressed size or -1 on error.
+int64_t km_lz4_decompress_block(const uint8_t* src, size_t src_len,
+                                uint8_t* dst, size_t dst_cap) {
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + src_len;
+  uint8_t* op = dst;
+  uint8_t* oend = dst + dst_cap;
+  while (ip < iend) {
+    uint8_t token = *ip++;
+    size_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        lit += b;
+      } while (b == 255);
+    }
+    if (ip + lit > iend || op + lit > oend) return -1;
+    memcpy(op, ip, lit);
+    ip += lit; op += lit;
+    if (ip >= iend) break;          // last literals
+    if (ip + 2 > iend) return -1;
+    size_t offset = ip[0] | (ip[1] << 8);
+    ip += 2;
+    if (offset == 0 || (size_t)(op - dst) < offset) return -1;
+    size_t mlen = (token & 15);
+    if (mlen == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        mlen += b;
+      } while (b == 255);
+    }
+    mlen += 4;
+    if (op + mlen > oend) return -1;
+    const uint8_t* match = op - offset;
+    for (size_t i = 0; i < mlen; i++) op[i] = match[i];   // overlap-safe
+    op += mlen;
+  }
+  return (int64_t)(op - dst);
+}
+
+// Greedy hash-table compressor producing valid LZ4 blocks.
+// Returns compressed size, or -1 if dst too small.
+int64_t km_lz4_compress_block(const uint8_t* src, size_t src_len,
+                              uint8_t* dst, size_t dst_cap) {
+  static const size_t MINMATCH = 4, MFLIMIT = 12, LASTLITERALS = 5;
+  uint8_t* op = dst;
+  uint8_t* oend = dst + dst_cap;
+  const uint8_t* ip = src;
+  const uint8_t* iend = src + src_len;
+  const uint8_t* anchor = src;
+
+  auto write_len = [&](size_t len) -> bool {
+    while (len >= 255) {
+      if (op >= oend) return false;
+      *op++ = 255;
+      len -= 255;
+    }
+    if (op >= oend) return false;
+    *op++ = (uint8_t)len;
+    return true;
+  };
+  auto emit = [&](size_t lit, const uint8_t* litp, size_t mlen,
+                  size_t offset) -> bool {
+    uint8_t* token = op;
+    if (op >= oend) return false;
+    op++;
+    uint8_t t = 0;
+    if (lit >= 15) {
+      t = 15 << 4;
+      if (!write_len(lit - 15)) return false;
+    } else {
+      t = (uint8_t)(lit << 4);
+    }
+    if (op + lit > oend) return false;
+    memcpy(op, litp, lit);
+    op += lit;
+    if (mlen) {
+      if (op + 2 > oend) return false;
+      *op++ = (uint8_t)(offset & 255);
+      *op++ = (uint8_t)(offset >> 8);
+      size_t m = mlen - MINMATCH;
+      if (m >= 15) {
+        t |= 15;
+        if (!write_len(m - 15)) return false;
+      } else {
+        t |= (uint8_t)m;
+      }
+    }
+    *token = t;
+    return true;
+  };
+
+  if (src_len >= MFLIMIT) {
+    const size_t HSIZE = 1 << 16;
+    static thread_local int64_t table[1 << 16];
+    for (size_t i = 0; i < HSIZE; i++) table[i] = -1;
+    const uint8_t* mflimit = iend - MFLIMIT;
+    while (ip <= mflimit) {
+      uint32_t seq = rd32(ip);
+      uint32_t hsh = (seq * 2654435761U) >> 16;
+      int64_t cand = table[hsh];
+      table[hsh] = ip - src;
+      if (cand >= 0 && (size_t)(ip - src) - (size_t)cand <= 65535 &&
+          rd32(src + cand) == seq) {
+        const uint8_t* match = src + cand;
+        const uint8_t* mend = iend - LASTLITERALS;
+        size_t mlen = MINMATCH;
+        while (ip + mlen < mend && ip[mlen] == match[mlen]) mlen++;
+        if (!emit((size_t)(ip - anchor), anchor, mlen,
+                  (size_t)(ip - match)))
+          return -1;
+        ip += mlen;
+        anchor = ip;
+      } else {
+        ip++;
+      }
+    }
+  }
+  if (!emit((size_t)(iend - anchor), anchor, 0, 0)) return -1;
+  return (int64_t)(op - dst);
+}
+
+// ---------------------------------------------------------------------------
+// Superkmer pack/unpack (gatb Model.hpp:1388-1433 layout)
+// ---------------------------------------------------------------------------
+
+// Pack `total` 2-bit codes (k + nbk - 1) for one superkmer.
+// Returns bytes written ( = ceil(total/4) arranged per the gatb layout ).
+int64_t km_pack_superkmer(const uint8_t* codes, int k, int total,
+                          uint8_t* out) {
+  uint8_t* op = out;
+  int i = k - 1;
+  while (i >= 3) {
+    *op++ = (uint8_t)(codes[i] | (codes[i - 1] << 2) | (codes[i - 2] << 4) |
+                      (codes[i - 3] << 6));
+    i -= 4;
+  }
+  int rem = i + 1;
+  uint8_t cur = 0;
+  int uid = rem;
+  for (int t = 0; t < rem; t++) cur |= codes[rem - 1 - t] << (2 * t);
+  for (int j = k; j < total; j++) {
+    if (uid == 4) {
+      *op++ = cur;
+      cur = 0;
+      uid = 0;
+    }
+    cur |= codes[j] << (2 * uid);
+    uid++;
+  }
+  if (uid > 0) *op++ = cur;
+  return (int64_t)(op - out);
+}
+
+int64_t km_unpack_superkmer(const uint8_t* data, int k, int nbk,
+                            uint8_t* codes) {
+  int total = k + nbk - 1;
+  const uint8_t* bp = data;
+  int i = k - 1;
+  for (int f = 0; f < k / 4; f++) {
+    uint8_t b = *bp++;
+    codes[i] = b & 3;
+    codes[i - 1] = (b >> 2) & 3;
+    codes[i - 2] = (b >> 4) & 3;
+    codes[i - 3] = (b >> 6) & 3;
+    i -= 4;
+  }
+  int rem = k % 4;
+  uint8_t cur = 0;
+  int uid;
+  bool have = false;
+  if (rem) {
+    cur = *bp;
+    have = true;
+    for (int t = 0; t < rem; t++) codes[rem - 1 - t] = (cur >> (2 * t)) & 3;
+    uid = rem;
+  } else {
+    uid = 4;
+  }
+  for (int j = k; j < total; j++) {
+    if (uid == 4) {
+      if (have) bp++;
+      cur = *bp;
+      have = true;
+      uid = 0;
+    }
+    codes[j] = (cur >> (2 * uid)) & 3;
+    uid++;
+  }
+  return total;
+}
+
+}  // extern "C"

@@ -2,7 +2,7 @@
 
 Fuses the reference's per-sample counting (gatb/sorting_count.hpp sort+RLE +
 count_processor.hpp hard-min/saturate) with the cross-sample merge + rescue
-(merge.hpp:183-260) into ONE sort + segment-reduce program:
+(merge.hpp:183-260) into ONE sort + segmented-scan program:
 
   sort (partition, key, sample) occurrence tuples
   -> (key, sample) run lengths           = per-sample counts
@@ -12,6 +12,12 @@ count_processor.hpp hard-min/saturate) with the cross-sample merge + rescue
 
 Everything is fixed-shape with validity masks; invalid/padded entries sort to
 the end and never form segments. Compaction happens on host (or downstream).
+
+Performance note: all per-segment quantities are computed with
+``associative_scan``-based segmented scans (log-depth vector passes) —
+TPU scatters (``segment_sum`` with millions of segments) and large gathers
+cost ~10x more than the sort itself, so this kernel avoids them entirely;
+only the tiny per-sample statistics use masked reductions.
 """
 
 from __future__ import annotations
@@ -23,6 +29,43 @@ import jax.numpy as jnp
 
 U32 = jnp.uint32
 I32 = jnp.int32
+
+
+def _seg_run_sum(x, head):
+    """Within-segment inclusive running sum (segments start at head)."""
+    def op(a, b):
+        va, ha = a
+        vb, hb = b
+        return jnp.where(hb, vb, va + vb), ha | hb
+    out, _ = jax.lax.associative_scan(op, (x, head))
+    return out
+
+
+def _seg_last_broadcast(x, head):
+    """Broadcast each segment's LAST value to all of its members."""
+    n = x.shape[0]
+    last = jnp.concatenate([head[1:], jnp.ones((1,), dtype=bool)])
+
+    def op(a, b):
+        va, ha = a
+        vb, hb = b
+        return jnp.where(hb, vb, va), ha | hb
+    out, _ = jax.lax.associative_scan(op, (x, last), reverse=True)
+    return out
+
+
+def _next_boundary(mark, idx, n):
+    """First index strictly greater than i where ``mark`` holds (else n)."""
+    bound = jnp.where(mark, idx, n)
+    nxt = jnp.concatenate([bound[1:], jnp.full((1,), n, dtype=I32)])
+    return jax.lax.associative_scan(jnp.minimum, nxt, reverse=True)
+
+
+def _per_sample(value, samp, nsamp):
+    """Per-sample totals via masked reductions (no scatter)."""
+    v = value.astype(U32)
+    return jnp.stack([jnp.sum(jnp.where(samp == s, v, U32(0)))
+                      for s in range(nsamp)])
 
 
 @partial(jax.jit, static_argnames=("nsamp", "hard_min", "rmin", "save_if",
@@ -38,7 +81,8 @@ def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
     hi/lo : (N,) uint32 64-bit key words (packed canonical k-mer or hash)
     samp : (N,) int32 sample ids in [0, nsamp)
     valid : (N,) bool padding mask
-    amin_vec : (nsamp,) uint32 per-sample soft-min (merge abundance) thresholds
+    amin_vec : (nsamp,) uint32 per-sample soft-min (merge abundance)
+        thresholds
 
     Returns (all length N, sorted by (partition, key, sample), padding last)
     -------
@@ -61,36 +105,42 @@ def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
         dimension=0, num_keys=5)
     valid_s = inv_s == 0
     samp_i = samp_s.astype(I32)
+    idx = jnp.arange(n, dtype=I32)
 
     ones = jnp.ones((n,), dtype=bool)
     key_diff = ones.at[1:].set((part_s[1:] != part_s[:-1])
                                | (hi_s[1:] != hi_s[:-1])
                                | (lo_s[1:] != lo_s[:-1]))
     samp_diff = ones.at[1:].set(samp_s[1:] != samp_s[:-1])
-    occ_head = (key_diff | samp_diff) & valid_s
+    occ_diff = key_diff | samp_diff
+    occ_head = occ_diff & valid_s
     key_head = key_diff & valid_s
 
-    occ_of = jnp.maximum(jnp.cumsum(occ_head.astype(I32)) - 1, 0)
-    row_of_raw = jnp.maximum(jnp.cumsum(key_head.astype(I32)) - 1, 0)
-
-    occ_cnt = jax.ops.segment_sum(valid_s.astype(U32), occ_of, num_segments=n)
-    cnt_raw = occ_cnt[occ_of]                      # per-sample raw count
+    # (key, sample) run length at occ heads: distance to the next
+    # occurrence boundary (next occ head or first invalid entry)
+    nxt_occ = _next_boundary(occ_diff | ~valid_s, idx, n)
+    cnt_raw = jnp.where(occ_head, nxt_occ - idx, 0).astype(U32)
     present = occ_head & (cnt_raw >= hard_min)     # hard-min at count stage
     cnt = jnp.minimum(cnt_raw, U32(count_max))     # saturating store
 
     # A matrix row exists only for keys present (post hard-min) in >= 1
-    # sample — keys entirely below hard-min never reach the reference's
-    # merge inputs. Mark the FIRST present entry of each key as the row head.
+    # sample. Mark the FIRST present entry of each key as the row head.
     excl = jnp.cumsum(present.astype(I32)) - present.astype(I32)
     group_base = jax.lax.cummax(jnp.where(key_head, excl, 0))
     row_head = present & (excl == group_base)
     row_of = jnp.maximum(jnp.cumsum(row_head.astype(I32)) - 1, 0)
 
+    # per-sample soft-min threshold without a gather (nsamp is small)
     amin = jnp.asarray(amin_vec, dtype=U32)
-    solid = present & (cnt >= amin[samp_i])
-    solid_in_row = jax.ops.segment_sum(solid.astype(I32), row_of_raw,
-                                       num_segments=n)
-    solid_in = solid_in_row[row_of_raw]
+    amin_of = jnp.zeros((n,), dtype=U32)
+    for s in range(nsamp):
+        amin_of = jnp.where(samp_i == s, amin[s], amin_of)
+    solid = present & (cnt >= amin_of)
+
+    # per-key solid count: segmented running sum, last value broadcast.
+    # Invalid tail entries merge into the final key segment but contribute 0.
+    run_sum = _seg_run_sum(solid.astype(I32), key_diff)
+    solid_in = _seg_last_broadcast(run_sum, key_diff)
 
     if save_if > 0:
         rescued = present & ~solid & (solid_in >= save_if)
@@ -99,16 +149,14 @@ def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
     final = jnp.where(solid | rescued, cnt, U32(0))
     row_keep = row_head & (solid_in >= rmin)
 
-    def by_sample(v):
-        return jax.ops.segment_sum(v.astype(U32), samp_i, num_segments=nsamp)
-
     stats = jnp.stack([
-        by_sample(present & ~solid),                    # NON_SOLID
-        by_sample(rescued),                             # RESCUED
-        by_sample(solid),                               # UNIQUE_WO_RESCUE
-        by_sample(solid | rescued),                     # UNIQUE_W_RESCUE
-        by_sample(jnp.where(solid, cnt, U32(0))),       # TOTAL_WO_RESCUE
-        by_sample(final),                               # TOTAL_W_RESCUE
+        _per_sample(present & ~solid, samp_i, nsamp),      # NON_SOLID
+        _per_sample(rescued, samp_i, nsamp),               # RESCUED
+        _per_sample(solid, samp_i, nsamp),                 # UNIQUE_WO_RESCUE
+        _per_sample(solid | rescued, samp_i, nsamp),       # UNIQUE_W_RESCUE
+        _per_sample(jnp.where(solid, cnt, U32(0)), samp_i,
+                    nsamp),                                # TOTAL_WO_RESCUE
+        _per_sample(final, samp_i, nsamp),                 # TOTAL_W_RESCUE
     ])
     return (part_s.astype(I32), hi_s, lo_s, samp_i, final,
             present, row_head, row_keep, row_of, stats)

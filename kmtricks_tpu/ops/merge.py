@@ -50,6 +50,9 @@ def merge_flat(key_hi, key_lo, samp, count, valid, amin_vec,
     stats : (6, nsamp) uint32 — NON_SOLID, RESCUED, UNIQ_WO, UNIQ_W,
             TOTAL_WO, TOTAL_W per sample
     """
+    from kmtricks_tpu.ops.count_merge import (
+        _per_sample, _seg_last_broadcast, _seg_run_sum)
+
     n = key_hi.shape[0]
     inv = (~valid).astype(U32)
     inv_s, hi_s, lo_s, samp_s, cnt_s = jax.lax.sort(
@@ -63,10 +66,13 @@ def merge_flat(key_hi, key_lo, samp, count, valid, amin_vec,
     row_of = jnp.cumsum(head.astype(I32)) - 1
 
     amin = jnp.asarray(amin_vec, dtype=U32)
-    solid = valid_s & (cnt_s >= amin[samp_s])
-    solid_in_row = jax.ops.segment_sum(solid.astype(I32), row_of,
-                                       num_segments=n)
-    solid_in = solid_in_row[row_of]
+    amin_of = jnp.zeros((n,), dtype=U32)
+    for s in range(nsamp):
+        amin_of = jnp.where(samp_s == s, amin[s], amin_of)
+    solid = valid_s & (cnt_s >= amin_of)
+    # per-key solid count via segmented scans (no scatter/gather)
+    solid_in = _seg_last_broadcast(_seg_run_sum(solid.astype(I32), diff),
+                                   diff)
 
     if save_if > 0:
         rescued = valid_s & ~solid & (solid_in >= save_if)
@@ -76,16 +82,14 @@ def merge_flat(key_hi, key_lo, samp, count, valid, amin_vec,
     keep = head & (solid_in >= rmin)
 
     # per-sample statistics (merge.hpp:49-100)
-    def by_sample(mask_or_vals):
-        return jax.ops.segment_sum(mask_or_vals.astype(jnp.uint32), samp_s,
-                                   num_segments=nsamp)
     stats = jnp.stack([
-        by_sample(valid_s & ~solid),            # NON_SOLID
-        by_sample(rescued),                     # RESCUED
-        by_sample(solid),                       # UNIQUE_WO_RESCUE
-        by_sample(solid | rescued),             # UNIQUE_W_RESCUE
-        by_sample(jnp.where(solid, cnt_s, U32(0))),       # TOTAL_WO
-        by_sample(final),                                  # TOTAL_W
+        _per_sample(valid_s & ~solid, samp_s, nsamp),     # NON_SOLID
+        _per_sample(rescued, samp_s, nsamp),              # RESCUED
+        _per_sample(solid, samp_s, nsamp),                # UNIQUE_WO_RESCUE
+        _per_sample(solid | rescued, samp_s, nsamp),      # UNIQUE_W_RESCUE
+        _per_sample(jnp.where(solid, cnt_s, U32(0)), samp_s,
+                    nsamp),                               # TOTAL_WO
+        _per_sample(final, samp_s, nsamp),                # TOTAL_W
     ])
     return hi_s, lo_s, samp_s, final, head, keep, row_of, stats
 

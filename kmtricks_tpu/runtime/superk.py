@@ -128,6 +128,11 @@ def pack_superkmer(codes: np.ndarray, k: int) -> bytes:
     """Pack superkmer nucleotide codes (k + nbk - 1 codes) into bytes
     (Model.hpp:1388-1433): first k-mer 4 codes/byte from the END, then k%4
     leftovers, then extensions LSB-first."""
+    from kmtricks_tpu import native
+
+    nat = native.pack_superkmer(codes, k)
+    if nat is not None:
+        return nat
     n = len(codes)
     out = bytearray()
     # full bytes of the first k-mer, starting from its last nt
@@ -154,6 +159,11 @@ def pack_superkmer(codes: np.ndarray, k: int) -> bytes:
 
 def unpack_superkmer(data: bytes, nbk: int, k: int) -> np.ndarray:
     """Inverse of :func:`pack_superkmer` -> (k + nbk - 1,) uint8 codes."""
+    from kmtricks_tpu import native
+
+    nat = native.unpack_superkmer(bytes(data), k, nbk)
+    if nat is not None:
+        return nat
     total = k + nbk - 1
     codes = np.zeros(total, dtype=np.uint8)
     nfull = k // 4
