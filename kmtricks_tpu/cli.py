@@ -204,7 +204,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import logging
+
     args = build_parser().parse_args(argv)
+    level = getattr(args, "verbose", "info")
+    logging.basicConfig(
+        level={"debug": logging.DEBUG, "info": logging.INFO,
+               "warning": logging.WARNING, "error": logging.ERROR
+               }.get(level, logging.INFO),
+        format="[%(asctime)s] [%(levelname)s] %(message)s",
+        datefmt="%H:%M:%S")
 
     if args.cmd == "infos":
         from kmtricks_tpu import build_infos

@@ -32,9 +32,47 @@ def _is_gzip(head: bytes) -> bool:
     return head[:2] == b"\x1f\x8b"
 
 
+def is_album(path: str) -> bool:
+    """Album bank: a text file whose every non-empty line names an existing
+    sequence file (relative lines resolved against the album's directory) —
+    BankAlbum::isAlbumValid (BankAlbum.cpp:124-167)."""
+    import os
+
+    try:
+        with open(path, "rb") as f:
+            raw = f.read(1 << 20)
+        text = raw.decode("ascii")
+    except (UnicodeDecodeError, OSError):
+        return False
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    if not lines:
+        return False
+    base = os.path.dirname(os.path.abspath(path))
+    for ln in lines:
+        p = ln if os.sep in ln else os.path.join(base, ln)
+        if not os.path.exists(p):
+            return False
+    return True
+
+
+def album_paths(path: str) -> list[str]:
+    import os
+
+    base = os.path.dirname(os.path.abspath(path))
+    out = []
+    for ln in open(path):
+        ln = ln.strip()
+        if ln:
+            out.append(ln if os.sep in ln else os.path.join(base, ln))
+    return out
+
+
 def sniff_format(path: str) -> str:
-    """Return 'bam' | 'fasta' | 'fastq'. BAM is checked before FASTA to
-    prevent misdetection (Bank.cpp:49-53)."""
+    """Return 'album' | 'bam' | 'fasta' | 'fastq'. Registration order is
+    album, bam, fasta — BAM before FASTA to prevent misdetection
+    (Bank.cpp:44-60)."""
+    if is_album(path):
+        return "album"
     with open(path, "rb") as f:
         head = f.read(4096)
     if _is_gzip(head):
@@ -181,7 +219,9 @@ def iter_bank(uri: str | list[str], bam_filter: BamFilter | None = None
     for p in paths:
         p = p.strip()
         fmt = sniff_format(p)
-        if fmt == "fasta":
+        if fmt == "album":
+            yield from iter_bank(album_paths(p), bam_filter)
+        elif fmt == "fasta":
             yield from iter_fasta(p)
         elif fmt == "fastq":
             yield from iter_fastq(p)

@@ -31,34 +31,36 @@ U32 = jnp.uint32
 I32 = jnp.int32
 
 
-def _seg_run_sum(x, head):
-    """Within-segment inclusive running sum (segments start at head)."""
-    def op(a, b):
-        va, ha = a
-        vb, hb = b
-        return jnp.where(hb, vb, va + vb), ha | hb
-    out, _ = jax.lax.associative_scan(op, (x, head))
-    return out
-
-
-def _seg_last_broadcast(x, head):
-    """Broadcast each segment's LAST value to all of its members."""
-    n = x.shape[0]
-    last = jnp.concatenate([head[1:], jnp.ones((1,), dtype=bool)])
-
-    def op(a, b):
-        va, ha = a
-        vb, hb = b
-        return jnp.where(hb, vb, va), ha | hb
-    out, _ = jax.lax.associative_scan(op, (x, last), reverse=True)
-    return out
-
-
 def _next_boundary(mark, idx, n):
-    """First index strictly greater than i where ``mark`` holds (else n)."""
+    """First index strictly greater than i where ``mark`` holds (else n).
+
+    Implemented with the native cumulative-min primitive (efficient TPU
+    lowering, unlike generic associative_scan with custom operators)."""
     bound = jnp.where(mark, idx, n)
     nxt = jnp.concatenate([bound[1:], jnp.full((1,), n, dtype=I32)])
-    return jax.lax.associative_scan(jnp.minimum, nxt, reverse=True)
+    return jax.lax.cummin(nxt, reverse=True)
+
+
+def _seg_total(x, head):
+    """Per-segment total of ``x`` broadcast to every member.
+
+    Segments start at ``head`` positions (head[0] must be True). Uses the
+    monotonicity of exclusive prefix sums: the running total at a position's
+    segment START forward-fills with cummax, and the running total at its
+    segment END back-fills with reverse cummin of head-anchored values.
+    Only native cumsum/cummax/cummin primitives — no scatters, gathers or
+    tuple scans.
+    """
+    n = x.shape[0]
+    incl = jnp.cumsum(x.astype(I32))
+    excl = incl - x.astype(I32)
+    start_val = jax.lax.cummax(jnp.where(head, excl, 0))
+    big = incl[-1] + 1
+    anchored = jnp.where(head, excl, big)
+    nxt_val = jnp.concatenate([anchored[1:], jnp.full((1,), big, dtype=I32)])
+    end_val = jax.lax.cummin(nxt_val, reverse=True)
+    end_val = jnp.where(end_val == big, incl[-1], end_val)
+    return end_val - start_val
 
 
 def _per_sample(value, samp, nsamp):
@@ -137,10 +139,9 @@ def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
         amin_of = jnp.where(samp_i == s, amin[s], amin_of)
     solid = present & (cnt >= amin_of)
 
-    # per-key solid count: segmented running sum, last value broadcast.
-    # Invalid tail entries merge into the final key segment but contribute 0.
-    run_sum = _seg_run_sum(solid.astype(I32), key_diff)
-    solid_in = _seg_last_broadcast(run_sum, key_diff)
+    # per-key solid count. Invalid tail entries merge into the final key
+    # segment but contribute 0, so the totals stay correct.
+    solid_in = _seg_total(solid, key_diff)
 
     if save_if > 0:
         rescued = present & ~solid & (solid_in >= save_if)

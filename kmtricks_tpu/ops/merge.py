@@ -50,8 +50,7 @@ def merge_flat(key_hi, key_lo, samp, count, valid, amin_vec,
     stats : (6, nsamp) uint32 — NON_SOLID, RESCUED, UNIQ_WO, UNIQ_W,
             TOTAL_WO, TOTAL_W per sample
     """
-    from kmtricks_tpu.ops.count_merge import (
-        _per_sample, _seg_last_broadcast, _seg_run_sum)
+    from kmtricks_tpu.ops.count_merge import _per_sample, _seg_total
 
     n = key_hi.shape[0]
     inv = (~valid).astype(U32)
@@ -70,9 +69,8 @@ def merge_flat(key_hi, key_lo, samp, count, valid, amin_vec,
     for s in range(nsamp):
         amin_of = jnp.where(samp_s == s, amin[s], amin_of)
     solid = valid_s & (cnt_s >= amin_of)
-    # per-key solid count via segmented scans (no scatter/gather)
-    solid_in = _seg_last_broadcast(_seg_run_sum(solid.astype(I32), diff),
-                                   diff)
+    # per-key solid count via cumulative-primitive segmented totals
+    solid_in = _seg_total(solid, diff)
 
     if save_if > 0:
         rescued = valid_s & ~solid & (solid_in >= save_if)

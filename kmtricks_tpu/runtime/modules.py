@@ -143,6 +143,13 @@ def module_count(run_dir: str, sample_id: str, opts: PipelineOptions,
                 vec, w, sidx, p, compressed=opts.cpr)
     if hist is not None:
         F.write_hist_file(kmdir.get_hist_path(sample_id), hist)
+    if not opts.keep_tmp:
+        # consumed superkmer files are deleted after counting
+        # (task.hpp:436-445 Eraser postprocess, unless --keep-tmp)
+        for p in parts:
+            path = os.path.join(skp_dir, f"skp.{p}")
+            if os.path.exists(path):
+                os.remove(path)
 
 
 def module_merge(run_dir: str, opts: PipelineOptions,

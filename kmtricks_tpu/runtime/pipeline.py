@@ -11,10 +11,13 @@ merge subcommands.
 
 from __future__ import annotations
 
+import logging
 import os
 import random
 import time
 from dataclasses import dataclass, field
+
+log = logging.getLogger("kmtricks_tpu")
 
 import numpy as np
 
@@ -435,7 +438,12 @@ def run_pipeline(opts: PipelineOptions) -> KmDir:
         raise ValueError("bf modes require all partitions")
 
     kmdir, config = stage_config(opts)
+    log.info("config: k=%d m=%d partitions=%d (estimated %d k-mers)",
+             config.kmer_size, config.minim_size, config.nb_partitions,
+             config.kmers_estimated)
     repart = stage_repart(kmdir, config, opts)
+    log.info("repartition ready (%d minimizers -> %d partitions)",
+             repart.nb_minimizers, repart.nb_partitions)
     if opts.until == "repart":
         return _finish(kmdir, t0)
 
@@ -445,10 +453,12 @@ def run_pipeline(opts: PipelineOptions) -> KmDir:
         # provided by the `superk` command (see runtime/superk.py)
         from kmtricks_tpu.runtime.superk import stage_superk
         for s in range(len(kmdir.fof)):
+            log.info("superk [%s]", kmdir.fof.entries[s].id)
             stage_superk(kmdir, config, repart, s, opts)
         return _finish(kmdir, t0)
 
     for s in range(len(kmdir.fof)):
+        log.info("count [%s]", kmdir.fof.entries[s].id)
         stage_count(kmdir, config, repart, s, opts, partitions=partitions)
     if opts.until == "count":
         return _finish(kmdir, t0)
@@ -456,9 +466,11 @@ def run_pipeline(opts: PipelineOptions) -> KmDir:
     amin_vec = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
     for p in (partitions if partitions is not None
               else range(config.nb_partitions)):
+        log.info("merge [partition %d]", p)
         stage_merge(kmdir, config, opts, p, amin_vec)
 
     if mode == "bft":
+        log.info("format: per-sample Bloom filters")
         stage_format(kmdir, config, opts)
     return _finish(kmdir, t0)
 

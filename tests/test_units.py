@@ -1,0 +1,158 @@
+"""Unit tests mirroring the reference's remaining unit suites:
+bit_matrix_test, packc_test, histogram_test, repartition_test, fof parsing,
+album banks (tests/*.cpp of the reference)."""
+
+import numpy as np
+import pytest
+
+from kmtricks_tpu.core.bitmatrix import transpose_bits, transpose_bits_device
+from kmtricks_tpu.core.histogram import KHist, compute_merge_thresholds
+from kmtricks_tpu.core.repartition import Repartition
+from kmtricks_tpu.host.ops import pack_counting_bf
+from kmtricks_tpu.io import formats as F
+from kmtricks_tpu.io.fof import Fof
+
+
+# ---------------------------------------------------------------------------
+# bit matrix transpose (bitmatrix.hpp __sse_trans semantics)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,bits", [(16, 8), (64, 24), (100, 3), (8, 128)])
+def test_transpose_bits(n, bits):
+    rng = np.random.default_rng(0)
+    nb = (bits + 7) // 8
+    rows = rng.integers(0, 256, (n, nb), dtype=np.uint8)
+    t = transpose_bits(rows)
+    n8 = ((n + 7) // 8) * 8
+    assert t.shape == (nb * 8, n8 // 8)
+    a = np.unpackbits(rows, axis=1, bitorder="little")
+    b = np.unpackbits(t, axis=1, bitorder="little")[:, :n]
+    assert (a.T[:, :n] == b[: nb * 8]).all()
+    # double transpose is identity (on the padded grid)
+    tt = transpose_bits(t)
+    assert (tt[:n, :nb] == rows).all()
+
+
+def test_transpose_bits_device_matches_host():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    rows = rng.integers(0, 256, (40, 5), dtype=np.uint8)
+    host = transpose_bits(rows)
+    dev = np.asarray(transpose_bits_device(jnp.asarray(rows)))
+    assert (host == dev).all()
+
+
+# ---------------------------------------------------------------------------
+# counting-BF packing (packc.hpp to_n_b / pack_v)
+# ---------------------------------------------------------------------------
+
+def test_pack_counting_bf():
+    counts = np.array([[0, 1, 2, 3, 4, 7, 8, 255]], dtype=np.uint32)
+    w = 2
+    rows = pack_counting_bf(counts, w)
+    bits = np.unpackbits(rows, axis=1, bitorder="little")[0]
+    # value stored = min(ceil(log2(c+1)), 2^w - 1)
+    exp = [0, 1, 2, 2, 3, 3, 3, 3]
+    got = [int(bits[2 * i] | (bits[2 * i + 1] << 1)) for i in range(8)]
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# histograms (histogram.hpp + hist_file.hpp)
+# ---------------------------------------------------------------------------
+
+def test_histogram_roundtrip(tmp_path):
+    h = KHist(3, 31)
+    h.inc_counts(np.array([1, 1, 2, 300, 5, 255]))
+    assert h.uniq == 6 and h.total == 564
+    assert h.oob_uu == 1 and h.oob_un == 300
+    p = str(tmp_path / "x.hist")
+    F.write_hist_file(p, h)
+    info, hu, hn = F.read_hist_file(p)
+    assert info.kmer_size == 31 and info.id == 3
+    assert hu[0] == 2 and hu[1] == 1 and hu[4] == 1 and hu[254] == 1
+    assert hn[0] == 2 and hn[1] == 2 and hn[254] == 255
+
+
+def test_compute_merge_thresholds(tmp_path):
+    h = KHist(0, 31)
+    h.inc_counts(np.repeat(np.arange(1, 11), [100, 50, 20, 10, 5, 3, 2, 2,
+                                              2, 6]))
+    (thr,) = compute_merge_thresholds([h], 0.9,
+                                      str(tmp_path / "amin.txt"))
+    assert thr > 0
+    assert open(tmp_path / "amin.txt").read() == f"{thr}\n"
+
+
+# ---------------------------------------------------------------------------
+# repartition (repartition.hpp + Repartitor LPT)
+# ---------------------------------------------------------------------------
+
+def test_repartition_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    table = rng.integers(0, 7, 4 ** 5, dtype=np.uint16)
+    r = Repartition(table, 7)
+    p = str(tmp_path / "repartition.minimRepart")
+    r.save(p)
+    r2 = Repartition.load(p)
+    assert r2.nb_partitions == 7
+    assert (r2.table == table).all()
+    assert r.compatible_with(r2)
+
+
+def test_repartition_lpt_balance():
+    rng = np.random.default_rng(3)
+    sizes = rng.integers(0, 1000, 4 ** 5).astype(np.int64)
+    r = Repartition.from_bin_sizes(sizes, 8)
+    loads = np.bincount(r.table, weights=sizes, minlength=8)
+    assert loads.max() <= loads.min() + sizes.max()   # LPT guarantee
+
+
+def test_repartition_static_xxh():
+    r = Repartition.from_xxh(16, 6)
+    assert r.nb_minimizers == 4 ** 6
+    assert set(np.unique(r.table)) <= set(range(16))
+
+
+# ---------------------------------------------------------------------------
+# fof grammar (io/fof.hpp)
+# ---------------------------------------------------------------------------
+
+def test_fof_grammar(tmp_path):
+    p = tmp_path / "x.fof"
+    p.write_text("A1 : f1.fa ; f2.fa ! 3\n\nB-2 : f3.fa\n")
+    fof = Fof.parse(str(p))
+    assert fof.ids() == ["A1", "B-2"]
+    assert fof.get_files("A1") == ["f1.fa", "f2.fa"]
+    assert fof.entries[0].abundance_min == 3
+    assert fof.abundance_mins(2) == [3, 2]
+    assert fof.total() == 3
+
+    bad = tmp_path / "bad.fof"
+    bad.write_text("A1 : f1.fa\nA1 : f2.fa\n")
+    with pytest.raises(IOError):
+        Fof.parse(str(bad))
+    bad2 = tmp_path / "bad2.fof"
+    bad2.write_text("A1 : f1.fa<\n")
+    with pytest.raises(IOError):
+        Fof.parse(str(bad2))
+
+
+# ---------------------------------------------------------------------------
+# album banks (BankAlbum)
+# ---------------------------------------------------------------------------
+
+def test_album_bank(tmp_path):
+    from kmtricks_tpu.io import sequences as seqio
+
+    fa1 = tmp_path / "a.fa"
+    fa1.write_text(">x\nACGT\n")
+    fa2 = tmp_path / "b.fa"
+    fa2.write_text(">y\nTTTT\n")
+    album = tmp_path / "list.txt"
+    album.write_text("a.fa\nb.fa\n")
+    assert seqio.sniff_format(str(album)) == "album"
+    assert seqio.sniff_format(str(fa1)) == "fasta"
+    seqs = [s for _, s in seqio.iter_bank(str(album))]
+    assert seqs == [b"ACGT", b"TTTT"]
