@@ -225,20 +225,32 @@ def masked_mmers(codes: np.ndarray, m: int,
 
 
 def window_minimizers(codes: np.ndarray, k: int, m: int,
-                      canonical_mmers: bool = True) -> np.ndarray:
+                      canonical_mmers: bool = True,
+                      freq_order: np.ndarray | None = None) -> np.ndarray:
     """Minimizer value of every k-mer window (pipeline routing semantics).
 
     Returns (L-k+1,) uint64: min over the k-m+1 masked canonical m-mers of
     each window. Matches GATB computeNewMinimizerOriginal over the effective
     ModelMinimizer<ModelCanonical> (see module docstring).
+
+    With ``freq_order`` (--minimizer-type 1): m-mers compare by sampled
+    frequency rank first, value second (ComparatorMinimizerFrequencyOrLex,
+    Model.hpp:911-976); the masked sentinel 4^m - 1 is pinned to the highest
+    rank (RepartitionAlgorithm.cpp:380).
     """
     masked = masked_mmers(codes, m, canonical_mmers)
     nk = len(codes) - k + 1
     if nk <= 0:
         return np.zeros((0,), dtype=np.uint64)
     per_window = k - m + 1
-    win = np.lib.stride_tricks.sliding_window_view(masked, per_window)[:nk]
-    return win.min(axis=1)
+    if freq_order is None:
+        win = np.lib.stride_tricks.sliding_window_view(masked, per_window)[:nk]
+        return win.min(axis=1)
+    shift = np.uint64(2 * m)
+    ranked = (freq_order[masked.astype(np.int64)].astype(np.uint64)
+              << shift) | masked
+    win = np.lib.stride_tricks.sliding_window_view(ranked, per_window)[:nk]
+    return win.min(axis=1) & np.uint64((1 << (2 * m)) - 1)
 
 
 def minimizer_canonical_value(words: np.ndarray, k: int, m: int) -> np.ndarray:

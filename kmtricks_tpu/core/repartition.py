@@ -53,6 +53,10 @@ class Repartition:
         if magic != MAGIC_GATB_REPART:
             raise IOError("Invalid repartition file format")
         freq = None
+        if has_freq and freq_path is None:
+            import os
+            if os.path.exists(path + ".freq"):
+                freq_path = path + ".freq"
         if has_freq and freq_path:
             with open(freq_path, "rb") as f:
                 freq = np.frombuffer(f.read(4 * nb_minims), dtype=np.uint32)
@@ -100,6 +104,48 @@ class Repartition:
             load, p = heapq.heappop(heap)
             table[order[idx]] = p
             heapq.heappush(heap, (load + int(sizes[idx]), p))
+        return cls(table, nb_partitions)
+
+    @classmethod
+    def from_bin_sizes_lexi(cls, bin_kmers: np.ndarray,
+                            nb_partitions: int) -> "Repartition":
+        """--repartition-type 1 (Repartitor::justGroupLexi,
+        PartiInfo.cpp:187-217): contiguous lexicographic minimizer ranges
+        balanced by sampled k-mer counts; unseen minimizers default to the
+        last partition. (The reference lets its range index overrun by one
+        at the tail — we clamp to nb_partitions - 1.)"""
+        nb_minims = len(bin_kmers)
+        table = np.full(nb_minims, nb_partitions - 1, dtype=np.uint16)
+        mean = int(bin_kmers.sum()) // nb_partitions
+        acc, j = 0, 0
+        for i in range(nb_minims):
+            table[i] = min(j, nb_partitions - 1)
+            acc += int(bin_kmers[i])
+            if acc > mean:
+                acc = 0
+                if j < nb_partitions:
+                    j += 1
+        return cls(table, nb_partitions)
+
+    @classmethod
+    def from_freq_groups(cls, counts: list[tuple[int, int]],
+                         bin_kmers: np.ndarray,
+                         nb_partitions: int) -> "Repartition":
+        """--minimizer-type 1 (Repartitor::justGroup, PartiInfo.cpp:130-185):
+        walk minimizers in ascending frequency order, filling partitions up
+        to the mean sampled k-mer load; unseen minimizers go to the last
+        partition."""
+        nb_minims = len(bin_kmers)
+        table = np.full(nb_minims, nb_partitions - 1, dtype=np.uint16)
+        mean = int(bin_kmers.sum()) // nb_partitions
+        acc, j = 0, 0
+        for _cnt, mmer in counts:
+            table[mmer] = min(j, nb_partitions - 1)
+            acc += int(bin_kmers[mmer])
+            if acc > mean:
+                acc = 0
+                if j < nb_partitions:
+                    j += 1
         return cls(table, nb_partitions)
 
     # -- access -------------------------------------------------------------

@@ -70,6 +70,7 @@ def count_sequences(
     count_max: int = 0xFFFFFFFF,
     hist=None,
     partition_filter=None,
+    freq_order=None,
 ) -> SampleCounts:
     """Count one sample's reads into per-partition sorted tables.
 
@@ -91,7 +92,7 @@ def count_sequences(
         wvalid = kops.window_validity(valid, k)
         if not wvalid.any():
             continue
-        minim = kops.window_minimizers(codes, k, m)
+        minim = kops.window_minimizers(codes, k, m, freq_order=freq_order)
         parts = repart_table[minim[wvalid]]
         fwd = kops.kmers_from_codes(codes, k)[wvalid]
         cano = kops.canonical(fwd, k)

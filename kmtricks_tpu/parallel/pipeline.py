@@ -82,10 +82,24 @@ def _bucket_and_route(hi, lo, samp, part, valid, dest, ndev: int, cap: int,
     return recv[:, 0], recv[:, 1], r_samp, r_part, r_valid, dropped
 
 
+def _use_pallas(encode_impl: str, batch_rows: int) -> bool:
+    # "auto" currently resolves to the jnp encode: the Pallas kernel is
+    # opt-in ("pallas") until it is validated on every target generation.
+    if encode_impl == "pallas":
+        return True
+    return False
+
+
 def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
-                 mode: str, window_bits):
+                 mode: str, window_bits, encode_impl: str = "auto"):
     """Shared encode stage -> flat (hi, lo, samp, part, valid) occurrences."""
-    hi, lo, parts, valid = encode_batch(batch, lengths, repart_table, k, m)
+    if _use_pallas(encode_impl, batch.shape[0]):
+        from kmtricks_tpu.ops.pallas_encode import encode_batch_pallas
+        hi, lo, parts, valid = encode_batch_pallas(
+            batch, lengths, repart_table, k, m)
+    else:
+        hi, lo, parts, valid = encode_batch(batch, lengths, repart_table,
+                                            k, m)
     B, W = hi.shape
     hi, lo = hi.ravel(), lo.ravel()
     parts, valid = parts.ravel(), valid.ravel()
@@ -99,7 +113,8 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                            cap: int, nsamp: int, hard_min: int = 1,
                            rmin: int = 1, save_if: int = 0,
                            mode: str = "kmer", window_bits: int | None = None,
-                           count_max: int = 0xFFFFFFFF):
+                           count_max: int = 0xFFFFFFFF,
+                           encode_impl: str = "auto"):
     """Build the jitted SPMD pipeline step over ``mesh``.
 
     The returned function takes GLOBAL arrays (leading axis divisible by the
@@ -118,7 +133,8 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
 
     def step(batch, lengths, samp, repart_table, amin_vec):
         hi, lo, sampw, parts, valid = _encode_flat(
-            batch, lengths, samp, repart_table, k, m, mode, window_bits)
+            batch, lengths, samp, repart_table, k, m, mode, window_bits,
+            encode_impl)
         dest = dest_table[parts]
         rhi, rlo, rsamp, rpart, rvalid, dropped = _bucket_and_route(
             hi, lo, sampw, parts, valid, dest, ndev, cap, axis)
@@ -143,7 +159,8 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
 def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
                            rmin: int = 1, save_if: int = 0,
                            mode: str = "kmer", window_bits: int | None = None,
-                           count_max: int = 0xFFFFFFFF):
+                           count_max: int = 0xFFFFFFFF,
+                           encode_impl: str = "auto"):
     """Single-device fused forward step (no collectives): encode -> hash ->
     sort -> count+merge. Jittable; used by ``__graft_entry__.entry`` and the
     benchmark."""
@@ -151,7 +168,8 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
 
     def step(batch, lengths, samp, repart_table, amin_vec):
         hi, lo, sampw, parts, valid = _encode_flat(
-            batch, lengths, samp, repart_table, k, m, mode, window_bits)
+            batch, lengths, samp, repart_table, k, m, mode, window_bits,
+            encode_impl)
         return count_merge_flat(
             parts, hi, lo, sampw, valid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,

@@ -128,8 +128,8 @@ def stage_config(opts: PipelineOptions) -> tuple[KmDir, Config]:
 # Stage: repartition
 # ---------------------------------------------------------------------------
 
-def sample_minimizer_bins(kmdir: KmDir, config: Config,
-                          bam_filter=None) -> np.ndarray:
+def sample_minimizer_bins(kmdir: KmDir, config: Config, bam_filter=None,
+                          freq_order=None) -> np.ndarray:
     """Tally sampled k-mers per minimizer (RepartitionAlgorithm.cpp:157-243
     semantics; we tally k-mer windows where the reference tallies kx-mers —
     proportional loads, same LPT result shape; deterministic: first-N
@@ -151,9 +151,43 @@ def sample_minimizer_bins(kmdir: KmDir, config: Config,
             wv = kops.window_validity(valid, k)
             if not wv.any():
                 continue
-            minim = kops.window_minimizers(codes, k, m)[wv]
+            minim = kops.window_minimizers(codes, k, m,
+                                           freq_order=freq_order)[wv]
             np.add.at(bins, minim.astype(np.int64), 1)
     return bins
+
+
+def compute_mmer_frequencies(kmdir: KmDir, config: Config, bam_filter=None):
+    """--minimizer-type 1: sample canonical m-mer frequencies
+    (RepartitorAlgorithm::computeFrequencies / MmersFrequency,
+    RepartitionAlgorithm.cpp:100-151, 300-384). Returns ([(count, mmer)]
+    ascending, freq_order rank table with unseen = 4^m and the top
+    minimizer pinned to rank 4^m - 1)."""
+    from kmtricks_tpu.core import kmer as kops
+
+    m = config.minim_size
+    rg = 4 ** m
+    counts = np.zeros(rg, dtype=np.uint32)
+    cutoff = min(int(0.05 * max(config.seq_number, 1)), 50_000_000) or 1
+    seen = 0
+    for entry in kmdir.fof:
+        for seq in seqio.iter_sequences(entry.paths, bam_filter):
+            if seen >= cutoff:
+                break
+            seen += 1
+            codes, valid = kops.encode_ascii(seq)
+            if len(codes) < m:
+                continue
+            wv = kops.window_validity(valid, m)
+            vals = kops.mmers_from_codes(codes, m)[wv]
+            vals = np.minimum(vals, kops.mmer_revcomp_values(vals, m))
+            np.add.at(counts, vals.astype(np.int64), 1)
+    pairs = sorted((int(c), i) for i, c in enumerate(counts) if c > 0)
+    freq_order = np.full(rg, rg, dtype=np.uint64)
+    for rank, (_c, mmer) in enumerate(pairs):
+        freq_order[mmer] = rank
+    freq_order[rg - 1] = rg - 1
+    return [(c, i) for c, i in pairs], freq_order
 
 
 def stage_repart(kmdir: KmDir, config: Config,
@@ -170,9 +204,23 @@ def stage_repart(kmdir: KmDir, config: Config,
                              f"{rep.nb_minimizers} minimizers)")
     elif opts.static_repart:
         rep = Repartition.from_xxh(config.nb_partitions, config.minim_size)
+    elif config.minim_type == 1:
+        pairs, freq_order = compute_mmer_frequencies(kmdir, config,
+                                                     opts.bam_filter())
+        bins = sample_minimizer_bins(kmdir, config, opts.bam_filter(),
+                                     freq_order)
+        rep = Repartition.from_freq_groups(pairs, bins,
+                                           config.nb_partitions)
+        rep.freq = freq_order.astype(np.uint32)
     else:
         bins = sample_minimizer_bins(kmdir, config, opts.bam_filter())
-        rep = Repartition.from_bin_sizes(bins, config.nb_partitions)
+        if config.repart_type == 1:
+            # computeDistrib is computed then overwritten in the reference
+            # (RepartitionAlgorithm.cpp:483-488) — net effect is lexi only
+            rep = Repartition.from_bin_sizes_lexi(bins,
+                                                  config.nb_partitions)
+        else:
+            rep = Repartition.from_bin_sizes(bins, config.nb_partitions)
     rep.save(kmdir.repart_path)
     if config.minim_size <= 12:   # task.hpp:160-168
         rep.write_minimizers(kmdir.get_minim_paths(config.nb_partitions),
@@ -184,8 +232,9 @@ def stage_repart(kmdir: KmDir, config: Config,
 # Stage: count (one sample)
 # ---------------------------------------------------------------------------
 
-def _count_backend(opts: PipelineOptions, config: Config):
-    if opts.backend == "device" and config.kmer_size <= 32:
+def _count_backend(opts: PipelineOptions, config: Config,
+                   has_freq: bool = False):
+    if opts.backend == "device" and config.kmer_size <= 32 and not has_freq:
         from kmtricks_tpu.ops.pipeline import count_sample_device
         return count_sample_device
     return hops.count_sequences
@@ -209,12 +258,15 @@ def stage_count(kmdir: KmDir, config: Config, repart: Repartition,
 
     hist = KHist(sample_idx, config.kmer_size) if opts.hist else None
     seqs = list(seqio.iter_sequences(entry.paths, opts.bam_filter()))
-    counter = _count_backend(opts, config)
+    freq = (repart.freq.astype(np.uint64)
+            if getattr(repart, "freq", None) is not None else None)
+    counter = _count_backend(opts, config, freq is not None)
+    kwargs = {} if freq is None else {"freq_order": freq}
     sc = counter(seqs, config.kmer_size, config.minim_size,
                  repart.table, hard_min=hard_min,
                  mode="kmer" if count_mode == "kmer" else "hash",
                  window_bits=hw.window_size_bits if hw else None,
-                 count_max=count_max, hist=hist)
+                 count_max=count_max, hist=hist, **kwargs)
 
     parts = partitions if partitions is not None \
         else range(config.nb_partitions)

@@ -297,7 +297,9 @@ def stage_superk(kmdir, config, repart, sample_idx: int, opts,
         if len(codes) < k:
             continue
         wvalid = kops.window_validity(valid, k)
-        minim = kops.window_minimizers(codes, k, m)
+        freq = (repart.freq.astype(np.uint64)
+                if getattr(repart, "freq", None) is not None else None)
+        minim = kops.window_minimizers(codes, k, m, freq_order=freq)
         for start, size, mv in _superkmer_runs(minim, wvalid, maxs):
             p = int(repart.table[mv])
             pinfo.inc_superkmer(mv, size)
