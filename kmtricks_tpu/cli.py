@@ -54,8 +54,10 @@ def _add_common_pipeline(p: argparse.ArgumentParser, merge_opts: bool = True):
     p.add_argument("--static-repart", action="store_true",
                    help="partition = XXH64(minimizer) %% P")
     p.add_argument("--focus", type=float, default=0.5)
-    p.add_argument("--backend", choices=["host", "device"], default="host",
-                   help="compute backend (host numpy / jax device)")
+    p.add_argument("--backend", choices=["host", "device", "mesh"],
+                   default="host",
+                   help="compute backend: host numpy, per-stage jax device, "
+                        "or the fused sharded mesh step")
     p.add_argument("--verbose", "-v", default="info")
     # BAM filters (fork addition)
     p.add_argument("-F", "--bam-exclude-flags", type=int, default=0)

@@ -91,6 +91,8 @@ def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
     part_s, hi_s, lo_s, samp_s : sorted tuples
     final : (N,) uint32 post-hard-min, post-rescue-zeroing counts
             (meaningful at ``present`` positions)
+    cnt : (N,) uint32 saturated pre-zeroing counts at ``present`` positions
+          (what the per-sample .kmer/.hash files would contain)
     present : (N,) bool — (key, sample) run head that survived hard-min
     row_head : (N,) bool — first PRESENT entry of each distinct (part, key);
                keys entirely below hard-min produce no row (they never reach
@@ -159,5 +161,5 @@ def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
                     nsamp),                                # TOTAL_WO_RESCUE
         _per_sample(final, samp_i, nsamp),                 # TOTAL_W_RESCUE
     ])
-    return (part_s.astype(I32), hi_s, lo_s, samp_i, final,
+    return (part_s.astype(I32), hi_s, lo_s, samp_i, final, cnt,
             present, row_head, row_keep, row_of, stats)

@@ -120,7 +120,7 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     The returned function takes GLOBAL arrays (leading axis divisible by the
     mesh size): ``step(batch (B,L) u8, lengths (B,) i32, samp (B,) i32,
     repart_table (4^m,) i32, amin_vec (nsamp,) u32)`` and returns
-    (part, hi, lo, samp, final, present, key_head, row_keep, stats, dropped)
+    (part, hi, lo, samp, final, cnt, present, row_head, row_keep, stats, dropped)
     where the per-occurrence outputs are sharded by device (each device's
     slice covers its own partitions, sorted) and stats/dropped are global.
     """
@@ -138,14 +138,14 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
         dest = dest_table[parts]
         rhi, rlo, rsamp, rpart, rvalid, dropped = _bucket_and_route(
             hi, lo, sampw, parts, valid, dest, ndev, cap, axis)
-        (part_s, hi_s, lo_s, samp_s, final, present, key_head, row_keep,
-         _row_of, stats) = count_merge_flat(
+        (part_s, hi_s, lo_s, samp_s, final, cnt, present, key_head,
+         row_keep, _row_of, stats) = count_merge_flat(
             rpart, rhi, rlo, rsamp, rvalid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,
             count_max=count_max)
         stats = jax.lax.psum(stats, axis)
         dropped = jax.lax.psum(dropped, axis)
-        return (part_s, hi_s, lo_s, samp_s, final, present, key_head,
+        return (part_s, hi_s, lo_s, samp_s, final, cnt, present, key_head,
                 row_keep, stats, dropped)
 
     sh = P(axis)
@@ -153,7 +153,7 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
         in_specs=(sh, sh, sh, rep, rep),
-        out_specs=(sh, sh, sh, sh, sh, sh, sh, sh, rep, rep)))
+        out_specs=(sh, sh, sh, sh, sh, sh, sh, sh, sh, rep, rep)))
 
 
 def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,

@@ -1,0 +1,177 @@
+"""Fused mesh pipeline: reads -> matrices in ONE sharded device program.
+
+The TPU-native execution mode (``--backend mesh``): instead of per-sample
+count files + a later merge (the reference's disk-mediated dataflow), all
+samples' reads are batched, sharded over the device mesh, routed with an
+``all_to_all`` and counted+merged in a single jitted step
+(parallel/pipeline.py). The run directory then receives only the final
+artifacts (matrices, merge_infos, fpr) — no intermediate count files, which
+is why this mode requires ``--until`` all/merge.
+
+The whole occurrence stream must fit one fixed-shape step; the step reports
+dropped occurrences if the per-device capacity is exceeded, in which case we
+raise with sizing advice (the reference's nb_partitions/memory feedback
+loop plays this role, ConfigurationAlgorithm.cpp:398-425).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from kmtricks_tpu.core.hashers import HashWindow
+from kmtricks_tpu.host.ops import MergeResult, MergeStats
+from kmtricks_tpu.io import sequences as seqio
+from kmtricks_tpu.ops import u64 as U
+from kmtricks_tpu.runtime.config import Config
+from kmtricks_tpu.runtime.kmdir import KmDir
+from kmtricks_tpu.runtime.pipeline import (
+    PipelineOptions,
+    parse_mode,
+    resolve_soft_min,
+    write_merge_outputs,
+)
+
+log = logging.getLogger("kmtricks_tpu")
+
+
+def _load_global_batch(kmdir: KmDir, opts: PipelineOptions, k: int,
+                       ndev: int):
+    seqs, samp = [], []
+    for i, entry in enumerate(kmdir.fof):
+        for s in seqio.iter_sequences(entry.paths, opts.bam_filter()):
+            if len(s) >= k:
+                seqs.append(s)
+                samp.append(i)
+    if not seqs:
+        raise ValueError("no sequences")
+    L = max(len(s) for s in seqs)
+    L = ((L + 127) // 128) * 128
+    rows = max(ndev, 8)
+    B = ((len(seqs) + rows - 1) // rows) * rows
+    batch = np.full((B, L), ord("N"), dtype=np.uint8)
+    lengths = np.zeros(B, dtype=np.int32)
+    sarr = np.zeros(B, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        batch[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+        lengths[i] = len(s)
+        sarr[i] = samp[i]
+    return batch, lengths, sarr
+
+
+def stage_mesh_count_merge(kmdir: KmDir, config: Config,
+                           opts: PipelineOptions, repart,
+                           amin_vec: np.ndarray,
+                           n_devices: int | None = None) -> None:
+    import jax.numpy as jnp
+
+    from kmtricks_tpu.parallel.pipeline import (
+        build_sharded_pipeline, make_mesh)
+
+    cf, mode, out = parse_mode(opts.mode)
+    nsamp = len(kmdir.fof)
+    mesh = make_mesh(n_devices)
+    ndev = mesh.shape[mesh.axis_names[0]]
+    batch, lengths, sarr = _load_global_batch(kmdir, opts, config.kmer_size,
+                                              ndev)
+    n_windows = batch.shape[0] * (batch.shape[1] - config.kmer_size + 1)
+    cap = -(-n_windows // ndev)          # worst case: all to one device
+    window_bits = None
+    if cf == "hash":
+        window_bits = HashWindow.load(kmdir.hash_win).window_size_bits
+    count_max = (1 << (8 * config.count_bytes)) - 1
+    # NOTE: per-sample hard-min overrides (fof `! amin`) need per-sample
+    # thresholds; the fused kernel applies one hard_min — enforce equality.
+    hard_mins = set(kmdir.fof.abundance_mins(opts.hard_min))
+    if len(hard_mins) != 1:
+        raise ValueError("--backend mesh does not support per-sample "
+                         "hard-min overrides; use --backend host/device")
+
+    log.info("mesh step: %d reads x %d (windows %d) over %d device(s)",
+             batch.shape[0], batch.shape[1], n_windows, ndev)
+    step = build_sharded_pipeline(
+        mesh, k=config.kmer_size, m=config.minim_size,
+        nb_parts=config.nb_partitions, cap=cap, nsamp=nsamp,
+        hard_min=hard_mins.pop(), rmin=opts.recurrence_min,
+        save_if=opts.share_min, mode=cf, window_bits=window_bits,
+        count_max=count_max)
+    outp = step(jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(sarr),
+                jnp.asarray(repart.table.astype(np.int32)),
+                jnp.asarray(amin_vec, dtype=np.uint32))
+    (part_s, hi_s, lo_s, samp_s, final, cnt, present, row_head, row_keep,
+     stats, dropped) = map(np.asarray, outp)
+    if int(dropped):
+        raise RuntimeError(
+            f"mesh shuffle overflow: {int(dropped)} occurrences dropped — "
+            "increase partitions or use --backend host")
+
+    keys = U.to_u64_np(hi_s, lo_s)
+    present = present.astype(bool)
+    row_head = row_head.astype(bool)
+    for p in range(config.nb_partitions):
+        sel = part_s == p
+        res = _merge_result_for_partition(
+            keys[sel], samp_s[sel], final[sel], cnt[sel], present[sel],
+            row_head[sel], row_keep[sel].astype(bool), nsamp, amin_vec,
+            cf)
+        write_merge_outputs(kmdir, config, opts, p, res)
+
+
+def _merge_result_for_partition(keys, samp, final, cnt, present, row_head,
+                                row_keep, nsamp, amin_vec, cf) -> MergeResult:
+    """Reassemble a host MergeResult (rows + per-partition statistics) from
+    the kernel's flat sorted outputs."""
+    row_of = np.cumsum(row_head) - 1
+    nrows = int(row_of[-1]) + 1 if len(row_of) and row_head.any() else 0
+    ukeys = keys[row_head]
+    mat = np.zeros((nrows, nsamp), dtype=np.uint32)
+    pre = np.zeros((nrows, nsamp), dtype=np.uint32)
+    if nrows:
+        mat[row_of[present], samp[present]] = final[present]
+        pre[row_of[present], samp[present]] = cnt[present]
+    presence = np.zeros((nrows, nsamp), dtype=bool)
+    if nrows:
+        presence[row_of[present], samp[present]] = True
+
+    amin = np.asarray(amin_vec, dtype=np.uint32)[None, :]
+    solid = presence & (pre >= amin)
+    rescued = presence & ~solid & (mat > 0)
+    stats = MergeStats(
+        non_solid=(presence & ~solid).sum(axis=0).astype(np.uint64),
+        rescued=rescued.sum(axis=0).astype(np.uint64),
+        uniq_wo_rescue=solid.sum(axis=0).astype(np.uint64),
+        uniq_w_rescue=(solid | rescued).sum(axis=0).astype(np.uint64),
+        total_wo_rescue=np.where(solid, pre, 0).sum(axis=0).astype(
+            np.uint64),
+        total_w_rescue=mat.astype(np.uint64).sum(axis=0),
+    )
+    return MergeResult(
+        keys=ukeys.reshape(-1, 1) if cf == "kmer" else ukeys,
+        counts=mat, keep=row_keep[row_head], stats=stats)
+
+
+def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
+    """`pipeline --backend mesh` driver: config -> repart -> fused step."""
+    import time
+
+    from kmtricks_tpu.runtime.pipeline import (
+        _finish, stage_config, stage_repart)
+
+    t0 = time.time()
+    if opts.until not in ("merge", "all"):
+        raise ValueError("--backend mesh runs the fused count+merge step; "
+                         "--until repart/superk/count need --backend "
+                         "host/device")
+    kmdir, config = stage_config(opts)
+    repart = stage_repart(kmdir, config, opts)
+    if getattr(repart, "freq", None) is not None:
+        raise ValueError("--backend mesh does not support frequency-ordered "
+                         "minimizers yet")
+    amin_vec = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
+    stage_mesh_count_merge(kmdir, config, opts, repart, amin_vec)
+    cf, mode, _ = parse_mode(opts.mode)
+    if mode == "bft":
+        from kmtricks_tpu.runtime.pipeline import stage_format
+        stage_format(kmdir, config, opts)
+    return _finish(kmdir, t0)

@@ -365,6 +365,16 @@ def stage_merge(kmdir: KmDir, config: Config, opts: PipelineOptions,
     merger = _merge_backend(opts, config, cf)
     res = merger(keys_list, counts_list, amin_vec,
                  opts.recurrence_min, opts.share_min)
+    write_merge_outputs(kmdir, config, opts, partition, res)
+
+
+def write_merge_outputs(kmdir: KmDir, config: Config, opts: PipelineOptions,
+                        partition: int, res) -> None:
+    """Write one partition's merged outputs (matrix / pa / bf / bfc / bft,
+    merge_infos, fpr) from a MergeResult — shared by the file-merge stage
+    and the fused mesh pipeline."""
+    cf, mode, out = parse_mode(opts.mode)
+    nsamp = len(kmdir.fof)
     out_path = kmdir.get_matrix_path(partition, mode, out, cf,
                                      opts.cpr and mode in ("count", "pa"))
     kept = res.keep
@@ -481,6 +491,9 @@ def stage_format(kmdir: KmDir, config: Config, opts: PipelineOptions) -> None:
 # ---------------------------------------------------------------------------
 
 def run_pipeline(opts: PipelineOptions) -> KmDir:
+    if opts.backend == "mesh":
+        from kmtricks_tpu.runtime.device_pipeline import run_mesh_pipeline
+        return run_mesh_pipeline(opts)
     t0 = time.time()
     cf, mode, out = parse_mode(opts.mode)
     if opts.kff and (opts.until != "count" or cf != "kmer"):

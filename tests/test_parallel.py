@@ -77,7 +77,7 @@ def _pad_global(samples, ndev):
 
 
 def _collect_device_rows(out, mode):
-    (part_s, hi_s, lo_s, samp_s, final, present, key_head, row_keep,
+    (part_s, hi_s, lo_s, samp_s, final, _cnt, present, key_head, row_keep,
      stats, dropped) = map(np.asarray, out)
     assert int(dropped) == 0
     keys = U.to_u64_np(hi_s, lo_s)
@@ -154,7 +154,7 @@ def test_single_chip_step_matches_golden(setup):
     out = step(jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(sarr),
                jnp.asarray(repart.table.astype(np.int32)),
                jnp.asarray(amin_vec))
-    (part_s, hi_s, lo_s, samp_s, final, present, key_head, row_keep,
+    (part_s, hi_s, lo_s, samp_s, final, _cnt, present, key_head, row_keep,
      _row_of, stats) = map(np.asarray, out)
     keys = U.to_u64_np(hi_s, lo_s)
 
