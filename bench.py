@@ -51,9 +51,13 @@ def main() -> None:
     repart = Repartition.from_xxh(NB_PARTS, M)
     amin = np.full(NSAMP, 2, dtype=np.uint32)
 
+    # static_repart_parts computes XXH64(minimizer) % P on device —
+    # bit-identical to the from_xxh table, avoiding the 4M-wide table
+    # gather (which costs ~7x the whole encode stage on TPU)
     step = jax.jit(build_single_chip_step(
         k=K, m=M, nsamp=NSAMP, hard_min=2, rmin=1, save_if=2,
-        mode="hash", window_bits=WINDOW_BITS))
+        mode="hash", window_bits=WINDOW_BITS,
+        static_repart_parts=NB_PARTS))
     args = (jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(samp),
             jnp.asarray(repart.table.astype(np.int32)), jnp.asarray(amin))
 

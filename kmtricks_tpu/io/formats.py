@@ -418,6 +418,25 @@ def read_vector_matrix_file(path: str):
     return info, rows.reshape(-1, nbytes(info.bits))
 
 
+def read_vector_matrix_rows(path: str, first_row: int, n_rows: int):
+    """Seek-read a row range of an uncompressed .cmbf — the reference's
+    VectorMatrixReader::read(vec, p) ``seekg(49 + p*window/8)`` query path
+    (vector_matrix_file.hpp)."""
+    with open(path, "rb") as f:
+        compressed, (bits, first, window, sid, part) = _read_header(
+            f, C.MAGIC_BITMATRIX, "<IQQII")
+        info = VectorMatrixFileInfo(bits, sid, part, first, window,
+                                    compressed)
+        nb = nbytes(bits)
+        if compressed:
+            rows = np.frombuffer(lz4.decompress(f.read()),
+                                 dtype=np.uint8).reshape(-1, nb)
+            return info, rows[first_row:first_row + n_rows]
+        f.seek(first_row * nb, 1)
+        data = f.read(n_rows * nb)
+    return info, np.frombuffer(data, dtype=np.uint8).reshape(-1, nb)
+
+
 def read_vector_matrix_payload(path: str):
     """Raw payload variant: needed for transposed (bft) matrices whose row
     width is ROUND_UP(window,8)/8 bytes, not nbytes(header.bits)."""

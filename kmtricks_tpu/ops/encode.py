@@ -92,8 +92,9 @@ def sliding_min(x, w: int):
     return y
 
 
-@partial(jax.jit, static_argnames=("k", "m"))
-def encode_batch(batch, lengths, repart_table, k: int, m: int):
+@partial(jax.jit, static_argnames=("k", "m", "static_parts"))
+def encode_batch(batch, lengths, repart_table, k: int, m: int,
+                 static_parts: int | None = None):
     """Encode a read batch into routed canonical k-mers.
 
     Parameters
@@ -102,6 +103,9 @@ def encode_batch(batch, lengths, repart_table, k: int, m: int):
     lengths : (B,) int32 actual read lengths
     repart_table : (4^m,) int32 minimizer -> partition
     k, m : static sizes (k <= 32, m <= 15)
+    static_parts : if set (= nb_partitions), compute the --static-repart
+        partition XXH64(minimizer) %% P arithmetically instead of the table
+        gather (a 4M-wide gather costs ~7x the whole encode on TPU)
 
     Returns
     -------
@@ -140,5 +144,9 @@ def encode_batch(batch, lengths, repart_table, k: int, m: int):
     masked = jnp.where(mmer_allowed(mc, m), mc, sentinel)
     minim = sliding_min(masked, k - m + 1)
 
-    parts = repart_table[minim.astype(jnp.int32)]
+    if static_parts is not None:
+        from kmtricks_tpu.ops.xxh64 import static_partitions
+        parts = static_partitions(minim, static_parts)
+    else:
+        parts = repart_table[minim.astype(jnp.int32)]
     return cano[0], cano[1], parts.astype(jnp.int32), valid

@@ -88,6 +88,32 @@ def xxh64(words: list, seed: int = 0):
     return _avalanche(h)
 
 
+def xxh64_u32(values, seed: int = 0):
+    """XXH64 of a single little-endian u32 (4-byte input) per lane —
+    the static repartition hash (repartition.hpp:45-56 via xxh64_u32).
+    Returns an (hi, lo) pair."""
+    shape = values.shape
+    dtype = jnp.uint32
+
+    def bc(c):
+        hi, lo = U.const64(c)
+        return (jnp.full(shape, hi, dtype), jnp.full(shape, lo, dtype))
+
+    h = U.add64(bc((seed + P5) & 0xFFFFFFFFFFFFFFFF), bc(4))
+    # 4-byte tail: h ^= input * PRIME64_1; h = rotl(h, 23) * P2 + P3
+    inp = (jnp.zeros_like(values), values.astype(dtype))
+    h = U.xor64(h, U.mul64_const(inp, P1))
+    h = U.add64(U.mul64_const(U.rotl64(h, 23), P2), U.const64(P3))
+    return _avalanche(h)
+
+
+def static_partitions(minim, nb_parts: int):
+    """partition = XXH64(minimizer u32) % nb_parts on device — bit-identical
+    to Repartition.from_xxh's table, with no table gather."""
+    h = xxh64_u32(minim.astype(jnp.uint32))
+    return U.mod_const(h, nb_parts)[1].astype(jnp.int32)
+
+
 def window_hash(words: list, partitions, window_bits: int):
     """The counting hash on device: XXH64(kmer) % window + window * partition.
 

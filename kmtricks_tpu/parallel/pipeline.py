@@ -91,7 +91,8 @@ def _use_pallas(encode_impl: str, batch_rows: int) -> bool:
 
 
 def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
-                 mode: str, window_bits, encode_impl: str = "auto"):
+                 mode: str, window_bits, encode_impl: str = "auto",
+                 static_parts: int | None = None):
     """Shared encode stage -> flat (hi, lo, samp, part, valid) occurrences."""
     if _use_pallas(encode_impl, batch.shape[0]):
         from kmtricks_tpu.ops.pallas_encode import encode_batch_pallas
@@ -99,7 +100,7 @@ def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
             batch, lengths, repart_table, k, m)
     else:
         hi, lo, parts, valid = encode_batch(batch, lengths, repart_table,
-                                            k, m)
+                                            k, m, static_parts=static_parts)
     B, W = hi.shape
     hi, lo = hi.ravel(), lo.ravel()
     parts, valid = parts.ravel(), valid.ravel()
@@ -114,7 +115,8 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                            rmin: int = 1, save_if: int = 0,
                            mode: str = "kmer", window_bits: int | None = None,
                            count_max: int = 0xFFFFFFFF,
-                           encode_impl: str = "auto"):
+                           encode_impl: str = "auto",
+                           static_repart: bool = False):
     """Build the jitted SPMD pipeline step over ``mesh``.
 
     The returned function takes GLOBAL arrays (leading axis divisible by the
@@ -126,7 +128,6 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     """
     (axis,) = mesh.axis_names
     ndev = mesh.shape[axis]
-    dest_table = jnp.asarray(partition_to_device(nb_parts, ndev))
     assert mode in ("kmer", "hash")
     if mode == "hash":
         assert window_bits is not None
@@ -134,8 +135,10 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     def step(batch, lengths, samp, repart_table, amin_vec):
         hi, lo, sampw, parts, valid = _encode_flat(
             batch, lengths, samp, repart_table, k, m, mode, window_bits,
-            encode_impl)
-        dest = dest_table[parts]
+            encode_impl, nb_parts if static_repart else None)
+        # contiguous-block partition->device map, computed arithmetically
+        # (a 4M-wide table gather costs ~10x the whole encode on TPU)
+        dest = (parts * ndev) // nb_parts
         rhi, rlo, rsamp, rpart, rvalid, dropped = _bucket_and_route(
             hi, lo, sampw, parts, valid, dest, ndev, cap, axis)
         (part_s, hi_s, lo_s, samp_s, final, cnt, present, key_head,
@@ -160,7 +163,8 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
                            rmin: int = 1, save_if: int = 0,
                            mode: str = "kmer", window_bits: int | None = None,
                            count_max: int = 0xFFFFFFFF,
-                           encode_impl: str = "auto"):
+                           encode_impl: str = "auto",
+                           static_repart_parts: int | None = None):
     """Single-device fused forward step (no collectives): encode -> hash ->
     sort -> count+merge. Jittable; used by ``__graft_entry__.entry`` and the
     benchmark."""
@@ -169,7 +173,7 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
     def step(batch, lengths, samp, repart_table, amin_vec):
         hi, lo, sampw, parts, valid = _encode_flat(
             batch, lengths, samp, repart_table, k, m, mode, window_bits,
-            encode_impl)
+            encode_impl, static_repart_parts)
         return count_merge_flat(
             parts, hi, lo, sampw, valid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,

@@ -95,7 +95,7 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
         nb_parts=config.nb_partitions, cap=cap, nsamp=nsamp,
         hard_min=hard_mins.pop(), rmin=opts.recurrence_min,
         save_if=opts.share_min, mode=cf, window_bits=window_bits,
-        count_max=count_max)
+        count_max=count_max, static_repart=opts.static_repart)
     outp = step(jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(sarr),
                 jnp.asarray(repart.table.astype(np.int32)),
                 jnp.asarray(amin_vec, dtype=np.uint32))
