@@ -64,10 +64,14 @@ def _seg_total(x, head):
 
 
 def _per_sample(value, samp, nsamp):
-    """Per-sample totals via masked reductions (no scatter)."""
+    """Per-sample totals. Masked reductions (no scatter) for small sample
+    counts; segment_sum (tiny output, acceptable scatter) beyond that to
+    bound compile size."""
     v = value.astype(U32)
-    return jnp.stack([jnp.sum(jnp.where(samp == s, v, U32(0)))
-                      for s in range(nsamp)])
+    if nsamp <= 16:
+        return jnp.stack([jnp.sum(jnp.where(samp == s, v, U32(0)))
+                          for s in range(nsamp)])
+    return jax.ops.segment_sum(v, samp, num_segments=nsamp)
 
 
 @partial(jax.jit, static_argnames=("nsamp", "hard_min", "rmin", "save_if",
@@ -134,11 +138,13 @@ def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
     row_head = present & (excl == group_base)
     row_of = jnp.maximum(jnp.cumsum(row_head.astype(I32)) - 1, 0)
 
-    # per-sample soft-min threshold without a gather (nsamp is small)
     amin = jnp.asarray(amin_vec, dtype=U32)
-    amin_of = jnp.zeros((n,), dtype=U32)
-    for s in range(nsamp):
-        amin_of = jnp.where(samp_i == s, amin[s], amin_of)
+    if nsamp <= 16:   # select chain beats a wide gather for few samples
+        amin_of = jnp.zeros((n,), dtype=U32)
+        for s in range(nsamp):
+            amin_of = jnp.where(samp_i == s, amin[s], amin_of)
+    else:
+        amin_of = amin[samp_i]
     solid = present & (cnt >= amin_of)
 
     # per-key solid count. Invalid tail entries merge into the final key

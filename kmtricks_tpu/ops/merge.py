@@ -65,9 +65,12 @@ def merge_flat(key_hi, key_lo, samp, count, valid, amin_vec,
     row_of = jnp.cumsum(head.astype(I32)) - 1
 
     amin = jnp.asarray(amin_vec, dtype=U32)
-    amin_of = jnp.zeros((n,), dtype=U32)
-    for s in range(nsamp):
-        amin_of = jnp.where(samp_s == s, amin[s], amin_of)
+    if nsamp <= 16:
+        amin_of = jnp.zeros((n,), dtype=U32)
+        for s in range(nsamp):
+            amin_of = jnp.where(samp_s == s, amin[s], amin_of)
+    else:
+        amin_of = amin[samp_s]
     solid = valid_s & (cnt_s >= amin_of)
     # per-key solid count via cumulative-primitive segmented totals
     solid_in = _seg_total(solid, diff)

@@ -163,6 +163,9 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
         raise ValueError("--backend mesh runs the fused count+merge step; "
                          "--until repart/superk/count need --backend "
                          "host/device")
+    if opts.kmer_size > 32:
+        raise ValueError("--backend mesh supports k <= 32 (u32-pair device "
+                         "keys); use --backend host for larger k")
     kmdir, config = stage_config(opts)
     repart = stage_repart(kmdir, config, opts)
     if getattr(repart, "freq", None) is not None:

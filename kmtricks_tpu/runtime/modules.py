@@ -99,6 +99,10 @@ def module_count(run_dir: str, sample_id: str, opts: PipelineOptions,
     kmdir, config, rep = load_run(run_dir)
     sidx = kmdir.fof.get_i(sample_id)
     cf = count_mode or opts.mode.split(":")[0]
+    if cf == "kff-sk":
+        raise NotImplementedError(
+            "count --mode kff-sk (superkmer KFF sections) is not supported; "
+            "use --mode kff for counted k-mers in KFF")
     skp_dir = kmdir.get_superk_path(sample_id)
     have_skp = os.path.exists(os.path.join(skp_dir, "skp.0")) or any(
         f.startswith("skp.") for f in (os.listdir(skp_dir)
@@ -128,6 +132,11 @@ def module_count(run_dir: str, sample_id: str, opts: PipelineOptions,
                 kmdir.get_count_part_path(sample_id, p, opts.cpr, "kmer"),
                 keys, counts, config.kmer_size, config.count_bytes,
                 sidx, p, compressed=opts.cpr)
+        elif cf == "kff":
+            from kmtricks_tpu.io.kff import write_kff_file
+            write_kff_file(
+                kmdir.get_count_part_path(sample_id, p, False, "kff"),
+                keys, counts, config.kmer_size, config.count_bytes)
         elif cf == "hash":
             F.write_hash_file(
                 kmdir.get_count_part_path(sample_id, p, False, "hash"),

@@ -247,12 +247,14 @@ def stage_count(kmdir: KmDir, config: Config, repart: Repartition,
     """Count one sample into per-partition files.
 
     count_mode: "kmer" -> .kmer files, "hash" -> .hash files,
-    "vector" -> dense per-partition window bit vectors (.vector).
+    "vector" -> dense per-partition window bit vectors (.vector),
+    "kff" -> counted k-mers in KFF format only (KffCountProcessor).
     """
     entry = kmdir.fof.entries[sample_idx]
     cf, _, _ = parse_mode(opts.mode)
     count_mode = count_mode or cf
-    hw = HashWindow.load(kmdir.hash_win) if count_mode != "kmer" else None
+    hw = (HashWindow.load(kmdir.hash_win)
+          if count_mode in ("hash", "vector") else None)
     hard_min = entry.abundance_min or opts.hard_min
     count_max = (1 << (8 * config.count_bytes)) - 1
 
@@ -264,7 +266,7 @@ def stage_count(kmdir: KmDir, config: Config, repart: Repartition,
     kwargs = {} if freq is None else {"freq_order": freq}
     sc = counter(seqs, config.kmer_size, config.minim_size,
                  repart.table, hard_min=hard_min,
-                 mode="kmer" if count_mode == "kmer" else "hash",
+                 mode="kmer" if count_mode in ("kmer", "kff") else "hash",
                  window_bits=hw.window_size_bits if hw else None,
                  count_max=count_max, hist=hist, **kwargs)
 
@@ -289,6 +291,11 @@ def stage_count(kmdir: KmDir, config: Config, repart: Repartition,
             path = kmdir.get_count_part_path(entry.id, p, False, "hash")
             F.write_hash_file(path, keys, counts, config.count_bytes,
                               sample_idx, p)
+        elif count_mode == "kff":
+            from kmtricks_tpu.io.kff import write_kff_file
+            write_kff_file(
+                kmdir.get_count_part_path(entry.id, p, False, "kff"),
+                keys, counts, config.kmer_size, config.count_bytes)
         elif count_mode == "vector":
             w = hw.window_size_bits
             vec = np.zeros(F.nbytes(w), dtype=np.uint8)
