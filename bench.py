@@ -65,14 +65,14 @@ def main() -> None:
     # device tunnel — fetch a small output (the 6 x nsamp stats block) to
     # force completion. Steps serialize on-device, so dispatching all
     # iterations and fetching once amortizes the tunnel round trip.
-    np.asarray(step(*args)[10])                  # compile + warm
-    np.asarray(step(*args)[10])
+    np.asarray(step(*args)[-1])                  # compile + warm
+    np.asarray(step(*args)[-1])
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(*args)
-    np.asarray(out[10])
+    np.asarray(out[-1])
     dt = (time.perf_counter() - t0) / iters
 
     kmers_per_step = B * (L - K + 1)

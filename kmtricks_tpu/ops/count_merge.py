@@ -76,15 +76,17 @@ def _per_sample(value, samp, nsamp):
 
 @partial(jax.jit, static_argnames=("nsamp", "hard_min", "rmin", "save_if",
                                    "count_max"))
-def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
+def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
                      hard_min: int, rmin: int, save_if: int,
                      count_max: int = 0xFFFFFFFF):
-    """Count and merge raw occurrences in one pass.
+    """Count and merge raw occurrences in one pass — variable key width.
 
     Parameters
     ----------
     part : (N,) int32 partition id of each occurrence
-    hi/lo : (N,) uint32 64-bit key words (packed canonical k-mer or hash)
+    keys : tuple of (N,) uint32 key words, MOST significant first (a packed
+        canonical k-mer — 2 words for k <= 32, 4 for k <= 64 — or a window
+        hash)
     samp : (N,) int32 sample ids in [0, nsamp)
     valid : (N,) bool padding mask
     amin_vec : (nsamp,) uint32 per-sample soft-min (merge abundance)
@@ -92,7 +94,7 @@ def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
 
     Returns (all length N, sorted by (partition, key, sample), padding last)
     -------
-    part_s, hi_s, lo_s, samp_s : sorted tuples
+    part_s : (N,) int32; keys_s : tuple like ``keys``; samp_s : (N,) int32
     final : (N,) uint32 post-hard-min, post-rescue-zeroing counts
             (meaningful at ``present`` positions)
     cnt : (N,) uint32 saturated pre-zeroing counts at ``present`` positions
@@ -106,19 +108,24 @@ def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
     stats : (6, nsamp) uint32 — NON_SOLID, RESCUED, UNIQUE_WO_RESCUE,
             UNIQUE_W_RESCUE, TOTAL_WO_RESCUE, TOTAL_W_RESCUE
     """
-    n = hi.shape[0]
+    n = keys[0].shape[0]
+    nw = len(keys)
     inv = (~valid).astype(U32)
-    inv_s, part_s, hi_s, lo_s, samp_s = jax.lax.sort(
-        (inv, part.astype(U32), hi, lo, samp.astype(U32)),
-        dimension=0, num_keys=5)
+    sorted_ops = jax.lax.sort(
+        (inv, part.astype(U32)) + tuple(keys) + (samp.astype(U32),),
+        dimension=0, num_keys=3 + nw)
+    inv_s, part_s = sorted_ops[0], sorted_ops[1]
+    keys_s = sorted_ops[2:2 + nw]
+    samp_s = sorted_ops[2 + nw]
     valid_s = inv_s == 0
     samp_i = samp_s.astype(I32)
     idx = jnp.arange(n, dtype=I32)
 
     ones = jnp.ones((n,), dtype=bool)
-    key_diff = ones.at[1:].set((part_s[1:] != part_s[:-1])
-                               | (hi_s[1:] != hi_s[:-1])
-                               | (lo_s[1:] != lo_s[:-1]))
+    kd = part_s[1:] != part_s[:-1]
+    for w in keys_s:
+        kd = kd | (w[1:] != w[:-1])
+    key_diff = ones.at[1:].set(kd)
     samp_diff = ones.at[1:].set(samp_s[1:] != samp_s[:-1])
     occ_diff = key_diff | samp_diff
     occ_head = occ_diff & valid_s
@@ -167,5 +174,18 @@ def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
                     nsamp),                                # TOTAL_WO_RESCUE
         _per_sample(final, samp_i, nsamp),                 # TOTAL_W_RESCUE
     ])
-    return (part_s.astype(I32), hi_s, lo_s, samp_i, final, cnt,
+    return (part_s.astype(I32), keys_s, samp_i, final, cnt,
+            present, row_head, row_keep, row_of, stats)
+
+
+def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
+                     hard_min: int, rmin: int, save_if: int,
+                     count_max: int = 0xFFFFFFFF):
+    """Two-word (k <= 32 / window hash) convenience wrapper around
+    :func:`count_merge_keys` preserving the original flat signature."""
+    (part_s, keys_s, samp_i, final, cnt, present, row_head, row_keep,
+     row_of, stats) = count_merge_keys(
+        part, (hi, lo), samp, valid, amin_vec, nsamp=nsamp,
+        hard_min=hard_min, rmin=rmin, save_if=save_if, count_max=count_max)
+    return (part_s, keys_s[0], keys_s[1], samp_i, final, cnt,
             present, row_head, row_keep, row_of, stats)

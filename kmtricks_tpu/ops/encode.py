@@ -150,3 +150,92 @@ def encode_batch(batch, lengths, repart_table, k: int, m: int,
     else:
         parts = repart_table[minim.astype(jnp.int32)]
     return cano[0], cano[1], parts.astype(jnp.int32), valid
+
+
+# ---------------------------------------------------------------------------
+# Wide keys: 32 < k <= 64 (4 x uint32 words)
+# ---------------------------------------------------------------------------
+
+def _shl2_words(words):
+    """Shift a lsb-first u32 word list left by one 2-bit code."""
+    out = []
+    for i, w in enumerate(words):
+        v = w << U32(2)
+        if i > 0:
+            v = v | (words[i - 1] >> U32(30))
+        out.append(v)
+    return out
+
+
+def _shr_words(words, s: int):
+    """Static logical right shift of a lsb-first u32 word list by s bits."""
+    nw = len(words)
+    ws, bs = divmod(s, 32)
+    out = []
+    for i in range(nw):
+        src = words[i + ws] if i + ws < nw else None
+        if src is None:
+            out.append(jnp.zeros_like(words[0]))
+            continue
+        v = src >> U32(bs) if bs else src
+        if bs and i + ws + 1 < nw:
+            v = v | (words[i + ws + 1] << U32(32 - bs))
+        out.append(v)
+    return out
+
+
+def _lt_words(a, b):
+    """Lexicographic a < b over lsb-first word lists."""
+    lt = jnp.zeros_like(a[0], dtype=bool)
+    for x, y in zip(a, b):   # least significant first: later words override
+        lt = jnp.where(x != y, x < y, lt)
+    return lt
+
+
+@partial(jax.jit, static_argnames=("k", "m", "static_parts"))
+def encode_batch_wide(batch, lengths, repart_table, k: int, m: int,
+                      static_parts: int | None = None):
+    """Encode for 32 < k <= 64: canonical k-mers as 4 lsb-first u32 words
+    (= 2 little-endian u64 words, the reference's Kmer<64> storage,
+    kmer.hpp:909-1172). Same routing semantics as :func:`encode_batch`."""
+    assert 32 < k <= 64
+    B, L = batch.shape
+    W = L - k + 1
+    Wm = L - m + 1
+    codes, char_valid = ascii_to_codes(batch)
+
+    bad = (~char_valid).astype(jnp.int32)
+    cs = jnp.cumsum(bad, axis=1)
+    csz = jnp.pad(cs, ((0, 0), (1, 0)))
+    win_clean = (csz[:, k:] - csz[:, :-k]) == 0
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    valid = win_clean & (pos + k <= lengths[:, None])
+
+    fwd = [jnp.zeros((B, W), dtype=U32) for _ in range(4)]
+    for j in range(k):
+        fwd = _shl2_words(fwd)
+        fwd[0] = fwd[0] | jax.lax.dynamic_slice_in_dim(codes, j, W, axis=1)
+    # revcomp: reverse 2-bit groups of the 128-bit storage, complement,
+    # realign right by 2*(64 - k) (kmer.hpp rev_comp semantics)
+    rc = [_rev2bit32(fwd[3 - i]) ^ U32(0xAAAAAAAA) for i in range(4)]
+    rc = _shr_words(rc, 2 * (64 - k))
+    take_rc = _lt_words(rc, fwd)
+    cano = tuple(jnp.where(take_rc, r, f) for r, f in zip(rc, fwd))
+
+    mv = jnp.zeros((B, Wm), dtype=U32)
+    for j in range(m):
+        mv = (mv << U32(2)) | jax.lax.dynamic_slice_in_dim(codes, j, Wm,
+                                                           axis=1)
+    mc = mmer_canonical(mv, m)
+    sentinel = U32((1 << (2 * m)) - 1)
+    masked = jnp.where(mmer_allowed(mc, m), mc, sentinel)
+    minim = sliding_min(masked, k - m + 1)
+
+    if static_parts is not None:
+        from kmtricks_tpu.ops.xxh64 import static_partitions
+        parts = static_partitions(minim, static_parts)
+    else:
+        parts = repart_table[minim.astype(jnp.int32)]
+    # msb-first word order for sorting (keys[0] most significant)
+    return ((cano[3], cano[2], cano[1], cano[0]), parts.astype(jnp.int32),
+            valid)

@@ -1,12 +1,14 @@
 """Single-chip device pipeline driver: reads -> per-partition count tables.
 
-Host code pads reads into fixed-shape batches, runs the jitted encode+count
-kernels, and compacts the masked results into numpy per-partition tables
-identical to the host golden path (and therefore to the reference).
+Host code pads reads into fixed-shape batches, runs the jitted
+encode+count kernels, and compacts the masked results into numpy
+per-partition tables identical to the host golden path (and therefore to
+the reference).
 
-Shapes are bucketed (lengths and window counts round up to multiples of
-BUCKET) so recompilation is bounded: distinct (L, N) buckets, not distinct
-inputs, trigger compiles.
+Shapes are bucketed (lengths round up to multiples of BUCKET) so
+recompilation is bounded: distinct (L, N) buckets, not distinct inputs,
+trigger compiles. k <= 64 on this path (2- or 4-word u32 keys); larger k
+runs on the host path.
 """
 
 from __future__ import annotations
@@ -16,8 +18,9 @@ import jax.numpy as jnp
 
 from kmtricks_tpu.host.ops import SampleCounts
 from kmtricks_tpu.ops import u64 as U
-from kmtricks_tpu.ops.count import count_hashes, count_kmers
-from kmtricks_tpu.ops.encode import encode_batch
+from kmtricks_tpu.ops.count_merge import count_merge_keys
+from kmtricks_tpu.ops.encode import encode_batch, encode_batch_wide
+from kmtricks_tpu.ops.xxh64 import window_hash
 
 BUCKET = 128
 
@@ -56,8 +59,8 @@ def count_sample_device(
     count_max: int = 0xFFFFFFFF,
     hist=None,
 ) -> SampleCounts:
-    """Device-path equivalent of host.ops.count_sequences (k <= 32)."""
-    assert k <= 32, "device path supports k <= 32; use the host path beyond"
+    """Device-path equivalent of host.ops.count_sequences (k <= 64)."""
+    assert k <= 64, "device path supports k <= 64; use the host path beyond"
     nb_parts = int(repart_table.max()) + 1 if len(repart_table) else 1
     table_dev = jnp.asarray(repart_table.astype(np.int32))
 
@@ -66,39 +69,57 @@ def count_sample_device(
     if batch.shape[0] == 0:
         return out
 
-    hi, lo, parts, valid = encode_batch(
-        jnp.asarray(batch), jnp.asarray(lengths), table_dev, k, m)
-    hi, lo = hi.ravel(), lo.ravel()
-    parts, valid = parts.ravel(), valid.ravel()
-
-    if mode == "kmer":
-        hi_s, lo_s, parts_s, head, counts = count_kmers(hi, lo, parts, valid)
-        hi_s, lo_s = np.asarray(hi_s), np.asarray(lo_s)
-        parts_s = np.asarray(parts_s)
-        head, counts = np.asarray(head), np.asarray(counts)
-        keys = U.to_u64_np(hi_s[head], lo_s[head]).reshape(-1, 1)
-        kparts = parts_s[head]
-        cnt = counts[head]
+    bj, lj = jnp.asarray(batch), jnp.asarray(lengths)
+    if k <= 32:
+        hi, lo, parts, valid = encode_batch(bj, lj, table_dev, k, m)
+        keys = (hi, lo)
     else:
+        keys, parts, valid = encode_batch_wide(bj, lj, table_dev, k, m)
+    keys = tuple(w.ravel() for w in keys)
+    parts, valid = parts.ravel(), valid.ravel()
+    if mode == "hash":
         assert window_bits is not None
-        hh, hl, head, counts = count_hashes(hi, lo, parts, valid, window_bits)
-        head, counts = np.asarray(head), np.asarray(counts)
-        keys = U.to_u64_np(np.asarray(hh)[head], np.asarray(hl)[head])
-        kparts = (keys // np.uint64(window_bits)).astype(np.int64)
-        keys = keys.reshape(-1, 1)
-        cnt = counts[head]
+        if len(keys) == 2:
+            words = [(keys[0], keys[1])]
+        else:
+            words = [(keys[2], keys[3]), (keys[0], keys[1])]
+        keys = window_hash(words, parts, window_bits)
 
+    zeros = jnp.zeros_like(parts)
+    (part_s, keys_s, _samp, _final, cnt, present, _rh, _rk, _ro,
+     _stats) = count_merge_keys(
+        parts, keys, zeros, valid, jnp.ones(1, dtype=jnp.uint32),
+        nsamp=1, hard_min=1, rmin=1, save_if=0)
+
+    part_s = np.asarray(part_s)
+    present = np.asarray(present).astype(bool)
+    cnt = np.asarray(cnt)
+    words = [np.asarray(w) for w in keys_s]
+    if mode == "hash":
+        h = U.to_u64_np(words[0], words[1])
+        kparts = (h // np.uint64(window_bits)).astype(np.int64)
+        keys_np = h.reshape(-1, 1)
+    else:
+        kparts = part_s.astype(np.int64)
+        if len(words) == 2:
+            keys_np = U.to_u64_np(words[0], words[1]).reshape(-1, 1)
+        else:   # msb-first -> (N, 2) little-endian u64 rows
+            keys_np = np.stack([U.to_u64_np(words[2], words[3]),
+                                U.to_u64_np(words[0], words[1])], axis=1)
+
+    keys_np, kparts, counts = keys_np[present], kparts[present], cnt[present]
     if hist is not None:
-        # per-partition tallies; reference histograms are per sample
-        hist.inc_counts(cnt)
-    cnt = cnt.astype(np.uint64)
-    solid = cnt >= hard_min
-    keys, kparts = keys[solid], kparts[solid]
-    cnt = np.minimum(cnt[solid], np.uint64(count_max)).astype(np.uint32)
-    out.n_kmers_total = int(head.sum())
+        hist.inc_counts(counts)
+    out.n_kmers_total = int(present.sum())
+    counts = counts.astype(np.uint64)
+    solid = counts >= hard_min
+    keys_np, kparts = keys_np[solid], kparts[solid]
+    counts = np.minimum(counts[solid], np.uint64(count_max)).astype(
+        np.uint32)
 
     for p in range(nb_parts):
         sel = kparts == p
-        pk = keys[sel]
-        out.partitions[p] = (pk if mode == "kmer" else pk.ravel(), cnt[sel])
+        pk = keys_np[sel]
+        out.partitions[p] = (pk if mode == "kmer" else pk.ravel(),
+                             counts[sel])
     return out

@@ -27,8 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from kmtricks_tpu.ops.count_merge import count_merge_flat
-from kmtricks_tpu.ops.encode import encode_batch
+from kmtricks_tpu.ops.count_merge import count_merge_keys
+from kmtricks_tpu.ops.encode import encode_batch, encode_batch_wide
 from kmtricks_tpu.ops.xxh64 import window_hash
 
 U32 = jnp.uint32
@@ -49,14 +49,16 @@ def partition_to_device(nb_parts: int, ndev: int) -> np.ndarray:
         np.int32)
 
 
-def _bucket_and_route(hi, lo, samp, part, valid, dest, ndev: int, cap: int,
+def _bucket_and_route(keys, samp, part, valid, dest, ndev: int, cap: int,
                       axis: str):
     """Scatter occurrences into per-destination fixed slots and all_to_all.
 
-    Returns received (hi, lo, samp, part, valid) flat arrays of length
-    ndev*cap plus the local dropped-occurrence count.
+    ``keys`` is a tuple of u32 word arrays (msb-first). Returns received
+    (keys, samp, part, valid) flat arrays of length ndev*cap plus the local
+    dropped-occurrence count.
     """
-    n = hi.shape[0]
+    n = keys[0].shape[0]
+    nw = len(keys)
     group = jnp.where(valid, dest, ndev)
     order = jnp.argsort(group, stable=True)
     group_s = group[order]
@@ -67,19 +69,20 @@ def _bucket_and_route(hi, lo, samp, part, valid, dest, ndev: int, cap: int,
     slot = jnp.where(in_range, group_s * cap + pos, ndev * cap)
     dropped = jnp.sum((group_s < ndev) & (pos >= cap))
 
-    payload = jnp.stack([hi, lo, samp.astype(U32), part.astype(U32)],
+    payload = jnp.stack(list(keys) + [samp.astype(U32), part.astype(U32)],
                         axis=1)[order]
-    buf = jnp.full((ndev * cap, 4), SENT, dtype=U32)
+    buf = jnp.full((ndev * cap, nw + 2), SENT, dtype=U32)
     buf = buf.at[slot].set(payload, mode="drop")
 
-    recv = jax.lax.all_to_all(buf.reshape(ndev, cap, 4), axis,
+    recv = jax.lax.all_to_all(buf.reshape(ndev, cap, nw + 2), axis,
                               split_axis=0, concat_axis=0, tiled=False)
-    recv = recv.reshape(ndev * cap, 4)
-    r_samp = recv[:, 2]
+    recv = recv.reshape(ndev * cap, nw + 2)
+    r_samp = recv[:, nw]
     r_valid = r_samp != SENT
-    r_part = jnp.where(r_valid, recv[:, 3], U32(0)).astype(I32)
+    r_part = jnp.where(r_valid, recv[:, nw + 1], U32(0)).astype(I32)
     r_samp = jnp.where(r_valid, r_samp, U32(0)).astype(I32)
-    return recv[:, 0], recv[:, 1], r_samp, r_part, r_valid, dropped
+    return (tuple(recv[:, i] for i in range(nw)), r_samp, r_part, r_valid,
+            dropped)
 
 
 def _use_pallas(encode_impl: str, batch_rows: int) -> bool:
@@ -93,21 +96,33 @@ def _use_pallas(encode_impl: str, batch_rows: int) -> bool:
 def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
                  mode: str, window_bits, encode_impl: str = "auto",
                  static_parts: int | None = None):
-    """Shared encode stage -> flat (hi, lo, samp, part, valid) occurrences."""
-    if _use_pallas(encode_impl, batch.shape[0]):
+    """Shared encode stage -> flat (keys tuple, samp, part, valid)
+    occurrences. Keys: 2 msb-first u32 words for k <= 32, 4 for k <= 64;
+    in hash mode always the 2-word window hash."""
+    if k > 32:
+        keys, parts, valid = encode_batch_wide(
+            batch, lengths, repart_table, k, m, static_parts=static_parts)
+    elif _use_pallas(encode_impl, batch.shape[0]):
         from kmtricks_tpu.ops.pallas_encode import encode_batch_pallas
         hi, lo, parts, valid = encode_batch_pallas(
             batch, lengths, repart_table, k, m)
+        keys = (hi, lo)
     else:
         hi, lo, parts, valid = encode_batch(batch, lengths, repart_table,
                                             k, m, static_parts=static_parts)
-    B, W = hi.shape
-    hi, lo = hi.ravel(), lo.ravel()
+        keys = (hi, lo)
+    B, W = parts.shape
+    keys = tuple(w.ravel() for w in keys)
     parts, valid = parts.ravel(), valid.ravel()
     sampw = jnp.broadcast_to(samp[:, None], (B, W)).ravel()
     if mode == "hash":
-        hi, lo = window_hash([(hi, lo)], parts, window_bits)
-    return hi, lo, sampw, parts, valid
+        # hash the packed k-mer: little-endian u64 words (hi, lo) pairs
+        if len(keys) == 2:
+            words = [(keys[0], keys[1])]
+        else:   # (w3, w2, w1, w0) msb-first -> u64 words [(w1,w0), (w3,w2)]
+            words = [(keys[2], keys[3]), (keys[0], keys[1])]
+        keys = window_hash(words, parts, window_bits)
+    return keys, sampw, parts, valid
 
 
 def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
@@ -132,23 +147,25 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     if mode == "hash":
         assert window_bits is not None
 
+    nw = 2 if (mode == "hash" or k <= 32) else 4
+
     def step(batch, lengths, samp, repart_table, amin_vec):
-        hi, lo, sampw, parts, valid = _encode_flat(
+        keys, sampw, parts, valid = _encode_flat(
             batch, lengths, samp, repart_table, k, m, mode, window_bits,
             encode_impl, nb_parts if static_repart else None)
         # contiguous-block partition->device map, computed arithmetically
         # (a 4M-wide table gather costs ~10x the whole encode on TPU)
         dest = (parts * ndev) // nb_parts
-        rhi, rlo, rsamp, rpart, rvalid, dropped = _bucket_and_route(
-            hi, lo, sampw, parts, valid, dest, ndev, cap, axis)
-        (part_s, hi_s, lo_s, samp_s, final, cnt, present, key_head,
-         row_keep, _row_of, stats) = count_merge_flat(
-            rpart, rhi, rlo, rsamp, rvalid, amin_vec, nsamp=nsamp,
+        rkeys, rsamp, rpart, rvalid, dropped = _bucket_and_route(
+            keys, sampw, parts, valid, dest, ndev, cap, axis)
+        (part_s, keys_s, samp_s, final, cnt, present, key_head,
+         row_keep, _row_of, stats) = count_merge_keys(
+            rpart, rkeys, rsamp, rvalid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,
             count_max=count_max)
         stats = jax.lax.psum(stats, axis)
         dropped = jax.lax.psum(dropped, axis)
-        return (part_s, hi_s, lo_s, samp_s, final, cnt, present, key_head,
+        return (part_s, keys_s, samp_s, final, cnt, present, key_head,
                 row_keep, stats, dropped)
 
     sh = P(axis)
@@ -156,7 +173,8 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
         in_specs=(sh, sh, sh, rep, rep),
-        out_specs=(sh, sh, sh, sh, sh, sh, sh, sh, sh, rep, rep)))
+        out_specs=(sh, tuple(sh for _ in range(nw)), sh, sh, sh, sh, sh,
+                   sh, rep, rep)))
 
 
 def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
@@ -171,11 +189,11 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
     assert mode in ("kmer", "hash")
 
     def step(batch, lengths, samp, repart_table, amin_vec):
-        hi, lo, sampw, parts, valid = _encode_flat(
+        keys, sampw, parts, valid = _encode_flat(
             batch, lengths, samp, repart_table, k, m, mode, window_bits,
             encode_impl, static_repart_parts)
-        return count_merge_flat(
-            parts, hi, lo, sampw, valid, amin_vec, nsamp=nsamp,
+        return count_merge_keys(
+            parts, keys, sampw, valid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,
             count_max=count_max)
 

@@ -99,14 +99,22 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     outp = step(jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(sarr),
                 jnp.asarray(repart.table.astype(np.int32)),
                 jnp.asarray(amin_vec, dtype=np.uint32))
-    (part_s, hi_s, lo_s, samp_s, final, cnt, present, row_head, row_keep,
-     stats, dropped) = map(np.asarray, outp)
-    if int(dropped):
+    (part_s, keys_s, samp_s, final, cnt, present, row_head, row_keep,
+     stats, dropped) = outp
+    part_s, samp_s, final, cnt, present, row_head, row_keep = map(
+        np.asarray, (part_s, samp_s, final, cnt, present, row_head,
+                     row_keep))
+    keys_s = [np.asarray(w) for w in keys_s]
+    if int(np.asarray(dropped)):
         raise RuntimeError(
-            f"mesh shuffle overflow: {int(dropped)} occurrences dropped — "
-            "increase partitions or use --backend host")
+            f"mesh shuffle overflow: {int(np.asarray(dropped))} occurrences "
+            "dropped — increase partitions or use --backend host")
 
-    keys = U.to_u64_np(hi_s, lo_s)
+    if len(keys_s) == 2:
+        keys = U.to_u64_np(keys_s[0], keys_s[1])
+    else:   # (w3, w2, w1, w0) msb-first -> (N, 2) little-endian u64 rows
+        keys = np.stack([U.to_u64_np(keys_s[2], keys_s[3]),
+                         U.to_u64_np(keys_s[0], keys_s[1])], axis=1)
     present = present.astype(bool)
     row_head = row_head.astype(bool)
     for p in range(config.nb_partitions):
@@ -147,7 +155,7 @@ def _merge_result_for_partition(keys, samp, final, cnt, present, row_head,
         total_w_rescue=mat.astype(np.uint64).sum(axis=0),
     )
     return MergeResult(
-        keys=ukeys.reshape(-1, 1) if cf == "kmer" else ukeys,
+        keys=ukeys.reshape(len(ukeys), -1) if cf == "kmer" else ukeys,
         counts=mat, keep=row_keep[row_head], stats=stats)
 
 
@@ -163,9 +171,9 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
         raise ValueError("--backend mesh runs the fused count+merge step; "
                          "--until repart/superk/count need --backend "
                          "host/device")
-    if opts.kmer_size > 32:
-        raise ValueError("--backend mesh supports k <= 32 (u32-pair device "
-                         "keys); use --backend host for larger k")
+    if opts.kmer_size > 64:
+        raise ValueError("--backend mesh supports k <= 64; use --backend "
+                         "host for larger k")
     kmdir, config = stage_config(opts)
     repart = stage_repart(kmdir, config, opts)
     if getattr(repart, "freq", None) is not None:

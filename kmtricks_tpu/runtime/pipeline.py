@@ -234,7 +234,7 @@ def stage_repart(kmdir: KmDir, config: Config,
 
 def _count_backend(opts: PipelineOptions, config: Config,
                    has_freq: bool = False):
-    if opts.backend == "device" and config.kmer_size <= 32 and not has_freq:
+    if opts.backend == "device" and config.kmer_size <= 64 and not has_freq:
         from kmtricks_tpu.ops.pipeline import count_sample_device
         return count_sample_device
     return hops.count_sequences
@@ -350,7 +350,7 @@ def resolve_soft_min(spec: str, kmdir: KmDir, nsamp: int) -> np.ndarray:
 
 def _merge_backend(opts: PipelineOptions, config: Config, cf: str):
     if opts.backend == "device" and (cf == "hash"
-                                     or config.kmer_size <= 32):
+                                     or config.kmer_size <= 64):
         from kmtricks_tpu.ops.merge import merge_partition_device
         return merge_partition_device
     return hops.merge_partition

@@ -77,10 +77,13 @@ def _pad_global(samples, ndev):
 
 
 def _collect_device_rows(out, mode):
-    (part_s, hi_s, lo_s, samp_s, final, _cnt, present, key_head, row_keep,
-     stats, dropped) = map(np.asarray, out)
-    assert int(dropped) == 0
-    keys = U.to_u64_np(hi_s, lo_s)
+    (part_s, keys_s, samp_s, final, _cnt, present, key_head, row_keep,
+     stats, dropped) = out
+    part_s, samp_s, final, present, key_head, row_keep, stats = map(
+        np.asarray, (part_s, samp_s, final, present, key_head, row_keep,
+                     stats))
+    assert int(np.asarray(dropped)) == 0
+    keys = U.to_u64_np(np.asarray(keys_s[0]), np.asarray(keys_s[1]))
     return part_s, keys, samp_s, final, present, key_head, row_keep, stats
 
 
@@ -154,9 +157,11 @@ def test_single_chip_step_matches_golden(setup):
     out = step(jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(sarr),
                jnp.asarray(repart.table.astype(np.int32)),
                jnp.asarray(amin_vec))
-    (part_s, hi_s, lo_s, samp_s, final, _cnt, present, key_head, row_keep,
-     _row_of, stats) = map(np.asarray, out)
-    keys = U.to_u64_np(hi_s, lo_s)
+    (part_s, keys_s, samp_s, final, _cnt, present, key_head, row_keep,
+     _row_of, stats) = out
+    part_s, samp_s, final, present, key_head, row_keep = map(
+        np.asarray, (part_s, samp_s, final, present, key_head, row_keep))
+    keys = U.to_u64_np(np.asarray(keys_s[0]), np.asarray(keys_s[1]))
 
     all_exp = np.concatenate([np.asarray(golden[p].keys).ravel()
                               for p in range(NB_PARTS)])
