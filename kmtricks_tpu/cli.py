@@ -252,7 +252,7 @@ def main(argv=None) -> int:
         opts = _options_from_args(args)
         parts = [args.partition_id] if args.partition_id is not None else None
         module_count(args.run_dir, args.id, opts, parts,
-                     count_mode=args.mode.split("-")[0])
+                     count_mode=args.mode)
         return 0
 
     if args.cmd == "merge":

@@ -106,9 +106,9 @@ def module_combine(run_dirs: list[str], output: str) -> None:
         if not all_keys:
             continue
         cat = np.concatenate(all_keys)
-        uniq_v, idx = np.unique(lex_view(cat), return_index=True)
-        ukeys = cat[idx][np.argsort(lex_view(cat[idx]), kind="stable")]
-        uview = lex_view(ukeys)
+        # np.unique returns first-occurrence indices in sorted key order
+        uview, idx = np.unique(lex_view(cat), return_index=True)
+        ukeys = cat[idx]
         nrows = len(ukeys)
         if mode == "count":
             comb = np.zeros((nrows, total_cols),

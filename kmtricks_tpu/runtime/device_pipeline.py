@@ -47,8 +47,10 @@ def _load_global_batch(kmdir: KmDir, opts: PipelineOptions, k: int,
     if not seqs:
         raise ValueError("no sequences")
     L = max(len(s) for s in seqs)
+    import math
+
     L = ((L + 127) // 128) * 128
-    rows = max(ndev, 8)
+    rows = math.lcm(ndev, 8)      # shard_map needs B % ndev == 0
     B = ((len(seqs) + rows - 1) // rows) * rows
     batch = np.full((B, L), ord("N"), dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)

@@ -162,7 +162,9 @@ def compute_mmer_frequencies(kmdir: KmDir, config: Config, bam_filter=None):
     (RepartitorAlgorithm::computeFrequencies / MmersFrequency,
     RepartitionAlgorithm.cpp:100-151, 300-384). Returns ([(count, mmer)]
     ascending, freq_order rank table with unseen = 4^m and the top
-    minimizer pinned to rank 4^m - 1)."""
+    minimizer pinned to rank 4^m - 1 — exactly the reference's table:
+    it too leaves unseen m-mers at rank 4^m and overwrites only the top
+    value, RepartitionAlgorithm.cpp:369-381)."""
     from kmtricks_tpu.core import kmer as kops
 
     m = config.minim_size
@@ -361,7 +363,11 @@ def stage_merge(kmdir: KmDir, config: Config, opts: PipelineOptions,
     cf, mode, out = parse_mode(opts.mode)
     nsamp = len(kmdir.fof)
     keys_list, counts_list = [], []
-    for path in kmdir.get_files_to_merge(partition, opts.cpr, cf):
+    # hash count files are always written uncompressed (.p4 TurboPFor is
+    # not supported — see io/formats.write_hash_file), so never resolve
+    # the .p4 extension here
+    cpr_in = opts.cpr and cf == "kmer"
+    for path in kmdir.get_files_to_merge(partition, cpr_in, cf):
         if cf == "kmer":
             _, kk, cc = F.read_kmer_file(path)
         else:

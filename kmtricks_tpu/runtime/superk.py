@@ -292,13 +292,13 @@ def stage_superk(kmdir, config, repart, sample_idx: int, opts,
 
     pinfo = PartiInfo(nb_parts, m)
     bam_filter = opts.bam_filter() if hasattr(opts, "bam_filter") else None
+    freq = (repart.freq.astype(np.uint64)
+            if getattr(repart, "freq", None) is not None else None)
     for seq in seqio.iter_sequences(entry.paths, bam_filter):
         codes, valid = kops.encode_ascii(seq)
         if len(codes) < k:
             continue
         wvalid = kops.window_validity(valid, k)
-        freq = (repart.freq.astype(np.uint64)
-                if getattr(repart, "freq", None) is not None else None)
         minim = kops.window_minimizers(codes, k, m, freq_order=freq)
         for start, size, mv in _superkmer_runs(minim, wvalid, maxs):
             p = int(repart.table[mv])

@@ -158,6 +158,23 @@ def test_pipeline_bft_and_filters(tmp_path, fof_path, repart_src):
         assert (got[:hw.bloom_size] == exp).all()
 
 
+def test_pipeline_hash_mode_with_cpr(tmp_path, fof_path, repart_src):
+    """--cpr with hash mode: hash files stay uncompressed (.p4 TurboPFor
+    unsupported) and merge must read them — regression for the .p4
+    resolution crash."""
+    opts = base_opts(tmp_path, fof_path, repart_src, mode="hash:count:bin",
+                     bloom_size=1_000_000)
+    opts.cpr = True
+    kmdir = run_pipeline(opts)
+    total = 0
+    for p in range(4):
+        path = kmdir.get_matrix_path(p, "count", "bin", "hash", True)
+        assert path.endswith(".count_hash.lz4")
+        _, hh, cc = F.read_matrix_hash_file(path)
+        total += len(hh)
+    assert total == sum(GOLDEN_ROWS.values())
+
+
 def test_module_flow_matches_pipeline(tmp_path, fof_path, repart_src):
     """repart -> superk -> count (from superkmers) -> merge == pipeline."""
     from kmtricks_tpu.runtime.modules import (
