@@ -16,6 +16,8 @@ from __future__ import annotations
 import gzip
 import struct
 import zlib
+
+import numpy as np
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -233,6 +235,53 @@ def iter_sequences(uri: str | list[str],
                    bam_filter: BamFilter | None = None) -> Iterator[bytes]:
     for _, seq in iter_bank(uri, bam_filter):
         yield seq
+
+
+def load_batch(uri: str | list[str], bam_filter: BamFilter | None = None,
+               pad: int = ord("N")):
+    """Load a bank directly into a fixed-shape row batch:
+    ((B, L) uint8 padded with 'N', (B,) int32 lengths).
+
+    Plain/gz FASTA and FASTQ go through the native C parser (one pass over
+    the raw text, ~10x the Python iterator); BAM and album banks fall back
+    to the record iterators. This is the host->device feed for the
+    device/mesh backends (the reference's superk stage reads the same banks
+    via its native gatb parsers).
+    """
+    from kmtricks_tpu import native
+
+    paths = uri if isinstance(uri, list) else uri.split(",")
+    batches = []
+    for p in paths:
+        p = p.strip()
+        fmt = sniff_format(p)
+        got = None
+        if fmt in ("fasta", "fastq"):
+            with _open_maybe_gz(p) as f:
+                data = f.read()
+            got = native.parse_batch(data, fmt, pad)
+        if got is None:
+            seqs = [s for _, s in iter_bank(p, bam_filter)]
+            L = max((len(s) for s in seqs), default=1)
+            batch = np.full((len(seqs), L), pad, dtype=np.uint8)
+            lengths = np.zeros(len(seqs), dtype=np.int32)
+            for i, s in enumerate(seqs):
+                batch[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+                lengths[i] = len(s)
+            got = batch, lengths
+        batches.append(got)
+    if len(batches) == 1:
+        return batches[0]
+    W = max(b.shape[1] for b, _ in batches)
+    B = sum(b.shape[0] for b, _ in batches)
+    batch = np.full((B, W), pad, dtype=np.uint8)
+    lengths = np.zeros(B, dtype=np.int32)
+    off = 0
+    for b, ln in batches:
+        batch[off:off + b.shape[0], :b.shape[1]] = b
+        lengths[off:off + b.shape[0]] = ln
+        off += b.shape[0]
+    return batch, lengths
 
 
 @dataclass

@@ -71,6 +71,11 @@ def lib():
         L.km_unpack_superkmer.restype = ctypes.c_int64
         L.km_unpack_superkmer.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                           ctypes.c_int, ctypes.c_void_p]
+        for fn in (L.km_fasta_batch, L.km_fastq_batch):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                           ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                           ctypes.c_void_p, ctypes.c_void_p]
         _lib = L
         return _lib
 
@@ -128,6 +133,30 @@ def pack_superkmer(codes: np.ndarray, k: int) -> bytes | None:
     out = ctypes.create_string_buffer((total + 3) // 4 + 1)
     n = L.km_pack_superkmer(codes.ctypes.data, k, total, out)
     return out.raw[:n]
+
+
+def parse_batch(data: bytes, fmt: str, pad: int = ord("N"),
+                min_width: int = 0):
+    """FASTA/FASTQ text -> ((n, L) uint8 batch padded with ``pad``,
+    (n,) int32 lengths), entirely in C. Returns None when the native lib
+    is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    fn = L.km_fasta_batch if fmt == "fasta" else L.km_fastq_batch
+    mx = ctypes.c_int64(0)
+    n = fn(data, len(data), None, 0, 0, None, ctypes.byref(mx))
+    if n < 0:
+        return None
+    width = max(int(mx.value), min_width, 1)
+    batch = np.full((max(n, 1), width), pad, dtype=np.uint8)
+    lengths = np.zeros(max(n, 1), dtype=np.int32)
+    if n:
+        r = fn(data, len(data), batch.ctypes.data, n, width,
+               lengths.ctypes.data, None)
+        if r != n:
+            return None
+    return batch[:n], lengths[:n]
 
 
 def unpack_superkmer(data: bytes, k: int, nbk: int) -> np.ndarray | None:

@@ -334,4 +334,82 @@ int64_t km_unpack_superkmer(const uint8_t* data, int k, int nbk,
   return total;
 }
 
+// ---------------------------------------------------------------------------
+// Sequence batch parsing (FASTA / FASTQ text -> fixed-shape row batches)
+// ---------------------------------------------------------------------------
+
+// Scan FASTA text. Two-pass API:
+//   batch == nullptr: count records, write max sequence length to *max_len;
+//   batch != nullptr: fill `rows` x `L` (caller pre-fills padding, e.g. 'N')
+//     and per-row lengths; rows beyond `rows` or bases beyond L are an error
+//     (-1). Multi-line sequences are concatenated; '\r' is stripped.
+// Returns the number of records (or -1 on overflow).
+int64_t km_fasta_batch(const uint8_t* data, size_t len,
+                       uint8_t* batch, int64_t rows, int64_t L,
+                       int32_t* lengths, int64_t* max_len) {
+  int64_t n = -1;       // current record index
+  int64_t cur = 0;      // current sequence length
+  int64_t mx = 0;
+  const uint8_t* p = data;
+  const uint8_t* end = data + len;
+  while (p < end) {
+    const uint8_t* nl = (const uint8_t*)memchr(p, '\n', end - p);
+    const uint8_t* eol = nl ? nl : end;
+    size_t ll = eol - p;
+    while (ll && p[ll - 1] == '\r') ll--;
+    if (ll && p[0] == '>') {
+      if (n >= 0) {
+        if (lengths) lengths[n] = (int32_t)cur;
+        if (cur > mx) mx = cur;
+      }
+      n++;
+      cur = 0;
+      if (batch && n >= rows) return -1;
+    } else if (ll && n >= 0) {
+      if (batch) {
+        if (cur + (int64_t)ll > L) return -1;
+        memcpy(batch + n * L + cur, p, ll);
+      }
+      cur += ll;
+    }
+    p = eol + 1;
+  }
+  if (n >= 0) {
+    if (lengths) lengths[n] = (int32_t)cur;
+    if (cur > mx) mx = cur;
+  }
+  if (max_len) *max_len = mx;
+  return n + 1;
+}
+
+// Same for FASTQ (4-line records, sequence on line 2).
+int64_t km_fastq_batch(const uint8_t* data, size_t len,
+                       uint8_t* batch, int64_t rows, int64_t L,
+                       int32_t* lengths, int64_t* max_len) {
+  int64_t n = 0;
+  int64_t mx = 0;
+  const uint8_t* p = data;
+  const uint8_t* end = data + len;
+  int line = 0;
+  while (p < end) {
+    const uint8_t* nl = (const uint8_t*)memchr(p, '\n', end - p);
+    const uint8_t* eol = nl ? nl : end;
+    size_t ll = eol - p;
+    while (ll && p[ll - 1] == '\r') ll--;
+    if (line == 1) {
+      if (batch) {
+        if (n >= rows || (int64_t)ll > L) return -1;
+        memcpy(batch + n * L, p, ll);
+      }
+      if (lengths) lengths[n] = (int32_t)ll;
+      if ((int64_t)ll > mx) mx = (int64_t)ll;
+      n++;
+    }
+    line = (line + 1) & 3;
+    p = eol + 1;
+  }
+  if (max_len) *max_len = mx;
+  return n;
+}
+
 }  // extern "C"

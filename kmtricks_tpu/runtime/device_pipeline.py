@@ -38,27 +38,28 @@ log = logging.getLogger("kmtricks_tpu")
 
 def _load_global_batch(kmdir: KmDir, opts: PipelineOptions, k: int,
                        ndev: int):
-    seqs, samp = [], []
-    for i, entry in enumerate(kmdir.fof):
-        for s in seqio.iter_sequences(entry.paths, opts.bam_filter()):
-            if len(s) >= k:
-                seqs.append(s)
-                samp.append(i)
-    if not seqs:
-        raise ValueError("no sequences")
-    L = max(len(s) for s in seqs)
     import math
 
+    per_sample = []
+    for entry in kmdir.fof:
+        per_sample.append(seqio.load_batch(entry.paths, opts.bam_filter()))
+    n_reads = sum(b.shape[0] for b, _ in per_sample)
+    if not n_reads:
+        raise ValueError("no sequences")
+    L = max(b.shape[1] for b, _ in per_sample)
     L = ((L + 127) // 128) * 128
     rows = math.lcm(ndev, 8)      # shard_map needs B % ndev == 0
-    B = ((len(seqs) + rows - 1) // rows) * rows
+    B = ((n_reads + rows - 1) // rows) * rows
     batch = np.full((B, L), ord("N"), dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
     sarr = np.zeros(B, dtype=np.int32)
-    for i, s in enumerate(seqs):
-        batch[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
-        lengths[i] = len(s)
-        sarr[i] = samp[i]
+    off = 0
+    for i, (b, ln) in enumerate(per_sample):
+        batch[off:off + b.shape[0], :b.shape[1]] = b
+        lengths[off:off + b.shape[0]] = ln
+        sarr[off:off + b.shape[0]] = i
+        off += b.shape[0]
+    # reads shorter than k produce no valid windows (masked on device)
     return batch, lengths, sarr
 
 

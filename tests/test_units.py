@@ -143,6 +143,46 @@ def test_fof_grammar(tmp_path):
 # album banks (BankAlbum)
 # ---------------------------------------------------------------------------
 
+def test_load_batch_native_and_fallback(tmp_path):
+    import gzip
+
+    from kmtricks_tpu.io import sequences as seqio
+
+    fa = tmp_path / "multi.fa"
+    fa.write_text(">r1\nACGT\nTTAA\n>r2\nGGGG\n\n>r3\nA\r\nCC\n")
+    batch, lengths = seqio.load_batch(str(fa))
+    assert list(lengths) == [8, 4, 3]
+    assert batch[0, :8].tobytes() == b"ACGTTTAA"
+    assert batch[1, :4].tobytes() == b"GGGG"
+    assert batch[2, :3].tobytes() == b"ACC"
+    assert (batch[1, 4:] == ord("N")).all()
+
+    fq = tmp_path / "a.fq"
+    fq.write_text("@r1\nACGTA\n+\nIIIII\n@r2\nTT\n+\nII\n")
+    batch, lengths = seqio.load_batch(str(fq))
+    assert list(lengths) == [5, 2]
+    assert batch[0, :5].tobytes() == b"ACGTA"
+
+    gz = tmp_path / "a.fa.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(">x\nACGTACGT\n")
+    batch, lengths = seqio.load_batch(str(gz))
+    assert batch[0, :8].tobytes() == b"ACGTACGT"
+
+    # composite bank: widths merged, padding preserved
+    batch, lengths = seqio.load_batch([str(fa), str(fq)])
+    assert len(lengths) == 5 and batch.shape[1] == 8
+
+
+def test_read_vector_matrix_rows(tmp_path):
+    rows = np.arange(80, dtype=np.uint8).reshape(10, 8)
+    p = str(tmp_path / "m.cmbf")
+    F.write_vector_matrix_file(p, rows, 64, 0, 2, 100, 10)
+    info, got = F.read_vector_matrix_rows(p, 3, 4)
+    assert info.first == 100 and info.window == 10
+    assert (got == rows[3:7]).all()
+
+
 def test_album_bank(tmp_path):
     from kmtricks_tpu.io import sequences as seqio
 
