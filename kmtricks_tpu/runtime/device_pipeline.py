@@ -162,6 +162,126 @@ def _merge_result_for_partition(keys, samp, final, cnt, present, row_head,
         counts=mat, keep=row_keep[row_head], stats=stats)
 
 
+def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
+                       repart, amin_vec: np.ndarray,
+                       chunk_windows: int,
+                       n_devices: int | None = None) -> None:
+    """Chunked mesh pipeline for collections larger than one device step.
+
+    Each chunk runs the sharded step as a PURE COUNTER (hard_min=1, no
+    rescue); the host aggregates partial per-partition (key, sample, count)
+    tables across chunks (summing counts of keys split between chunks),
+    then applies hard-min and the full merge semantics per partition. This
+    is the reference's memory feedback loop (ConfigurationAlgorithm.cpp:
+    398-425) reborn: the chunk size is the device-memory budget, the host
+    aggregation replaces the per-partition files.
+    """
+    import jax.numpy as jnp
+
+    from kmtricks_tpu.parallel.pipeline import (
+        build_sharded_pipeline, make_mesh)
+
+    cf, mode, out = parse_mode(opts.mode)
+    nsamp = len(kmdir.fof)
+    mesh = make_mesh(n_devices)
+    ndev = mesh.shape[mesh.axis_names[0]]
+    batch, lengths, sarr = _load_global_batch(kmdir, opts, config.kmer_size,
+                                              ndev)
+    import math
+
+    rows_align = math.lcm(ndev, 8)
+    W = batch.shape[1] - config.kmer_size + 1
+    rows_per_chunk = max(rows_align,
+                         (chunk_windows // W) // rows_align * rows_align)
+    window_bits = None
+    if cf == "hash":
+        window_bits = HashWindow.load(kmdir.hash_win).window_size_bits
+    count_max = (1 << (8 * config.count_bytes)) - 1
+    hard_mins = set(kmdir.fof.abundance_mins(opts.hard_min))
+    if len(hard_mins) != 1:
+        raise ValueError("--backend mesh does not support per-sample "
+                         "hard-min overrides; use --backend host/device")
+    hard_min = hard_mins.pop()
+
+    cap = -(-(rows_per_chunk * W) // ndev)
+    step = build_sharded_pipeline(
+        mesh, k=config.kmer_size, m=config.minim_size,
+        nb_parts=config.nb_partitions, cap=cap, nsamp=nsamp,
+        hard_min=1, rmin=1, save_if=0, mode=cf, window_bits=window_bits,
+        count_max=0xFFFFFFFF, static_repart=opts.static_repart)
+    table = jnp.asarray(repart.table.astype(np.int32))
+    ones = jnp.ones(nsamp, dtype=jnp.uint32)
+
+    partials: list[tuple] = []       # (part, keys, samp, cnt) per chunk
+    nchunks = -(-batch.shape[0] // rows_per_chunk)
+    log.info("mesh chunked: %d reads in %d chunk(s) of %d rows",
+             batch.shape[0], nchunks, rows_per_chunk)
+    for c in range(nchunks):
+        lo = c * rows_per_chunk
+        hi = min(batch.shape[0], lo + rows_per_chunk)
+        pad = rows_per_chunk - (hi - lo)
+        cb = batch[lo:hi]
+        cl, cs = lengths[lo:hi], sarr[lo:hi]
+        if pad:
+            cb = np.vstack([cb, np.full((pad, batch.shape[1]), ord("N"),
+                                        np.uint8)])
+            cl = np.concatenate([cl, np.zeros(pad, np.int32)])
+            cs = np.concatenate([cs, np.zeros(pad, np.int32)])
+        outp = step(jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cs),
+                    table, ones)
+        (part_s, keys_s, samp_s, _final, cnt, present, _rh, _rk,
+         _stats, dropped) = outp
+        if int(np.asarray(dropped)):
+            raise RuntimeError("mesh chunk overflow — smaller chunks "
+                               "needed")
+        present = np.asarray(present).astype(bool)
+        words = [np.asarray(w)[present] for w in keys_s]
+        if len(words) == 2:
+            keys = U.to_u64_np(words[0], words[1]).reshape(-1, 1)
+        else:
+            keys = np.stack([U.to_u64_np(words[2], words[3]),
+                             U.to_u64_np(words[0], words[1])], axis=1)
+        partials.append((np.asarray(part_s)[present],
+                         keys, np.asarray(samp_s)[present],
+                         np.asarray(cnt)[present].astype(np.uint64)))
+
+    # host aggregation: sum counts of (part, key, sample) across chunks
+    part = np.concatenate([p[0] for p in partials])
+    keys = np.concatenate([p[1] for p in partials])
+    samp = np.concatenate([p[2] for p in partials])
+    cnt = np.concatenate([p[3] for p in partials])
+    slots = keys.shape[1]
+    from kmtricks_tpu.runtime.filter import lex_view
+
+    for p in range(config.nb_partitions):
+        sel = part == p
+        pk, ps, pc = keys[sel], samp[sel], cnt[sel]
+        keys_list, counts_list = [], []
+        for s in range(nsamp):
+            m_s = ps == s
+            kk, cc = pk[m_s], pc[m_s]
+            if len(kk):
+                order = np.argsort(lex_view(kk), kind="stable")
+                kk, cc = kk[order], cc[order]
+                view = lex_view(kk)
+                head = np.ones(len(kk), dtype=bool)
+                head[1:] = view[1:] != view[:-1]
+                idx = np.cumsum(head) - 1
+                summed = np.zeros(int(idx[-1]) + 1, dtype=np.uint64)
+                np.add.at(summed, idx, cc)
+                kk = kk[head]
+                cc = summed
+            solid = cc >= hard_min
+            kk, cc = kk[solid], np.minimum(cc[solid], count_max)
+            keys_list.append(kk if cf == "kmer" else kk.ravel())
+            counts_list.append(cc.astype(np.uint32))
+        from kmtricks_tpu.host.ops import merge_partition
+
+        res = merge_partition(keys_list, counts_list, amin_vec,
+                              opts.recurrence_min, opts.share_min)
+        write_merge_outputs(kmdir, config, opts, p, res)
+
+
 def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
     """`pipeline --backend mesh` driver: config -> repart -> fused step."""
     import time
@@ -183,7 +303,15 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
         raise ValueError("--backend mesh does not support frequency-ordered "
                          "minimizers yet")
     amin_vec = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
-    stage_mesh_count_merge(kmdir, config, opts, repart, amin_vec)
+    # device-memory budget: ~48 bytes of sort operands per window occupancy;
+    # beyond it, stream chunks and aggregate on host
+    budget_windows = int(opts.max_memory_mb * 1e6 / 48)
+    est_windows = max(config.kmers_estimated, 1)
+    if est_windows > budget_windows:
+        stage_mesh_chunked(kmdir, config, opts, repart, amin_vec,
+                           chunk_windows=budget_windows)
+    else:
+        stage_mesh_count_merge(kmdir, config, opts, repart, amin_vec)
     cf, mode, _ = parse_mode(opts.mode)
     if mode == "bft":
         from kmtricks_tpu.runtime.pipeline import stage_format
