@@ -61,6 +61,50 @@ class Config:
         return cls(**d)
 
 
+_GATB_CONFIG = "<QQQQQI QQQ Q QQQQ QQ II HH I".replace(" ", "")
+
+
+def load_gatb_config(run_dir: str, mode: str = "kmer:count:bin",
+                     hard_min: int = 2) -> Config:
+    """Read a reference-produced run directory's GATB configuration
+    (``config_gatb/gatb.config`` — Configuration::save field order,
+    Configuration.cpp; GATB STORAGE_FILE collections are raw files named
+    ``<group>.<stream>`` in ``<storage>_gatb/``, StorageFile.hpp:161-260)."""
+    import struct
+
+    path = os.path.join(run_dir, "config_gatb", "gatb.config")
+    with open(path, "rb") as f:
+        vals = struct.unpack(_GATB_CONFIG,
+                             f.read(struct.calcsize(_GATB_CONFIG)))
+    (kmer_size, minim_size, repart_type, minim_type, _max_disk, max_memory,
+     _nb_cores, _nb_par, _ab_user, _cores_per_part, seq_nb, seq_total,
+     seq_max, _avail, _volume, kmers_nb, _nb_passes, nb_partitions,
+     _bits_per_kmer, _nb_banks, _cached) = vals
+    return Config(
+        kmer_size=int(kmer_size), minim_size=int(minim_size),
+        nb_partitions=int(nb_partitions), minim_type=int(minim_type),
+        repart_type=int(repart_type), max_memory_mb=int(max_memory),
+        seq_number=int(seq_nb), seq_total_size=int(seq_total),
+        seq_max_size=int(seq_max), kmers_estimated=int(kmers_nb),
+        mode=mode, hard_min=hard_min)
+
+
+def save_gatb_config(config: Config, run_dir: str) -> None:
+    """Write the GATB-compatible config twin (so reference module binaries
+    can consume our run directories)."""
+    import struct
+
+    d = os.path.join(run_dir, "config_gatb")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "gatb.config"), "wb") as f:
+        f.write(struct.pack(
+            _GATB_CONFIG, config.kmer_size, config.minim_size,
+            config.repart_type, config.minim_type, 0, config.max_memory_mb,
+            1, 1, 0, 1, config.seq_number, config.seq_total_size,
+            config.seq_max_size, 0, 0, config.kmers_estimated, 1,
+            config.nb_partitions, 2 * config.kmer_size, 1, 0))
+
+
 def estimate_banks(fof: Fof) -> seqio.BankEstimate:
     seqs = bases = mx = 0
     for entry in fof:

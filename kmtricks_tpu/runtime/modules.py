@@ -30,11 +30,22 @@ from kmtricks_tpu.runtime.superk import PartiInfo, iter_skp_file, stage_superk
 
 
 def load_run(run_dir: str) -> tuple[KmDir, Config, Repartition | None]:
+    """Open a run directory — ours (config/config.json + repartition/) or a
+    reference-produced one (config_gatb/gatb.config + repartition_gatb/,
+    the GATB STORAGE_FILE layout)."""
     kmdir = KmDir.init(run_dir, first=False)
-    config = Config.load(kmdir.config_storage)
+    if os.path.exists(os.path.join(kmdir.config_storage, "config.json")):
+        config = Config.load(kmdir.config_storage)
+    else:
+        from kmtricks_tpu.runtime.config import load_gatb_config
+        config = load_gatb_config(run_dir)
     rep = None
-    if os.path.exists(kmdir.repart_path):
-        rep = Repartition.load(kmdir.repart_path)
+    for path in (kmdir.repart_path,
+                 os.path.join(run_dir, "repartition_gatb",
+                              "repartition.minimRepart")):
+        if os.path.exists(path):
+            rep = Repartition.load(path)
+            break
     return kmdir, config, rep
 
 

@@ -115,6 +115,8 @@ def stage_config(opts: PipelineOptions) -> tuple[KmDir, Config]:
                        opts.max_memory_mb, opts.mode, opts.hard_min,
                        opts.minim_type, opts.repart_type)
     config.save(kmdir.config_storage)
+    from kmtricks_tpu.runtime.config import save_gatb_config
+    save_gatb_config(config, kmdir.root)   # GATB twin for reference tools
     hw = HashWindow(config.bloom_size, config.nb_partitions,
                     config.minim_size)
     hw.serialize(kmdir.hash_win)          # task.hpp:120-121

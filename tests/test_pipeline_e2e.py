@@ -206,6 +206,51 @@ def test_module_flow_matches_pipeline(tmp_path, fof_path, repart_src):
         assert a == b, f"partition {p}: module flow != pipeline"
 
 
+def test_gatb_layout_run_dir(tmp_path, fof_path, repart_src, ref_data):
+    """Modules consume a reference-layout run dir (config_gatb/gatb.config +
+    repartition_gatb/) and our runs write the GATB config twin."""
+    import shutil
+
+    from kmtricks_tpu.runtime.config import load_gatb_config
+    from kmtricks_tpu.runtime.modules import load_run, module_count, \
+        module_merge
+    from kmtricks_tpu.runtime.pipeline import PipelineOptions
+
+    # our pipeline writes the twin
+    opts = base_opts(tmp_path, fof_path, repart_src, mode="kmer:count:bin")
+    kmdir = run_pipeline(opts)
+    g = load_gatb_config(kmdir.root)
+    assert g.kmer_size == 31 and g.nb_partitions == 4
+
+    # synthesize a reference-layout dir: GATB config + repartition_gatb
+    ref_run = tmp_path / "gatb_run"
+    ref_run.mkdir()
+    shutil.copyfile(pathlib.Path(fof_path), ref_run / "kmtricks.fof")
+    shutil.copytree(kmdir.root + "/config_gatb", ref_run / "config_gatb")
+    (ref_run / "repartition_gatb").mkdir()
+    shutil.copyfile(REF / "repart_gatb" / "repartition.minimRepart",
+                    ref_run / "repartition_gatb" / "repartition.minimRepart")
+    for sub in ("counts", "matrices", "merge_infos", "superkmers",
+                "histograms", "partition_infos", "fpr"):
+        (ref_run / sub).mkdir()
+    for p in range(4):
+        (ref_run / "counts" / f"partition_{p}").mkdir()
+
+    kd, cfg, rep = load_run(str(ref_run))
+    assert cfg.kmer_size == 31 and rep is not None
+
+    mopts = PipelineOptions(run_dir=str(ref_run), kmer_size=31, hard_min=1,
+                            soft_min="1", mode="kmer:count:bin")
+    for name in ("D1", "D2"):
+        module_count(str(ref_run), name, mopts)
+    module_merge(str(ref_run), mopts)
+    for p in range(4):
+        a = open(ref_run / "matrices" / f"matrix_{p}.count", "rb").read()
+        b = open(kmdir.get_matrix_path(p, "count", "bin", "kmer", False),
+                 "rb").read()
+        assert a == b
+
+
 def run_cli(*args):
     return subprocess.run(
         [sys.executable, "-m", "kmtricks_tpu", *map(str, args)],
