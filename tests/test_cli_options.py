@@ -1,0 +1,73 @@
+"""CLI option semantics: --until, restrict lists, run-dir artifacts."""
+
+import os
+import pathlib
+
+import pytest
+
+from kmtricks_tpu.runtime.pipeline import PipelineOptions, run_pipeline
+
+REF = pathlib.Path("/root/reference/tests/data")
+
+
+@pytest.fixture()
+def fof_path(tmp_path):
+    if not REF.exists():
+        pytest.skip("reference data not available")
+    p = tmp_path / "t.fof"
+    p.write_text(f"D1 : {REF}/1.fasta\nD2 : {REF}/2.fasta\n")
+    return str(p)
+
+
+def opts(tmp_path, fof_path, name, **kw):
+    d = dict(fof=fof_path, run_dir=str(tmp_path / name), kmer_size=31,
+             hard_min=1, soft_min="1", static_repart=True, nb_partitions=4)
+    d.update(kw)
+    return PipelineOptions(**d)
+
+
+def test_until_repart(tmp_path, fof_path):
+    kmdir = run_pipeline(opts(tmp_path, fof_path, "r", until="repart"))
+    assert os.path.exists(kmdir.repart_path)
+    assert os.path.exists(kmdir.hash_win)
+    assert os.path.exists(kmdir.options_path)
+    assert os.path.exists(kmdir.run_infos)
+    assert not os.listdir(kmdir.matrix_storage)
+    # minimizer dump (m <= 12, task.hpp:160-168)
+    assert os.path.exists(f"{kmdir.minimizer_storage}/minimizers.0")
+
+
+def test_until_count_and_restrict_list(tmp_path, fof_path):
+    kmdir = run_pipeline(opts(tmp_path, fof_path, "c", until="count",
+                              restrict_to_list=[1, 3]))
+    for p in (1, 3):
+        assert os.path.exists(kmdir.get_count_part_path("D1", p, False,
+                                                        "kmer"))
+    for p in (0, 2):
+        assert not os.path.exists(kmdir.get_count_part_path("D1", p, False,
+                                                            "kmer"))
+    assert not os.listdir(kmdir.matrix_storage)
+
+
+def test_restrict_list_merge(tmp_path, fof_path):
+    kmdir = run_pipeline(opts(tmp_path, fof_path, "m",
+                              restrict_to_list=[2]))
+    assert os.path.exists(kmdir.get_matrix_path(2, "count", "bin", "kmer",
+                                                False))
+    assert not os.path.exists(kmdir.get_matrix_path(0, "count", "bin",
+                                                    "kmer", False))
+
+
+def test_bf_requires_all_partitions(tmp_path, fof_path):
+    with pytest.raises(ValueError):
+        run_pipeline(opts(tmp_path, fof_path, "bf", mode="hash:bf:bin",
+                          restrict_to_list=[0]))
+
+
+def test_until_superk_writes_skp(tmp_path, fof_path):
+    kmdir = run_pipeline(opts(tmp_path, fof_path, "sk", until="superk"))
+    for name in ("D1", "D2"):
+        assert os.path.exists(
+            os.path.join(kmdir.get_superk_path(name), "skp.0"))
+        assert os.path.exists(
+            os.path.join(kmdir.get_superk_path(name), "PartiInfoFile"))
