@@ -286,5 +286,25 @@ def main(argv=None) -> int:
     raise SystemExit(f"unknown command {args.cmd}")
 
 
+def main_with_backtrace(argv=None) -> int:
+    """CLI entry with crash capture: unhandled exceptions are written to
+    ``kmtricks_backtrace.log`` before exiting (the reference's
+    SignalHandler behavior, include/kmtricks/signals.hpp:68-158)."""
+    import logging
+    import traceback
+
+    try:
+        return main(argv)
+    except (KeyboardInterrupt, SystemExit):
+        raise
+    except Exception:
+        with open("kmtricks_backtrace.log", "w") as f:
+            f.write(traceback.format_exc())
+        logging.getLogger("kmtricks_tpu").error(
+            "fatal error — backtrace written to kmtricks_backtrace.log")
+        traceback.print_exc()
+        return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main_with_backtrace())

@@ -246,19 +246,29 @@ def iter_skp_file(path: str, k: int):
 # ---------------------------------------------------------------------------
 
 def _superkmer_runs(minim: np.ndarray, wvalid: np.ndarray, maxs: int):
-    """Yield (start, length, minimizer) runs over the window axis."""
+    """Yield (start, length, minimizer) runs over the window axis.
+
+    Vectorized segmentation: boundaries at minimizer changes or validity
+    edges, then segments split at the ``maxs`` cap — O(#segments) Python
+    iterations instead of O(#windows)."""
     n = len(minim)
-    i = 0
-    while i < n:
-        if not wvalid[i]:
-            i += 1
+    if n == 0:
+        return
+    edge = np.empty(n, dtype=bool)
+    edge[0] = True
+    edge[1:] = (minim[1:] != minim[:-1]) | ~wvalid[1:] | ~wvalid[:-1]
+    starts = np.flatnonzero(edge)
+    ends = np.concatenate([starts[1:], [n]])
+    for s, e in zip(starts, ends):
+        if not wvalid[s]:
             continue
-        j = i + 1
-        while j < n and wvalid[j] and minim[j] == minim[i] \
-                and (j - i) < maxs:
-            j += 1
-        yield i, j - i, int(minim[i])
-        i = j
+        mv = int(minim[s])
+        t = int(s)
+        e = int(e)
+        while t < e:
+            sz = min(e - t, maxs)
+            yield t, sz, mv
+            t += sz
 
 
 def stage_superk(kmdir, config, repart, sample_idx: int, opts,
@@ -300,10 +310,11 @@ def stage_superk(kmdir, config, repart, sample_idx: int, opts,
             continue
         wvalid = kops.window_validity(valid, k)
         minim = kops.window_minimizers(codes, k, m, freq_order=freq)
+        which, radix = _strand_and_radix(codes, k)
         for start, size, mv in _superkmer_runs(minim, wvalid, maxs):
             p = int(repart.table[mv])
             pinfo.inc_superkmer(mv, size)
-            _tally_kxmers(pinfo, codes, start, size, k, p)
+            _tally_kxmers(pinfo, which, radix, start, size, p)
             if p not in psel:
                 continue
             packed = pack_superkmer(codes[start:start + k + size - 1], k)
@@ -330,35 +341,40 @@ def stage_superk(kmdir, config, repart, sample_idx: int, opts,
     return pinfo
 
 
-def _tally_kxmers(pinfo: PartiInfo, codes: np.ndarray, start: int,
-                  size: int, k: int, part: int) -> None:
-    """kx-mer run accounting of KmFillPartitions::processSuperkmer
-    (fill_partitions.hpp:60-104): runs of <= 5 consecutive same-strand
-    canonical k-mers; radix = top 4 nt of the canonical value — first k-mer
-    of the run for forward strand, last for reverse."""
-    win = codes[start:start + k + size - 1]
-    fwd = kops.kmers_from_codes(win, k)                       # (size, slots)
+def _strand_and_radix(codes: np.ndarray, k: int):
+    """Per-window canonical strand choice + top-4-nt radix, vectorized over
+    the whole read (inputs to the kx-mer accounting)."""
+    fwd = kops.kmers_from_codes(codes, k)
     rc = kops.revcomp(fwd, k)
-    which = ~kops.compare_lt(rc, fwd)                         # True = forward
-    cano = np.where(kops.compare_lt(rc, fwd)[:, None], rc, fwd)
+    take_rc = kops.compare_lt(rc, fwd)
+    which = ~take_rc                                   # True = forward
+    cano = np.where(take_rc[:, None], rc, fwd)
     bitpos = 2 * (k - 4)
     w, s = divmod(bitpos, 64)
     r = cano[:, w] >> np.uint64(s)
     if s > 56 and w + 1 < cano.shape[1]:     # radix spans two words
         r = r | (cano[:, w + 1] << np.uint64(64 - s))
-    radix = (r & np.uint64(255)).astype(np.int64)
+    return which, (r & np.uint64(255)).astype(np.int64)
 
-    prev_which = bool(which[0])
-    kx_size = 0
-    radix_fwd = int(radix[0])
-    for ii in range(1, size):
-        if bool(which[ii]) != prev_which or kx_size >= 4:
-            r = radix_fwd if prev_which else int(radix[ii - 1])
-            pinfo.inc_kmer_and_rad(part, r, kx_size)
-            radix_fwd = int(radix[ii])
-            kx_size = 0
-        else:
-            kx_size += 1
-        prev_which = bool(which[ii])
-    r = radix_fwd if prev_which else int(radix[size - 1])
-    pinfo.inc_kmer_and_rad(part, r, kx_size)
+
+def _tally_kxmers(pinfo: PartiInfo, which: np.ndarray, radix: np.ndarray,
+                  start: int, size: int, part: int) -> None:
+    """kx-mer run accounting of KmFillPartitions::processSuperkmer
+    (fill_partitions.hpp:60-104): same-strand runs chunked at <= 5 k-mers
+    (the kx_size >= 4 flush); radix = top 4 nt of the canonical value —
+    first k-mer of the chunk for forward strand, last for reverse.
+    O(#chunks) instead of O(#k-mers)."""
+    w = which[start:start + size]
+    r = radix[start:start + size]
+    edges = np.flatnonzero(w[1:] != w[:-1]) + 1
+    bounds = np.concatenate([[0], edges, [size]])
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        t = int(b - a)
+        fwd = bool(w[a])
+        o = int(a)
+        while t > 0:
+            sz = min(t, 5)
+            rad = int(r[o]) if fwd else int(r[o + sz - 1])
+            pinfo.inc_kmer_and_rad(part, rad, sz - 1)
+            o += sz
+            t -= sz
