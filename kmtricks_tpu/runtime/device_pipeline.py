@@ -63,23 +63,9 @@ def _load_global_batch(kmdir: KmDir, opts: PipelineOptions, k: int,
     return batch, lengths, sarr
 
 
-def stage_mesh_count_merge(kmdir: KmDir, config: Config,
-                           opts: PipelineOptions, repart,
-                           amin_vec: np.ndarray,
-                           n_devices: int | None = None) -> None:
-    import jax.numpy as jnp
-
-    from kmtricks_tpu.parallel.pipeline import (
-        build_sharded_pipeline, make_mesh)
-
-    cf, mode, out = parse_mode(opts.mode)
-    nsamp = len(kmdir.fof)
-    mesh = make_mesh(n_devices)
-    ndev = mesh.shape[mesh.axis_names[0]]
-    batch, lengths, sarr = _load_global_batch(kmdir, opts, config.kmer_size,
-                                              ndev)
-    n_windows = batch.shape[0] * (batch.shape[1] - config.kmer_size + 1)
-    cap = -(-n_windows // ndev)          # worst case: all to one device
+def _mesh_common(kmdir: KmDir, config: Config, opts: PipelineOptions):
+    """Shared mesh-path parameters: window math + uniform hard-min guard."""
+    cf, _mode, _out = parse_mode(opts.mode)
     window_bits = None
     if cf == "hash":
         window_bits = HashWindow.load(kmdir.hash_win).window_size_bits
@@ -90,13 +76,45 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     if len(hard_mins) != 1:
         raise ValueError("--backend mesh does not support per-sample "
                          "hard-min overrides; use --backend host/device")
+    return cf, window_bits, count_max, hard_mins.pop()
+
+
+def _keys_to_u64(keys_s) -> np.ndarray:
+    """Kernel key words (msb-first u32 tuple) -> u64 array: (N,) for 2-word
+    keys, (N, 2) little-endian u64 rows for 4-word (k > 32) keys."""
+    keys_s = [np.asarray(w) for w in keys_s]
+    if len(keys_s) == 2:
+        return U.to_u64_np(keys_s[0], keys_s[1])
+    return np.stack([U.to_u64_np(keys_s[2], keys_s[3]),
+                     U.to_u64_np(keys_s[0], keys_s[1])], axis=1)
+
+
+def stage_mesh_count_merge(kmdir: KmDir, config: Config,
+                           opts: PipelineOptions, repart,
+                           amin_vec: np.ndarray,
+                           batch=None, lengths=None, sarr=None,
+                           n_devices: int | None = None) -> None:
+    import jax.numpy as jnp
+
+    from kmtricks_tpu.parallel.pipeline import (
+        build_sharded_pipeline, make_mesh)
+
+    nsamp = len(kmdir.fof)
+    mesh = make_mesh(n_devices)
+    ndev = mesh.shape[mesh.axis_names[0]]
+    if batch is None:
+        batch, lengths, sarr = _load_global_batch(
+            kmdir, opts, config.kmer_size, ndev)
+    n_windows = batch.shape[0] * (batch.shape[1] - config.kmer_size + 1)
+    cap = -(-n_windows // ndev)          # worst case: all to one device
+    cf, window_bits, count_max, hard_min = _mesh_common(kmdir, config, opts)
 
     log.info("mesh step: %d reads x %d (windows %d) over %d device(s)",
              batch.shape[0], batch.shape[1], n_windows, ndev)
     step = build_sharded_pipeline(
         mesh, k=config.kmer_size, m=config.minim_size,
         nb_parts=config.nb_partitions, cap=cap, nsamp=nsamp,
-        hard_min=hard_mins.pop(), rmin=opts.recurrence_min,
+        hard_min=hard_min, rmin=opts.recurrence_min,
         save_if=opts.share_min, mode=cf, window_bits=window_bits,
         count_max=count_max, static_repart=opts.static_repart)
     outp = step(jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(sarr),
@@ -107,17 +125,12 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     part_s, samp_s, final, cnt, present, row_head, row_keep = map(
         np.asarray, (part_s, samp_s, final, cnt, present, row_head,
                      row_keep))
-    keys_s = [np.asarray(w) for w in keys_s]
     if int(np.asarray(dropped)):
         raise RuntimeError(
             f"mesh shuffle overflow: {int(np.asarray(dropped))} occurrences "
             "dropped — increase partitions or use --backend host")
 
-    if len(keys_s) == 2:
-        keys = U.to_u64_np(keys_s[0], keys_s[1])
-    else:   # (w3, w2, w1, w0) msb-first -> (N, 2) little-endian u64 rows
-        keys = np.stack([U.to_u64_np(keys_s[2], keys_s[3]),
-                         U.to_u64_np(keys_s[0], keys_s[1])], axis=1)
+    keys = _keys_to_u64(keys_s)
     present = present.astype(bool)
     row_head = row_head.astype(bool)
     for p in range(config.nb_partitions):
@@ -165,6 +178,7 @@ def _merge_result_for_partition(keys, samp, final, cnt, present, row_head,
 def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
                        repart, amin_vec: np.ndarray,
                        chunk_windows: int,
+                       batch=None, lengths=None, sarr=None,
                        n_devices: int | None = None) -> None:
     """Chunked mesh pipeline for collections larger than one device step.
 
@@ -181,27 +195,19 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
     from kmtricks_tpu.parallel.pipeline import (
         build_sharded_pipeline, make_mesh)
 
-    cf, mode, out = parse_mode(opts.mode)
     nsamp = len(kmdir.fof)
     mesh = make_mesh(n_devices)
     ndev = mesh.shape[mesh.axis_names[0]]
-    batch, lengths, sarr = _load_global_batch(kmdir, opts, config.kmer_size,
-                                              ndev)
+    if batch is None:
+        batch, lengths, sarr = _load_global_batch(
+            kmdir, opts, config.kmer_size, ndev)
     import math
 
     rows_align = math.lcm(ndev, 8)
     W = batch.shape[1] - config.kmer_size + 1
     rows_per_chunk = max(rows_align,
                          (chunk_windows // W) // rows_align * rows_align)
-    window_bits = None
-    if cf == "hash":
-        window_bits = HashWindow.load(kmdir.hash_win).window_size_bits
-    count_max = (1 << (8 * config.count_bytes)) - 1
-    hard_mins = set(kmdir.fof.abundance_mins(opts.hard_min))
-    if len(hard_mins) != 1:
-        raise ValueError("--backend mesh does not support per-sample "
-                         "hard-min overrides; use --backend host/device")
-    hard_min = hard_mins.pop()
+    cf, window_bits, count_max, hard_min = _mesh_common(kmdir, config, opts)
 
     cap = -(-(rows_per_chunk * W) // ndev)
     step = build_sharded_pipeline(
@@ -235,12 +241,8 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
             raise RuntimeError("mesh chunk overflow — smaller chunks "
                                "needed")
         present = np.asarray(present).astype(bool)
-        words = [np.asarray(w)[present] for w in keys_s]
-        if len(words) == 2:
-            keys = U.to_u64_np(words[0], words[1]).reshape(-1, 1)
-        else:
-            keys = np.stack([U.to_u64_np(words[2], words[3]),
-                             U.to_u64_np(words[0], words[1])], axis=1)
+        keys = _keys_to_u64([np.asarray(w)[present] for w in keys_s])
+        keys = keys.reshape(len(keys), -1)
         partials.append((np.asarray(part_s)[present],
                          keys, np.asarray(samp_s)[present],
                          np.asarray(cnt)[present].astype(np.uint64)))
@@ -250,7 +252,6 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
     keys = np.concatenate([p[1] for p in partials])
     samp = np.concatenate([p[2] for p in partials])
     cnt = np.concatenate([p[3] for p in partials])
-    slots = keys.shape[1]
     from kmtricks_tpu.runtime.filter import lex_view
 
     for p in range(config.nb_partitions):
@@ -304,14 +305,23 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
                          "minimizers yet")
     amin_vec = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
     # device-memory budget: ~48 bytes of sort operands per window occupancy;
-    # beyond it, stream chunks and aggregate on host
+    # beyond it, stream chunks and aggregate on host. Decide on the REAL
+    # padded window count of the loaded batch (row padding to the longest
+    # read can dwarf the bank's k-mer estimate for mixed-length banks).
+    from kmtricks_tpu.parallel.pipeline import make_mesh
+
+    ndev = make_mesh().shape["d"]
+    batch, lengths, sarr = _load_global_batch(kmdir, opts, opts.kmer_size,
+                                              ndev)
     budget_windows = int(opts.max_memory_mb * 1e6 / 48)
-    est_windows = max(config.kmers_estimated, 1)
-    if est_windows > budget_windows:
+    n_windows = batch.shape[0] * (batch.shape[1] - opts.kmer_size + 1)
+    if n_windows > budget_windows:
         stage_mesh_chunked(kmdir, config, opts, repart, amin_vec,
-                           chunk_windows=budget_windows)
+                           chunk_windows=budget_windows,
+                           batch=batch, lengths=lengths, sarr=sarr)
     else:
-        stage_mesh_count_merge(kmdir, config, opts, repart, amin_vec)
+        stage_mesh_count_merge(kmdir, config, opts, repart, amin_vec,
+                               batch=batch, lengths=lengths, sarr=sarr)
     cf, mode, _ = parse_mode(opts.mode)
     if mode == "bft":
         from kmtricks_tpu.runtime.pipeline import stage_format
