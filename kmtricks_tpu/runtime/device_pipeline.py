@@ -63,20 +63,22 @@ def _load_global_batch(kmdir: KmDir, opts: PipelineOptions, k: int,
     return batch, lengths, sarr
 
 
-def _mesh_common(kmdir: KmDir, config: Config, opts: PipelineOptions):
-    """Shared mesh-path parameters: window math + uniform hard-min guard."""
+def _mesh_common(kmdir: KmDir, config: Config, opts: PipelineOptions,
+                 uniform_hard_min: bool = True):
+    """Shared mesh-path parameters: window math + hard-min resolution.
+
+    The fused single-step kernel applies ONE hard_min, so per-sample fof
+    overrides (`! amin`) require the chunked path (host-side hard-min)."""
     cf, _mode, _out = parse_mode(opts.mode)
     window_bits = None
     if cf == "hash":
         window_bits = HashWindow.load(kmdir.hash_win).window_size_bits
     count_max = (1 << (8 * config.count_bytes)) - 1
-    # NOTE: per-sample hard-min overrides (fof `! amin`) need per-sample
-    # thresholds; the fused kernel applies one hard_min — enforce equality.
-    hard_mins = set(kmdir.fof.abundance_mins(opts.hard_min))
-    if len(hard_mins) != 1:
-        raise ValueError("--backend mesh does not support per-sample "
-                         "hard-min overrides; use --backend host/device")
-    return cf, window_bits, count_max, hard_mins.pop()
+    hard_mins = kmdir.fof.abundance_mins(opts.hard_min)
+    if uniform_hard_min and len(set(hard_mins)) != 1:
+        raise ValueError("per-sample hard-min overrides require the "
+                         "chunked mesh path (or --backend host/device)")
+    return cf, window_bits, count_max, hard_mins
 
 
 def _keys_to_u64(keys_s) -> np.ndarray:
@@ -107,7 +109,8 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
             kmdir, opts, config.kmer_size, ndev)
     n_windows = batch.shape[0] * (batch.shape[1] - config.kmer_size + 1)
     cap = -(-n_windows // ndev)          # worst case: all to one device
-    cf, window_bits, count_max, hard_min = _mesh_common(kmdir, config, opts)
+    cf, window_bits, count_max, hard_mins = _mesh_common(kmdir, config, opts)
+    hard_min = hard_mins[0]
 
     log.info("mesh step: %d reads x %d (windows %d) over %d device(s)",
              batch.shape[0], batch.shape[1], n_windows, ndev)
@@ -207,7 +210,11 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
     W = batch.shape[1] - config.kmer_size + 1
     rows_per_chunk = max(rows_align,
                          (chunk_windows // W) // rows_align * rows_align)
-    cf, window_bits, count_max, hard_min = _mesh_common(kmdir, config, opts)
+    # never pad a chunk beyond the actual batch
+    rows_per_chunk = min(rows_per_chunk,
+                         -(-batch.shape[0] // rows_align) * rows_align)
+    cf, window_bits, count_max, hard_mins = _mesh_common(
+        kmdir, config, opts, uniform_hard_min=False)
 
     cap = -(-(rows_per_chunk * W) // ndev)
     step = build_sharded_pipeline(
@@ -247,17 +254,41 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
                          keys, np.asarray(samp_s)[present],
                          np.asarray(cnt)[present].astype(np.uint64)))
 
-    # host aggregation: sum counts of (part, key, sample) across chunks
+    # host aggregation: sum counts of (part, key, sample) across chunks,
+    # then (optionally) histograms, per-sample hard-min, soft-min
+    # resolution (float quantiles become possible here because the full
+    # pre-hard-min abundance distribution is in hand) and the merge.
     part = np.concatenate([p[0] for p in partials])
     keys = np.concatenate([p[1] for p in partials])
     samp = np.concatenate([p[2] for p in partials])
     cnt = np.concatenate([p[3] for p in partials])
+    from kmtricks_tpu.core.histogram import KHist
+    from kmtricks_tpu.host.ops import merge_partition
+    from kmtricks_tpu.io import formats as F
     from kmtricks_tpu.runtime.filter import lex_view
 
+    def _is_float_quantile(spec):
+        try:
+            int(spec)
+            return False
+        except ValueError:
+            pass
+        try:
+            return 0 < float(spec) < 1
+        except ValueError:
+            return False
+
+    # histograms: requested explicitly, or required by a float soft-min
+    # quantile (the reference requires counting with --hist first; here the
+    # full distribution is in hand anyway)
+    want_hists = opts.hist or (amin_vec is None
+                               and _is_float_quantile(opts.soft_min))
+    hists = ([KHist(s, config.kmer_size) for s in range(nsamp)]
+             if want_hists else None)
+    tables: dict[tuple[int, int], tuple] = {}
     for p in range(config.nb_partitions):
         sel = part == p
         pk, ps, pc = keys[sel], samp[sel], cnt[sel]
-        keys_list, counts_list = [], []
         for s in range(nsamp):
             m_s = ps == s
             kk, cc = pk[m_s], pc[m_s]
@@ -272,15 +303,41 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
                 np.add.at(summed, idx, cc)
                 kk = kk[head]
                 cc = summed
-            solid = cc >= hard_min
+            if hists is not None:
+                hists[s].inc_counts(cc)
+            solid = cc >= hard_mins[s]
             kk, cc = kk[solid], np.minimum(cc[solid], count_max)
-            keys_list.append(kk if cf == "kmer" else kk.ravel())
-            counts_list.append(cc.astype(np.uint32))
-        from kmtricks_tpu.host.ops import merge_partition
+            tables[(p, s)] = (kk if cf == "kmer" else kk.ravel(),
+                              cc.astype(np.uint32))
 
+    if hists is not None:
+        for s, entry in enumerate(kmdir.fof):
+            F.write_hist_file(kmdir.get_hist_path(entry.id), hists[s])
+    if amin_vec is None:
+        amin_vec = resolve_soft_min(opts.soft_min, kmdir, nsamp)
+
+    for p in range(config.nb_partitions):
+        keys_list = [tables[(p, s)][0] for s in range(nsamp)]
+        counts_list = [tables[(p, s)][1] for s in range(nsamp)]
         res = merge_partition(keys_list, counts_list, amin_vec,
                               opts.recurrence_min, opts.share_min)
         write_merge_outputs(kmdir, config, opts, p, res)
+
+
+def _needs_host_aggregation(opts: PipelineOptions, kmdir: KmDir) -> bool:
+    if opts.hist:
+        return True
+    if len(set(kmdir.fof.abundance_mins(opts.hard_min))) != 1:
+        return True
+    try:
+        int(opts.soft_min)
+        return False
+    except ValueError:
+        pass
+    try:
+        return 0 < float(opts.soft_min) < 1    # quantile needs histograms
+    except ValueError:
+        return False                           # per-sample file is fine
 
 
 def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
@@ -303,11 +360,13 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
     if getattr(repart, "freq", None) is not None:
         raise ValueError("--backend mesh does not support frequency-ordered "
                          "minimizers yet")
-    amin_vec = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
     # device-memory budget: ~48 bytes of sort operands per window occupancy;
     # beyond it, stream chunks and aggregate on host. Decide on the REAL
     # padded window count of the loaded batch (row padding to the longest
     # read can dwarf the bank's k-mer estimate for mixed-length banks).
+    # Features needing the full abundance distribution on host
+    # (histograms, float soft-min quantiles, per-sample hard-min) also
+    # route through the chunked path.
     from kmtricks_tpu.parallel.pipeline import make_mesh
 
     ndev = make_mesh().shape["d"]
@@ -315,11 +374,12 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
                                               ndev)
     budget_windows = int(opts.max_memory_mb * 1e6 / 48)
     n_windows = batch.shape[0] * (batch.shape[1] - opts.kmer_size + 1)
-    if n_windows > budget_windows:
-        stage_mesh_chunked(kmdir, config, opts, repart, amin_vec,
+    if n_windows > budget_windows or _needs_host_aggregation(opts, kmdir):
+        stage_mesh_chunked(kmdir, config, opts, repart, None,
                            chunk_windows=budget_windows,
                            batch=batch, lengths=lengths, sarr=sarr)
     else:
+        amin_vec = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
         stage_mesh_count_merge(kmdir, config, opts, repart, amin_vec,
                                batch=batch, lengths=lengths, sarr=sarr)
     cf, mode, _ = parse_mode(opts.mode)

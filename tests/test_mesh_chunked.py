@@ -43,3 +43,39 @@ def test_chunked_equals_single_step(tmp_path, fof_path, mode):
         sa = open(one.get_merge_info_path(p)).read()
         sb = open(many.get_merge_info_path(p)).read()
         assert sa == sb, f"partition {p} stats differ"
+
+
+def test_chunked_hist_softmin_and_per_sample_hardmin(tmp_path, fof_path):
+    """Features that need the host aggregation path: histograms, float
+    soft-min quantiles, per-sample hard-min overrides."""
+    import os
+
+    # per-sample hard-min override in the fof
+    lines = open(fof_path).read().splitlines()
+    fof2 = tmp_path / "o.fof"
+    fof2.write_text("\n".join(
+        [lines[0] + " ! 3"] + lines[1:]) + "\n")
+
+    kmdir = run_pipeline(PipelineOptions(
+        fof=str(fof2), run_dir=str(tmp_path / "agg"), kmer_size=31,
+        hard_min=2, soft_min="0.95", mode="kmer:count:bin",
+        static_repart=True, nb_partitions=8, backend="mesh", hist=True))
+    # histograms written, quantile thresholds persisted
+    for s in range(4):
+        assert os.path.exists(kmdir.get_hist_path(f"S{s}"))
+    assert os.path.exists(kmdir.get_merge_th_path())
+
+    # equivalent host run agrees byte-for-byte
+    khost = run_pipeline(PipelineOptions(
+        fof=str(fof2), run_dir=str(tmp_path / "host2"), kmer_size=31,
+        hard_min=2, soft_min="0.95", mode="kmer:count:bin",
+        static_repart=True, nb_partitions=8, backend="host", hist=True))
+    for p in range(8):
+        a = open(kmdir.get_matrix_path(p, "count", "bin", "kmer", False),
+                 "rb").read()
+        b = open(khost.get_matrix_path(p, "count", "bin", "kmer", False),
+                 "rb").read()
+        assert a == b, f"partition {p}"
+        ha = open(kmdir.get_hist_path("S0"), "rb").read()
+        hb = open(khost.get_hist_path("S0"), "rb").read()
+        assert ha == hb
