@@ -58,6 +58,8 @@ def _add_common_pipeline(p: argparse.ArgumentParser, merge_opts: bool = True):
                    default="host",
                    help="compute backend: host numpy, per-stage jax device, "
                         "or the fused sharded mesh step")
+    p.add_argument("--threads", "-t", type=int, default=1,
+                   help="host thread pool size for count/merge stages")
     p.add_argument("--verbose", "-v", default="info")
     # BAM filters (fork addition)
     p.add_argument("-F", "--bam-exclude-flags", type=int, default=0)
@@ -115,7 +117,7 @@ def _options_from_args(args) -> "PipelineOptions":
     )
     for k in ("mode", "soft_min", "share_min", "recurrence_min",
               "bloom_size", "bitw", "bf_format", "until", "plugin",
-              "plugin_config"):
+              "plugin_config", "threads"):
         if hasattr(args, k):
             setattr(o, k, getattr(args, k))
     o.soft_min = str(o.soft_min)

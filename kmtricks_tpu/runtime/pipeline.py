@@ -89,6 +89,7 @@ class PipelineOptions:
     bam_excluded_refs: list[str] = field(default_factory=list)
     plugin: str | None = None       # file.py[:Class] (reference --plugin)
     plugin_config: str = ""
+    threads: int = 1                # host thread pool (reference -t)
 
     def bam_filter(self) -> seqio.BamFilter:
         return seqio.BamFilter(self.bam_require_flags,
@@ -537,22 +538,40 @@ def run_pipeline(opts: PipelineOptions) -> KmDir:
             stage_superk(kmdir, config, repart, s, opts)
         return _finish(kmdir, t0)
 
-    for s in range(len(kmdir.fof)):
-        log.info("count [%s]", kmdir.fof.entries[s].id)
-        stage_count(kmdir, config, repart, s, opts, partitions=partitions)
+    _pmap(opts.threads,
+          lambda s: (log.info("count [%s]", kmdir.fof.entries[s].id),
+                     stage_count(kmdir, config, repart, s, opts,
+                                 partitions=partitions)),
+          range(len(kmdir.fof)))
     if opts.until == "count":
         return _finish(kmdir, t0)
 
     amin_vec = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
-    for p in (partitions if partitions is not None
-              else range(config.nb_partitions)):
-        log.info("merge [partition %d]", p)
-        stage_merge(kmdir, config, opts, p, amin_vec)
+    _pmap(opts.threads,
+          lambda p: (log.info("merge [partition %d]", p),
+                     stage_merge(kmdir, config, opts, p, amin_vec)),
+          partitions if partitions is not None
+          else range(config.nb_partitions))
 
     if mode == "bft":
         log.info("format: per-sample Bloom filters")
         stage_format(kmdir, config, opts)
     return _finish(kmdir, t0)
+
+
+def _pmap(threads: int, fn, items) -> None:
+    """Run ``fn`` over ``items`` on a host thread pool (the reference's
+    TaskPool, task_pool.hpp:36-120; each item writes independent files, and
+    numpy/zlib release the GIL in the heavy ops)."""
+    items = list(items)
+    if threads <= 1 or len(items) <= 1:
+        for it in items:
+            fn(it)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(fn, items))
 
 
 def _selected_partitions(opts: PipelineOptions,

@@ -71,3 +71,14 @@ def test_until_superk_writes_skp(tmp_path, fof_path):
             os.path.join(kmdir.get_superk_path(name), "skp.0"))
         assert os.path.exists(
             os.path.join(kmdir.get_superk_path(name), "PartiInfoFile"))
+
+
+def test_threads_parallel_equals_serial(tmp_path, fof_path):
+    serial = run_pipeline(opts(tmp_path, fof_path, "t1"))
+    para = run_pipeline(opts(tmp_path, fof_path, "t4", threads=4))
+    for p in range(4):
+        a = open(serial.get_matrix_path(p, "count", "bin", "kmer", False),
+                 "rb").read()
+        b = open(para.get_matrix_path(p, "count", "bin", "kmer", False),
+                 "rb").read()
+        assert a == b
