@@ -502,6 +502,27 @@ def stage_format(kmdir: KmDir, config: Config, opts: PipelineOptions) -> None:
                       fmt=opts.bf_format)
 
 
+def build_bf_from_vectors(kmdir: KmDir, config: Config, sample_id: str,
+                          bf_format: str = "howdesbt") -> str:
+    """Assemble one sample's full Bloom filter by concatenating its
+    per-partition window bit vectors (``count --mode vector`` output) —
+    BloomBuilderFromVec (howde_utils.hpp:187-214)."""
+    from kmtricks_tpu.io.howde import write_bf_file
+
+    hw = HashWindow.load(kmdir.hash_win)
+    parts = []
+    for p in range(config.nb_partitions):
+        path = kmdir.get_count_part_path(sample_id, p, False, "vector")
+        if not os.path.exists(path):
+            path = kmdir.get_count_part_path(sample_id, p, True, "vector")
+        (bits, _sid, _part), vec = F.read_bit_vector_file(path)
+        parts.append(vec[:F.nbytes(hw.window_size_bits)])
+    out = kmdir.get_filter_path(sample_id, bf_format)
+    write_bf_file(out, np.concatenate(parts), hw.bloom_size,
+                  config.kmer_size, fmt=bf_format)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Full pipeline
 # ---------------------------------------------------------------------------

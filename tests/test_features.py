@@ -161,3 +161,60 @@ def test_pipeline_device_backend(tmp_path, fof_path, repart_src, mode):
         a = open(kh.get_matrix_path(p, m, "bin", cf, False), "rb").read()
         b = open(kd.get_matrix_path(p, m, "bin", cf, False), "rb").read()
         assert a == b, f"partition {p}: device != host ({mode})"
+
+
+def test_bf_from_vectors_matches_bft(tmp_path, fof_path, repart_src):
+    """count --mode vector per-partition vectors -> per-sample BF
+    (BloomBuilderFromVec) equals the bft transpose route."""
+    from kmtricks_tpu.io.howde import read_bf_file
+    from kmtricks_tpu.runtime.modules import load_run, module_count
+    from kmtricks_tpu.runtime.pipeline import build_bf_from_vectors
+
+    kbft = run_pipeline(PipelineOptions(
+        fof=fof_path, run_dir=str(tmp_path / "bft"), kmer_size=31,
+        hard_min=1, soft_min="1", repart_from=repart_src,
+        mode="hash:bft:bin", bloom_size=1_000_000))
+
+    kvec_dir = str(tmp_path / "vec")
+    run_pipeline(PipelineOptions(
+        fof=fof_path, run_dir=kvec_dir, kmer_size=31, hard_min=1,
+        repart_from=repart_src, mode="hash:count:bin",
+        bloom_size=1_000_000, until="count"))
+    opts = PipelineOptions(run_dir=kvec_dir, kmer_size=31, hard_min=1,
+                           mode="hash:count:bin")
+    kmdir, config, _rep = load_run(kvec_dir)
+    for name in ("D1", "D2"):
+        module_count(kvec_dir, name, opts, count_mode="vector")
+        out = build_bf_from_vectors(kmdir, config, name)
+        _, bits_vec = read_bf_file(out)
+        _, bits_bft = read_bf_file(kbft.get_filter_path(name))
+        assert (np.asarray(bits_vec) == np.asarray(bits_bft)).all(), name
+
+
+@pytest.mark.parametrize("k", [96, 127])
+def test_host_large_k(k):
+    """k > 64 host path: canonical sets are strand-invariant and counted
+    consistently (multi-word Kmer<96>/Kmer<128> spans)."""
+    from kmtricks_tpu.core import kmer as kops
+    from kmtricks_tpu.core.repartition import Repartition
+    from kmtricks_tpu.host.ops import count_sequences
+
+    rng = np.random.default_rng(k)
+    reads = [bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                              size=200)) for _ in range(6)]
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    rc_reads = [r[::-1].translate(comp) for r in reads]
+    rep = Repartition.from_xxh(4, 10)
+    a = count_sequences(reads, k, 10, rep.table, hard_min=1)
+    b = count_sequences(rc_reads, k, 10, rep.table, hard_min=1)
+    all_a = np.concatenate([a.partitions[p][0] for p in range(4)
+                            if p in a.partitions])
+    all_b = np.concatenate([b.partitions[p][0] for p in range(4)
+                            if p in b.partitions])
+    va = {tuple(int(w) for w in row) for row in all_a}
+    vb = {tuple(int(w) for w in row) for row in all_b}
+    assert va == vb                      # canonical => strand-invariant
+    assert all_a.shape[1] == (k + 31) // 32
+    # string roundtrip at this k
+    s = kops.kmers_to_strings(all_a[:5], k)
+    assert (kops.strings_to_kmers(s, k) == all_a[:5]).all()
