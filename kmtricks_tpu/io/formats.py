@@ -69,13 +69,14 @@ def _write_header(f: BinaryIO, compressed: bool, magic: int, fields: bytes) -> N
     f.write(fields)
 
 
-def _read_header(f: BinaryIO, magic_expect: int, fields_fmt: str):
+def _read_header(f: BinaryIO, magic_expect: int | None, fields_fmt: str):
     base, version, compressed = _BASE.unpack(f.read(13))
     if base != C.MAGIC_BASE:
         raise IOError("Invalid file format.")
-    (magic,) = struct.unpack("<Q", f.read(8))
-    if magic != magic_expect:
-        raise IOError("Invalid file format.")
+    if magic_expect is not None:
+        (magic,) = struct.unpack("<Q", f.read(8))
+        if magic != magic_expect:
+            raise IOError("Invalid file format.")
     s = struct.Struct(fields_fmt)
     fields = s.unpack(f.read(s.size))
     return compressed, fields
@@ -234,13 +235,20 @@ def write_matrix_file(path: str, kmers: np.ndarray, counts: np.ndarray,
         f.write(lz4.compress(payload) if compressed else payload)
 
 
-def read_matrix_file(path: str, count_bytes: int = 4
+def read_matrix_file(path: str, count_bytes: int = 4, kasm: bool = False
                      ) -> tuple[MatrixFileInfo, np.ndarray, np.ndarray]:
     """Read a .count matrix. ``count_bytes`` must match the writer's real
-    count width (the header lies — see write_matrix_file)."""
+    count width (the header lies — see write_matrix_file). ``kasm`` reads
+    the kasm-compat header variant (matrix_file.hpp:55-74: u64 dummy,
+    kmer_size, kmer_slots, id, partition, count_slots; nb_counts = 1)."""
     with open(path, "rb") as f:
-        compressed, (ksize, slots, cslots, nb, sid, part) = _read_header(
-            f, C.MAGIC_MATRIX, "<IIIIII")
+        if kasm:
+            compressed, (_dummy, ksize, slots, sid, part, cslots) = \
+                _read_header(f, None, "<QIIIII")
+            nb = 1
+        else:
+            compressed, (ksize, slots, cslots, nb, sid, part) = _read_header(
+                f, C.MAGIC_MATRIX, "<IIIIII")
         payload = _payload(f, compressed)
     info = MatrixFileInfo(ksize, slots, cslots, nb, sid, part, compressed)
     rec = np.frombuffer(payload, dtype=np.dtype(

@@ -196,3 +196,25 @@ def test_album_bank(tmp_path):
     assert seqio.sniff_format(str(fa1)) == "fasta"
     seqs = [s for _, s in seqio.iter_bank(str(album))]
     assert seqs == [b"ACGT", b"TTTT"]
+
+
+def test_kasm_matrix_header(tmp_path):
+    """kasm-compat count matrix header (matrix_file.hpp:55-74)."""
+    import struct
+
+    from kmtricks_tpu import constants as C
+
+    rng = np.random.default_rng(4)
+    kmers = rng.integers(0, 2**62, (10, 1), dtype=np.uint64)
+    counts = rng.integers(0, 100, (10, 1), dtype=np.uint32)
+    rec = np.zeros(10, dtype=np.dtype([("k", "<u8"), ("c", "<u4")]))
+    rec["k"], rec["c"] = kmers[:, 0], counts[:, 0]
+    p = tmp_path / "kasm.count"
+    with open(p, "wb") as f:
+        f.write(struct.pack("<QI?", C.MAGIC_BASE, 0, False))
+        f.write(struct.pack("<QIIIII", 0xDEAD, 31, 1, 7, 3, 4))
+        f.write(rec.tobytes())
+    info, kk, cc = F.read_matrix_file(str(p), count_bytes=4, kasm=True)
+    assert info.kmer_size == 31 and info.nb_counts == 1
+    assert info.id == 7 and info.partition == 3
+    assert (kk == kmers).all() and (cc == counts).all()
