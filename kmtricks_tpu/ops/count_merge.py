@@ -75,10 +75,10 @@ def _per_sample(value, samp, nsamp):
 
 
 @partial(jax.jit, static_argnames=("nsamp", "hard_min", "rmin", "save_if",
-                                   "count_max"))
+                                   "count_max", "with_stats"))
 def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
                      hard_min: int, rmin: int, save_if: int,
-                     count_max: int = 0xFFFFFFFF):
+                     count_max: int = 0xFFFFFFFF, with_stats: bool = True):
     """Count and merge raw occurrences in one pass — variable key width.
 
     Parameters
@@ -165,15 +165,20 @@ def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
     final = jnp.where(solid | rescued, cnt, U32(0))
     row_keep = row_head & (solid_in >= rmin)
 
-    stats = jnp.stack([
-        _per_sample(present & ~solid, samp_i, nsamp),      # NON_SOLID
-        _per_sample(rescued, samp_i, nsamp),               # RESCUED
-        _per_sample(solid, samp_i, nsamp),                 # UNIQUE_WO_RESCUE
-        _per_sample(solid | rescued, samp_i, nsamp),       # UNIQUE_W_RESCUE
-        _per_sample(jnp.where(solid, cnt, U32(0)), samp_i,
-                    nsamp),                                # TOTAL_WO_RESCUE
-        _per_sample(final, samp_i, nsamp),                 # TOTAL_W_RESCUE
-    ])
+    if with_stats:
+        stats = jnp.stack([
+            _per_sample(present & ~solid, samp_i, nsamp),   # NON_SOLID
+            _per_sample(rescued, samp_i, nsamp),            # RESCUED
+            _per_sample(solid, samp_i, nsamp),            # UNIQUE_WO_RESCUE
+            _per_sample(solid | rescued, samp_i, nsamp),  # UNIQUE_W_RESCUE
+            _per_sample(jnp.where(solid, cnt, U32(0)), samp_i,
+                        nsamp),                           # TOTAL_WO_RESCUE
+            _per_sample(final, samp_i, nsamp),            # TOTAL_W_RESCUE
+        ])
+    else:
+        # ~20% of the step; callers that rebuild per-partition stats on
+        # host (the mesh runtime) skip the device reductions
+        stats = jnp.zeros((6, nsamp), dtype=U32)
     return (part_s.astype(I32), keys_s, samp_i, final, cnt,
             present, row_head, row_keep, row_of, stats)
 

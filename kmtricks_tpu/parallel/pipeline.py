@@ -131,7 +131,8 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                            mode: str = "kmer", window_bits: int | None = None,
                            count_max: int = 0xFFFFFFFF,
                            encode_impl: str = "auto",
-                           static_repart: bool = False):
+                           static_repart: bool = False,
+                           with_stats: bool = True):
     """Build the jitted SPMD pipeline step over ``mesh``.
 
     The returned function takes GLOBAL arrays (leading axis divisible by the
@@ -162,7 +163,7 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
          row_keep, _row_of, stats) = count_merge_keys(
             rpart, rkeys, rsamp, rvalid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,
-            count_max=count_max)
+            count_max=count_max, with_stats=with_stats)
         stats = jax.lax.psum(stats, axis)
         dropped = jax.lax.psum(dropped, axis)
         return (part_s, keys_s, samp_s, final, cnt, present, key_head,
@@ -182,7 +183,8 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
                            mode: str = "kmer", window_bits: int | None = None,
                            count_max: int = 0xFFFFFFFF,
                            encode_impl: str = "auto",
-                           static_repart_parts: int | None = None):
+                           static_repart_parts: int | None = None,
+                           with_stats: bool = True):
     """Single-device fused forward step (no collectives): encode -> hash ->
     sort -> count+merge. Jittable; used by ``__graft_entry__.entry`` and the
     benchmark."""
@@ -195,6 +197,6 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
         return count_merge_keys(
             parts, keys, sampw, valid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,
-            count_max=count_max)
+            count_max=count_max, with_stats=with_stats)
 
     return step

@@ -119,7 +119,8 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
         nb_parts=config.nb_partitions, cap=cap, nsamp=nsamp,
         hard_min=hard_min, rmin=opts.recurrence_min,
         save_if=opts.share_min, mode=cf, window_bits=window_bits,
-        count_max=count_max, static_repart=opts.static_repart)
+        count_max=count_max, static_repart=opts.static_repart,
+        with_stats=False)   # per-partition stats are rebuilt on host
     outp = step(jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(sarr),
                 jnp.asarray(repart.table.astype(np.int32)),
                 jnp.asarray(amin_vec, dtype=np.uint32))
@@ -221,7 +222,8 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
         mesh, k=config.kmer_size, m=config.minim_size,
         nb_parts=config.nb_partitions, cap=cap, nsamp=nsamp,
         hard_min=1, rmin=1, save_if=0, mode=cf, window_bits=window_bits,
-        count_max=0xFFFFFFFF, static_repart=opts.static_repart)
+        count_max=0xFFFFFFFF, static_repart=opts.static_repart,
+        with_stats=False)
     table = jnp.asarray(repart.table.astype(np.int32))
     ones = jnp.ones(nsamp, dtype=jnp.uint32)
 
