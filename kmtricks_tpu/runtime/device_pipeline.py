@@ -36,6 +36,20 @@ from kmtricks_tpu.runtime.pipeline import (
 log = logging.getLogger("kmtricks_tpu")
 
 
+def _is_float_quantile(spec) -> bool:
+    """--soft-min spec is a float quantile in (0, 1) (one of the three
+    forms resolve_soft_min accepts: int | quantile | per-sample file)."""
+    try:
+        int(spec)
+        return False
+    except ValueError:
+        pass
+    try:
+        return 0 < float(spec) < 1
+    except ValueError:
+        return False
+
+
 def _load_global_batch(kmdir: KmDir, opts: PipelineOptions, k: int,
                        ndev: int):
     import math
@@ -269,17 +283,6 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
     from kmtricks_tpu.io import formats as F
     from kmtricks_tpu.runtime.filter import lex_view
 
-    def _is_float_quantile(spec):
-        try:
-            int(spec)
-            return False
-        except ValueError:
-            pass
-        try:
-            return 0 < float(spec) < 1
-        except ValueError:
-            return False
-
     # histograms: requested explicitly, or required by a float soft-min
     # quantile (the reference requires counting with --hist first; here the
     # full distribution is in hand anyway)
@@ -287,10 +290,16 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
                                and _is_float_quantile(opts.soft_min))
     hists = ([KHist(s, config.kmer_size) for s in range(nsamp)]
              if want_hists else None)
+    # with a resolvable soft-min, merge each partition as soon as its
+    # tables are built (streaming, no extra copy); the histogram/quantile
+    # case needs all tables first (amin depends on the full distribution)
+    streaming = amin_vec is not None and hists is None
     tables: dict[tuple[int, int], tuple] = {}
-    for p in range(config.nb_partitions):
+
+    def build_tables(p):
         sel = part == p
         pk, ps, pc = keys[sel], samp[sel], cnt[sel]
+        keys_list, counts_list = [], []
         for s in range(nsamp):
             m_s = ps == s
             kk, cc = pk[m_s], pc[m_s]
@@ -309,21 +318,30 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
                 hists[s].inc_counts(cc)
             solid = cc >= hard_mins[s]
             kk, cc = kk[solid], np.minimum(cc[solid], count_max)
-            tables[(p, s)] = (kk if cf == "kmer" else kk.ravel(),
-                              cc.astype(np.uint32))
+            keys_list.append(kk if cf == "kmer" else kk.ravel())
+            counts_list.append(cc.astype(np.uint32))
+        return keys_list, counts_list
 
-    if hists is not None:
-        for s, entry in enumerate(kmdir.fof):
-            F.write_hist_file(kmdir.get_hist_path(entry.id), hists[s])
-    if amin_vec is None:
-        amin_vec = resolve_soft_min(opts.soft_min, kmdir, nsamp)
-
-    for p in range(config.nb_partitions):
-        keys_list = [tables[(p, s)][0] for s in range(nsamp)]
-        counts_list = [tables[(p, s)][1] for s in range(nsamp)]
+    def merge_and_write(p, keys_list, counts_list):
         res = merge_partition(keys_list, counts_list, amin_vec,
                               opts.recurrence_min, opts.share_min)
         write_merge_outputs(kmdir, config, opts, p, res)
+
+    for p in range(config.nb_partitions):
+        kl, cl = build_tables(p)
+        if streaming:
+            merge_and_write(p, kl, cl)
+        else:
+            tables[p] = (kl, cl)
+
+    if not streaming:
+        if hists is not None:
+            for s, entry in enumerate(kmdir.fof):
+                F.write_hist_file(kmdir.get_hist_path(entry.id), hists[s])
+        if amin_vec is None:
+            amin_vec = resolve_soft_min(opts.soft_min, kmdir, nsamp)
+        for p in range(config.nb_partitions):
+            merge_and_write(p, *tables[p])
 
 
 def _needs_host_aggregation(opts: PipelineOptions, kmdir: KmDir) -> bool:
@@ -331,15 +349,7 @@ def _needs_host_aggregation(opts: PipelineOptions, kmdir: KmDir) -> bool:
         return True
     if len(set(kmdir.fof.abundance_mins(opts.hard_min))) != 1:
         return True
-    try:
-        int(opts.soft_min)
-        return False
-    except ValueError:
-        pass
-    try:
-        return 0 < float(opts.soft_min) < 1    # quantile needs histograms
-    except ValueError:
-        return False                           # per-sample file is fine
+    return _is_float_quantile(opts.soft_min)   # quantile needs histograms
 
 
 def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
