@@ -75,10 +75,12 @@ def _per_sample(value, samp, nsamp):
 
 
 @partial(jax.jit, static_argnames=("nsamp", "hard_min", "rmin", "save_if",
-                                   "count_max", "with_stats"))
+                                   "count_max", "with_stats",
+                                   "part_follows_keys"))
 def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
                      hard_min: int, rmin: int, save_if: int,
-                     count_max: int = 0xFFFFFFFF, with_stats: bool = True):
+                     count_max: int = 0xFFFFFFFF, with_stats: bool = True,
+                     part_follows_keys: bool = False):
     """Count and merge raw occurrences in one pass — variable key width.
 
     Parameters
@@ -111,20 +113,34 @@ def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
     n = keys[0].shape[0]
     nw = len(keys)
     inv = (~valid).astype(U32)
-    sorted_ops = jax.lax.sort(
-        (inv, part.astype(U32)) + tuple(keys) + (samp.astype(U32),),
-        dimension=0, num_keys=3 + nw)
-    inv_s, part_s = sorted_ops[0], sorted_ops[1]
-    keys_s = sorted_ops[2:2 + nw]
-    samp_s = sorted_ops[2 + nw]
+    if part_follows_keys:
+        # the key ordering already implies the partition ordering (window
+        # hashes embed the partition, h = h%w + w*p) — carry part as a
+        # sorted VALUE instead of paying for a 5th sort key
+        sorted_ops = jax.lax.sort(
+            (inv,) + tuple(keys) + (samp.astype(U32), part.astype(U32)),
+            dimension=0, num_keys=2 + nw)
+        inv_s = sorted_ops[0]
+        keys_s = sorted_ops[1:1 + nw]
+        samp_s = sorted_ops[1 + nw]
+        part_s = sorted_ops[2 + nw]
+    else:
+        sorted_ops = jax.lax.sort(
+            (inv, part.astype(U32)) + tuple(keys) + (samp.astype(U32),),
+            dimension=0, num_keys=3 + nw)
+        inv_s, part_s = sorted_ops[0], sorted_ops[1]
+        keys_s = sorted_ops[2:2 + nw]
+        samp_s = sorted_ops[2 + nw]
     valid_s = inv_s == 0
     samp_i = samp_s.astype(I32)
     idx = jnp.arange(n, dtype=I32)
 
     ones = jnp.ones((n,), dtype=bool)
-    kd = part_s[1:] != part_s[:-1]
-    for w in keys_s:
+    kd = keys_s[0][1:] != keys_s[0][:-1]
+    for w in keys_s[1:]:
         kd = kd | (w[1:] != w[:-1])
+    if not part_follows_keys:
+        kd = kd | (part_s[1:] != part_s[:-1])
     key_diff = ones.at[1:].set(kd)
     samp_diff = ones.at[1:].set(samp_s[1:] != samp_s[:-1])
     occ_diff = key_diff | samp_diff

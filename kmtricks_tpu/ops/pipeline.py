@@ -89,7 +89,8 @@ def count_sample_device(
     (part_s, keys_s, _samp, _final, cnt, present, _rh, _rk, _ro,
      _stats) = count_merge_keys(
         parts, keys, zeros, valid, jnp.ones(1, dtype=jnp.uint32),
-        nsamp=1, hard_min=1, rmin=1, save_if=0)
+        nsamp=1, hard_min=1, rmin=1, save_if=0,
+        part_follows_keys=(mode == "hash"))
 
     part_s = np.asarray(part_s)
     present = np.asarray(present).astype(bool)

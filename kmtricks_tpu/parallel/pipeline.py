@@ -163,7 +163,8 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
          row_keep, _row_of, stats) = count_merge_keys(
             rpart, rkeys, rsamp, rvalid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,
-            count_max=count_max, with_stats=with_stats)
+            count_max=count_max, with_stats=with_stats,
+            part_follows_keys=(mode == "hash"))
         stats = jax.lax.psum(stats, axis)
         dropped = jax.lax.psum(dropped, axis)
         return (part_s, keys_s, samp_s, final, cnt, present, key_head,
@@ -197,6 +198,7 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
         return count_merge_keys(
             parts, keys, sampw, valid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,
-            count_max=count_max, with_stats=with_stats)
+            count_max=count_max, with_stats=with_stats,
+            part_follows_keys=(mode == "hash"))
 
     return step
