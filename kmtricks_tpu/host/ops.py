@@ -150,8 +150,10 @@ class MergeStats:
     total_w_rescue: np.ndarray
 
     def serialize(self, path: str) -> None:
+        # trailing tab after every value (write_vector, utils.hpp:190-195)
         def line(name, vec):
-            return name + "\t" + "\t".join(str(int(v)) for v in vec) + "\n"
+            return (name + "\t"
+                    + "".join(f"{int(v)}\t" for v in vec) + "\n")
         with open(path, "w") as f:
             f.write(line("NON_SOLID", self.non_solid))
             f.write(line("RESCUED", self.rescued))
