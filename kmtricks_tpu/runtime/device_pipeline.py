@@ -188,8 +188,9 @@ def _merge_result_for_partition(keys, samp, final, cnt, present, row_head,
             np.uint64),
         total_w_rescue=mat.astype(np.uint64).sum(axis=0),
     )
+    slots = 1 if keys.ndim == 1 else keys.shape[1]
     return MergeResult(
-        keys=ukeys.reshape(len(ukeys), -1) if cf == "kmer" else ukeys,
+        keys=ukeys.reshape(len(ukeys), slots) if cf == "kmer" else ukeys,
         counts=mat, keep=row_keep[row_head], stats=stats)
 
 
