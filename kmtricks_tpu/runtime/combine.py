@@ -53,18 +53,18 @@ def module_combine(run_dirs: list[str], output: str) -> None:
                 raise ValueError("combine: hash windows differ between runs")
 
     config = configs[0]
-    # combined fof: concat, renaming duplicate ids (matrix.hpp:824-871)
+    # combined fof: plain concat; if ids collide, EVERY id is renamed to
+    # "{id}_{run_index}" (MatrixMerger::cat_fof / cat_fof_and_rename,
+    # matrix.hpp:824-871)
     entries: list[FofEntry] = []
-    seen: set[str] = set()
     col_offsets = []
     total_cols = 0
+    all_ids = [e.id for s in srcs for e in s.fof]
+    rename = len(set(all_ids)) != len(all_ids)
     for ri, s in enumerate(srcs):
         col_offsets.append(total_cols)
         for e in s.fof:
-            ident = e.id
-            while ident in seen:
-                ident = f"{ident}_{ri}"
-            seen.add(ident)
+            ident = f"{e.id}_{ri}" if rename else e.id
             entries.append(FofEntry(ident, e.paths, e.abundance_min))
         total_cols += len(s.fof)
 

@@ -212,33 +212,38 @@ def write_skp_header(f, partition: int, compressed: bool = False) -> None:
     f.write(struct.pack("<QI", C.MAGIC_SUPERK, partition))
 
 
-def read_skp_header(f) -> int:
+def read_skp_header(f) -> tuple[int, bool]:
     base, _, compressed = _BASE.unpack(f.read(13))
     magic, part = struct.unpack("<QI", f.read(12))
     if base != C.MAGIC_BASE or magic != C.MAGIC_SUPERK:
         raise IOError("Invalid file format.")
-    if compressed:
-        raise NotImplementedError("lz4 superkmer files")
-    return part
+    return part, compressed
 
 
 def iter_skp_file(path: str, k: int):
-    """Yield (nbk, codes) for each superkmer of an skp file."""
+    """Yield (nbk, codes) for each superkmer of an skp file (plain or with
+    the post-header stream lz4-framed — SuperkWriter's second layer,
+    superk_file.hpp:56-83)."""
+    from kmtricks_tpu.io import lz4
+
     with open(path, "rb") as f:
-        read_skp_header(f)
-        while True:
-            raw = f.read(4)
-            if len(raw) < 4:
-                return
-            (size,) = struct.unpack("<I", raw)
-            block = f.read(size)
-            i = 0
-            while i < len(block):
-                nbk = block[i]
-                i += 1
-                nb = (k + nbk - 1 + 3) // 4    # ceil(total nts / 4)
-                yield nbk, unpack_superkmer(block[i:i + nb], nbk, k)
-                i += nb
+        _part, compressed = read_skp_header(f)
+        data = f.read()
+    if compressed:
+        data = lz4.decompress(data)
+    pos = 0
+    while pos + 4 <= len(data):
+        (size,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        block = data[pos:pos + size]
+        pos += size
+        i = 0
+        while i < len(block):
+            nbk = block[i]
+            i += 1
+            nb = (k + nbk - 1 + 3) // 4    # ceil(total nts / 4)
+            yield nbk, unpack_superkmer(block[i:i + nb], nbk, k)
+            i += nb
 
 
 # ---------------------------------------------------------------------------
@@ -282,21 +287,27 @@ def stage_superk(kmdir, config, repart, sample_idx: int, opts,
     psel = set(partitions) if partitions is not None \
         else set(range(nb_parts))
 
+    cpr = bool(getattr(opts, "cpr", False))
     prefix = kmdir.get_superk_path(entry.id)
     os.makedirs(prefix, exist_ok=True)
     files = {}
     buffers: dict[int, bytearray] = {}
+    streams: dict[int, bytearray] = {}    # framed stream (lz4 mode)
     nbk_file = dict.fromkeys(psel, 0)
     size_file = dict.fromkeys(psel, 0)
     for p in psel:
         files[p] = open(os.path.join(prefix, f"skp.{p}"), "wb")
-        write_skp_header(files[p], p)
+        write_skp_header(files[p], p, compressed=cpr)
         buffers[p] = bytearray()
+        streams[p] = bytearray()
 
     def flush(p):
         if buffers[p]:
-            files[p].write(struct.pack("<I", len(buffers[p])))
-            files[p].write(buffers[p])
+            framed = struct.pack("<I", len(buffers[p])) + bytes(buffers[p])
+            if cpr:
+                streams[p] += framed
+            else:
+                files[p].write(framed)
             size_file[p] += len(buffers[p]) + 4
             buffers[p].clear()
 
@@ -323,8 +334,12 @@ def stage_superk(kmdir, config, repart, sample_idx: int, opts,
             buffers[p].append(size)
             buffers[p] += packed
             nbk_file[p] += size
+    from kmtricks_tpu.io import lz4
+
     for p in psel:
         flush(p)
+        if cpr:
+            files[p].write(lz4.compress(bytes(streams[p])))
         files[p].close()
 
     # sidecars

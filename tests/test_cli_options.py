@@ -82,3 +82,29 @@ def test_threads_parallel_equals_serial(tmp_path, fof_path):
         b = open(para.get_matrix_path(p, "count", "bin", "kmer", False),
                  "rb").read()
         assert a == b
+
+
+def test_superk_cpr_roundtrip(tmp_path, fof_path):
+    """skp.P with the post-header lz4 frame: module flow stays byte-equal."""
+    from kmtricks_tpu.runtime.modules import (
+        module_count, module_merge, module_repart, module_superk)
+
+    o1 = opts(tmp_path, fof_path, "plain", until="all")
+    ref = run_pipeline(o1)
+
+    o2 = opts(tmp_path, fof_path, "cprmods")
+    o2.cpr = False   # count/matrix files plain; only superk uses cpr below
+    module_repart(o2)
+    for name in ("D1", "D2"):
+        sk = opts(tmp_path, fof_path, "cprmods")
+        sk.cpr = True
+        sk.run_dir = o2.run_dir
+        module_superk(o2.run_dir, name, sk)
+        module_count(o2.run_dir, name, o2)
+    module_merge(o2.run_dir, o2)
+    for p in range(4):
+        a = open(ref.get_matrix_path(p, "count", "bin", "kmer", False),
+                 "rb").read()
+        b = open(os.path.join(o2.run_dir, "matrices",
+                              f"matrix_{p}.count"), "rb").read()
+        assert a == b
