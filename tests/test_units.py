@@ -218,3 +218,35 @@ def test_kasm_matrix_header(tmp_path):
     assert info.kmer_size == 31 and info.nb_counts == 1
     assert info.id == 7 and info.partition == 3
     assert (kk == kmers).all() and (cc == counts).all()
+
+
+def test_multihost_glue_single_process():
+    from kmtricks_tpu.parallel import multihost as mh
+
+    mh.initialize()                      # no-op single process
+    mesh = mh.global_mesh()
+    assert mesh.shape["d"] == 8          # the virtual CPU mesh
+    lo, hi = mh.host_shard_bounds(100, mesh)
+    assert (lo, hi) == (0, 100)          # single process owns all rows
+    rows = np.arange(32, dtype=np.int32).reshape(16, 2)
+    arr = mh.make_global_batch(rows, mesh)
+    assert arr.shape == (16, 2)
+    assert (np.asarray(arr) == rows).all()
+
+
+def test_sdsl_bf_format(tmp_path):
+    from kmtricks_tpu.io.howde import bits_to_sdsl_words, write_bf_file
+
+    rng = np.random.default_rng(9)
+    bloom = 1024
+    bits = rng.integers(0, 256, bloom // 8, dtype=np.uint8)
+    p = str(tmp_path / "x.sdsl")
+    write_bf_file(p, bits, bloom, 31, fmt="sdsl")
+    raw = open(p, "rb").read()
+    # sdsl::bit_vector serialization: u64 bit count + LE u64 words
+    import struct
+    (nbits,) = struct.unpack("<Q", raw[:8])
+    assert nbits == bloom
+    words = np.frombuffer(raw[8:], dtype=np.uint64)
+    assert (words == bits_to_sdsl_words(bits, bloom)).all()
+    assert words.view(np.uint8).tobytes() == bits.tobytes()
