@@ -27,7 +27,11 @@ BF_VERSION = 2
 BFKIND_SIMPLE = 1
 BVCOMP_UNCOMPRESSED = 0
 
-_HDR = struct.Struct("<QIIIII4xQQQQI?3xQ")     # bffileheader (no info[])
+# bffileheader field layout: magic, headerSize, version, bfKind,
+# (explicit padding1), smerSize, numHashes, hashSeed1/2, hashModulus,
+# numBits, numVectors, setSizeKnown, setSize — per the public HowDeSBT
+# bloom_filter_file.h struct (padding1 sits between bfKind and smerSize)
+_HDR = struct.Struct("<QIII4xIIQQQQI?3xQ")     # bffileheader (no info[])
 _INFO = struct.Struct("<IIQQQ")                # bfvectorinfo
 _PREFIX_SIZE = 16                              # sizeof(bffileprefix)
 

@@ -26,12 +26,20 @@ def build(force: bool = False) -> str | None:
     if os.path.exists(_SO) and not force and \
             os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
+    # build to a private temp path and rename atomically: concurrent
+    # module processes (the shared-run-dir workflow) may race the build
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           _SRC, "-o", _SO]
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
         return _SO
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 

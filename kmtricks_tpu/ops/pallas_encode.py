@@ -27,11 +27,7 @@ U32 = jnp.uint32
 TILE_ROWS = 8
 
 
-def _rev2bit32(x):
-    x = ((x >> U32(2)) & U32(0x33333333)) | ((x & U32(0x33333333)) << U32(2))
-    x = ((x >> U32(4)) & U32(0x0F0F0F0F)) | ((x & U32(0x0F0F0F0F)) << U32(4))
-    x = ((x >> U32(8)) & U32(0x00FF00FF)) | ((x & U32(0x00FF00FF)) << U32(8))
-    return (x >> U32(16)) | (x << U32(16))
+from kmtricks_tpu.ops.encode import _rev2bit32  # noqa: E402
 
 
 def _kernel(batch_ref, len_ref, hi_ref, lo_ref, minim_ref, valid_ref,

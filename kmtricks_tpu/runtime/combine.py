@@ -83,7 +83,6 @@ def module_combine(run_dirs: list[str], output: str) -> None:
     ncols = [len(s.fof) for s in srcs]
     for p in range(config.nb_partitions):
         all_keys, per_run = [], []
-        bits_or_counts = mode  # "count" or "pa"
         for ri, s in enumerate(srcs):
             path = s.get_matrix_path(p, mode, "bin", cf, False)
             if not os.path.exists(path):

@@ -18,7 +18,6 @@ import shutil
 
 import numpy as np
 
-from kmtricks_tpu.host import ops as hops
 from kmtricks_tpu.io import formats as F
 from kmtricks_tpu.runtime.config import Config
 from kmtricks_tpu.runtime.kmdir import KmDir

@@ -192,6 +192,7 @@ def module_aggregate(run_dir: str, *, count: str = "", matrix: str = "",
                      cpr_out: bool = False, no_count: bool = False,
                      output: str = "stdout") -> None:
     import sys
+    from contextlib import nullcontext
 
     from kmtricks_tpu.core.kmer import kmers_to_strings
 
@@ -199,12 +200,13 @@ def module_aggregate(run_dir: str, *, count: str = "", matrix: str = "",
     nb = config.nb_partitions
     k = config.kmer_size
 
-    def out_stream():
-        return sys.stdout if output == "stdout" else open(output, "w")
+    def out_ctx():
+        # never close sys.stdout (in-process callers keep printing after)
+        return (nullcontext(sys.stdout) if output == "stdout"
+                else open(output, "w"))
 
     def emit_rows(names, counts_rows):
-        with (sys.stdout if output == "stdout"
-              else open(output, "w")) as out:
+        with out_ctx() as out:
             for i, name in enumerate(names):
                 if no_count:
                     out.write(f"{name}\n")
@@ -263,8 +265,7 @@ def module_aggregate(run_dir: str, *, count: str = "", matrix: str = "",
         if fmt == "text":
             names = (kmers_to_strings(keys, k) if matrix == "kmer"
                      else [str(int(h)) for h in keys])
-            with (sys.stdout if output == "stdout"
-                  else open(output, "w")) as out:
+            with out_ctx() as out:
                 for i, name in enumerate(names):
                     if no_count:
                         out.write(f"{name}\n")
@@ -301,8 +302,7 @@ def module_aggregate(run_dir: str, *, count: str = "", matrix: str = "",
             names = (kmers_to_strings(keys, k) if pa_matrix == "kmer"
                      else [str(int(h)) for h in keys])
             un = F.unpack_pa_bits(rows, bits)
-            with (sys.stdout if output == "stdout"
-                  else open(output, "w")) as out:
+            with out_ctx() as out:
                 for i, name in enumerate(names):
                     if no_count:
                         out.write(f"{name}\n")

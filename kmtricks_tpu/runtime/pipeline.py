@@ -256,8 +256,9 @@ def stage_count(kmdir: KmDir, config: Config, repart: Repartition,
     "kff" -> counted k-mers in KFF format only (KffCountProcessor).
     """
     entry = kmdir.fof.entries[sample_idx]
-    cf, _, _ = parse_mode(opts.mode)
-    count_mode = count_mode or cf
+    # opts.mode is the <cf:mode:out> triple from the pipeline; the count
+    # MODULE passes a bare count_mode token instead (cli.cpp count --mode)
+    count_mode = count_mode or parse_mode(opts.mode)[0]
     hw = (HashWindow.load(kmdir.hash_win)
           if count_mode in ("hash", "vector") else None)
     hard_min = entry.abundance_min or opts.hard_min
@@ -539,6 +540,14 @@ def run_pipeline(opts: PipelineOptions) -> KmDir:
                                          or opts.restrict_to_list):
         raise ValueError("bf modes require all partitions")
 
+    from kmtricks_tpu.runtime.device_pipeline import _is_float_quantile
+
+    if _is_float_quantile(opts.soft_min) and not opts.hist:
+        # the quantile thresholds need per-sample histograms (the reference
+        # requires counting with --hist first; we enable it implicitly,
+        # like the mesh backend's host-aggregation path)
+        log.info("float --soft-min: enabling histograms")
+        opts.hist = True
     kmdir, config = stage_config(opts)
     log.info("config: k=%d m=%d partitions=%d (estimated %d k-mers)",
              config.kmer_size, config.minim_size, config.nb_partitions,

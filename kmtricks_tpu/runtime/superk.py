@@ -287,27 +287,26 @@ def stage_superk(kmdir, config, repart, sample_idx: int, opts,
     psel = set(partitions) if partitions is not None \
         else set(range(nb_parts))
 
+    from kmtricks_tpu.io import lz4
+
     cpr = bool(getattr(opts, "cpr", False))
     prefix = kmdir.get_superk_path(entry.id)
     os.makedirs(prefix, exist_ok=True)
     files = {}
     buffers: dict[int, bytearray] = {}
-    streams: dict[int, bytearray] = {}    # framed stream (lz4 mode)
     nbk_file = dict.fromkeys(psel, 0)
     size_file = dict.fromkeys(psel, 0)
     for p in psel:
         files[p] = open(os.path.join(prefix, f"skp.{p}"), "wb")
         write_skp_header(files[p], p, compressed=cpr)
         buffers[p] = bytearray()
-        streams[p] = bytearray()
 
     def flush(p):
+        # each 32 KB block is written immediately — in lz4 mode as its own
+        # frame (the decoder handles concatenated frames), bounding memory
         if buffers[p]:
             framed = struct.pack("<I", len(buffers[p])) + bytes(buffers[p])
-            if cpr:
-                streams[p] += framed
-            else:
-                files[p].write(framed)
+            files[p].write(lz4.compress(framed) if cpr else framed)
             size_file[p] += len(buffers[p]) + 4
             buffers[p].clear()
 
@@ -334,12 +333,8 @@ def stage_superk(kmdir, config, repart, sample_idx: int, opts,
             buffers[p].append(size)
             buffers[p] += packed
             nbk_file[p] += size
-    from kmtricks_tpu.io import lz4
-
     for p in psel:
         flush(p)
-        if cpr:
-            files[p].write(lz4.compress(bytes(streams[p])))
         files[p].close()
 
     # sidecars

@@ -108,3 +108,21 @@ def test_superk_cpr_roundtrip(tmp_path, fof_path):
         b = open(os.path.join(o2.run_dir, "matrices",
                               f"matrix_{p}.count"), "rb").read()
         assert a == b
+
+
+def test_cli_count_module_without_superk(tmp_path, fof_path):
+    """`count --mode kmer` directly from reads (no superk stage) via the
+    CLI's bare-token mode — regression for the parse_mode crash."""
+    import subprocess
+    import sys
+
+    run = tmp_path / "modrun"
+    from kmtricks_tpu.runtime.modules import module_repart
+    module_repart(opts(tmp_path, fof_path, "modrun"))
+    r = subprocess.run(
+        [sys.executable, "-m", "kmtricks_tpu", "count", "--run-dir",
+         str(run), "--id", "D1", "--mode", "kmer", "--hard-min", "1"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(run / "counts" / "partition_0" / "D1.kmer")
