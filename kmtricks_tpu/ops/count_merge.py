@@ -113,25 +113,34 @@ def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
     n = keys[0].shape[0]
     nw = len(keys)
     inv = (~valid).astype(U32)
+    top = U32(1 << 31)
     if part_follows_keys:
         # the key ordering already implies the partition ordering (window
-        # hashes embed the partition, h = h%w + w*p) — carry part as a
-        # sorted VALUE instead of paying for a 5th sort key
+        # hashes embed the partition, h = h%w + w*p), and the high key word
+        # is < 2^31 (HashWindow bounds bloom_size below 2^63) — so the
+        # validity bit folds into keys[0] and part rides as a sorted VALUE:
+        # 3 sort operands instead of 5
+        k0 = (inv * top) | keys[0]
         sorted_ops = jax.lax.sort(
-            (inv,) + tuple(keys) + (samp.astype(U32), part.astype(U32)),
+            (k0,) + tuple(keys[1:]) + (samp.astype(U32), part.astype(U32)),
+            dimension=0, num_keys=1 + nw)
+        k0_s = sorted_ops[0]
+        keys_s = (k0_s & (top - U32(1)),) + sorted_ops[1:nw]
+        samp_s = sorted_ops[nw]
+        part_s = sorted_ops[1 + nw]
+        valid_s = (k0_s & top) == 0
+    else:
+        # partition ids are u16 — fold the validity bit into the partition
+        # operand (one fewer sort key)
+        p0 = (inv * top) | part.astype(U32)
+        sorted_ops = jax.lax.sort(
+            (p0,) + tuple(keys) + (samp.astype(U32),),
             dimension=0, num_keys=2 + nw)
-        inv_s = sorted_ops[0]
+        p0_s = sorted_ops[0]
+        part_s = p0_s & (top - U32(1))
         keys_s = sorted_ops[1:1 + nw]
         samp_s = sorted_ops[1 + nw]
-        part_s = sorted_ops[2 + nw]
-    else:
-        sorted_ops = jax.lax.sort(
-            (inv, part.astype(U32)) + tuple(keys) + (samp.astype(U32),),
-            dimension=0, num_keys=3 + nw)
-        inv_s, part_s = sorted_ops[0], sorted_ops[1]
-        keys_s = sorted_ops[2:2 + nw]
-        samp_s = sorted_ops[2 + nw]
-    valid_s = inv_s == 0
+        valid_s = (p0_s & top) == 0
     samp_i = samp_s.astype(I32)
     idx = jnp.arange(n, dtype=I32)
 
