@@ -126,3 +126,34 @@ def test_cli_count_module_without_superk(tmp_path, fof_path):
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert r.returncode == 0, r.stderr
     assert os.path.exists(run / "counts" / "partition_0" / "D1.kmer")
+
+
+def test_pinfo_counts_match_occurrences(tmp_path, fof_path):
+    """PartiInfo per-partition k-mer totals (superk) == total k-mer
+    occurrences routed to each partition (count), like the reference's
+    PartiInfo-driven allocation contract."""
+    import numpy as np
+
+    from kmtricks_tpu.core.repartition import Repartition
+    from kmtricks_tpu.host.ops import count_sequences
+    from kmtricks_tpu.io.sequences import iter_sequences
+    from kmtricks_tpu.runtime.modules import load_run, module_repart, \
+        module_superk
+    from kmtricks_tpu.runtime.superk import PartiInfo
+
+    o = opts(tmp_path, fof_path, "pinfo")
+    module_repart(o)
+    module_superk(o.run_dir, "D1", o)
+    kmdir, config, rep = load_run(o.run_dir)
+    pinfo = PartiInfo.load(kmdir.get_superk_path("D1"))
+
+    seqs = list(iter_sequences(kmdir.fof.get_files("D1")))
+    sc = count_sequences(seqs, config.kmer_size, config.minim_size,
+                         rep.table, hard_min=1)
+    for p in range(config.nb_partitions):
+        kk, cc = sc.partitions.get(p, (None, np.zeros(0, np.uint32)))
+        occurrences = int(np.asarray(cc, dtype=np.int64).sum())
+        assert pinfo.get_nb_kmer(p) == occurrences, p
+    # kx-mer radix totals sum to the same k-mer totals
+    per_rad = pinfo.nbk_per_radix * (np.arange(5)[None, :, None] + 1)
+    assert (per_rad.sum(axis=(1, 2)) == pinfo.part_nb_kmers).all()
