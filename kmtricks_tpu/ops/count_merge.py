@@ -206,16 +206,3 @@ def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
         stats = jnp.zeros((6, nsamp), dtype=U32)
     return (part_s.astype(I32), keys_s, samp_i, final, cnt,
             present, row_head, row_keep, row_of, stats)
-
-
-def count_merge_flat(part, hi, lo, samp, valid, amin_vec, *, nsamp: int,
-                     hard_min: int, rmin: int, save_if: int,
-                     count_max: int = 0xFFFFFFFF):
-    """Two-word (k <= 32 / window hash) convenience wrapper around
-    :func:`count_merge_keys` preserving the original flat signature."""
-    (part_s, keys_s, samp_i, final, cnt, present, row_head, row_keep,
-     row_of, stats) = count_merge_keys(
-        part, (hi, lo), samp, valid, amin_vec, nsamp=nsamp,
-        hard_min=hard_min, rmin=rmin, save_if=save_if, count_max=count_max)
-    return (part_s, keys_s[0], keys_s[1], samp_i, final, cnt,
-            present, row_head, row_keep, row_of, stats)

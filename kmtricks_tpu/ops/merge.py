@@ -104,15 +104,6 @@ def merge_keys(keys, samp, count, valid, amin_vec,
     return keys_s, samp_s, final, head, keep, row_of, stats
 
 
-def merge_flat(key_hi, key_lo, samp, count, valid, amin_vec,
-               nsamp: int, rmin: int, save_if: int):
-    """Two-word convenience wrapper (k <= 32 / window hash keys)."""
-    keys_s, samp_s, final, head, keep, row_of, stats = merge_keys(
-        (key_hi, key_lo), samp, count, valid, amin_vec, nsamp, rmin,
-        save_if)
-    return (keys_s[0], keys_s[1], samp_s, final, head, keep, row_of, stats)
-
-
 def _words_from_u64_rows(rows: np.ndarray) -> tuple:
     """(N, slots) little-endian u64 rows -> msb-first u32 word tuple."""
     out = []
