@@ -21,7 +21,7 @@ from typing import BinaryIO
 import numpy as np
 
 from kmtricks_tpu import constants as C
-from kmtricks_tpu.io import lz4
+from kmtricks_tpu.io import lz4, p4
 
 _BASE = struct.Struct("<QI?")  # magic, version, compressed
 
@@ -149,14 +149,10 @@ HASH_BLOCK = 32768 // 8  # 4096 hashes per block (buf_size / sizeof(u64))
 def write_hash_file(path: str, hashes: np.ndarray, counts: np.ndarray,
                     count_bytes: int, sample_id: int, partition: int,
                     compressed: bool = False) -> None:
-    """Write a .hash file. ``compressed`` requires the TurboPFor codec
-    (p4nd1enc64 for hashes, p4nzenc for counts) — not yet implemented; raw
-    blocks are [u64 n][u64 hash × n][count × n] (hash_file.hpp:112-131).
+    """Write a .hash file. Raw blocks are [u64 n][u64 hash × n][count × n];
+    compressed (`.hash.p4`) blocks are [u64 n][u64 hash_bytes][p4nd1enc64]
+    [u64 count_bytes][p4nzenc] (hash_file.hpp:100-131, codec: io/p4.py).
     """
-    if compressed:
-        raise NotImplementedError(
-            ".hash.p4 TurboPFor compression not implemented yet; "
-            "write uncompressed .hash files")
     hashes = np.asarray(hashes, dtype=np.uint64).ravel()
     counts = np.asarray(counts).astype(_count_dtype(count_bytes)).ravel()
     parts = []
@@ -164,6 +160,14 @@ def write_hash_file(path: str, hashes: np.ndarray, counts: np.ndarray,
         h = hashes[off:off + HASH_BLOCK]
         c = counts[off:off + HASH_BLOCK]
         parts.append(struct.pack("<Q", len(h)))
+        if compressed:
+            hb = p4.p4nd1enc64(h)
+            cb = p4.p4nzenc(c, count_bytes)
+            parts.append(struct.pack("<Q", len(hb)))
+            parts.append(hb)
+            parts.append(struct.pack("<Q", len(cb)))
+            parts.append(cb)
+            continue
         parts.append(h.tobytes())
         parts.append(c.tobytes())
     with open(path, "wb") as f:
@@ -176,14 +180,22 @@ def read_hash_file(path: str) -> tuple[HashFileInfo, np.ndarray, np.ndarray]:
     with open(path, "rb") as f:
         compressed, (cslots, sid, part) = _read_header(f, C.MAGIC_HASH, "<III")
         data = f.read()
-    if compressed:
-        raise NotImplementedError(".hash.p4 TurboPFor decoding not implemented yet")
     cdt = _count_dtype(cslots)
     hs, cs = [], []
     i = 0
     while i + 8 <= len(data):
         (n,) = struct.unpack_from("<Q", data, i)
         i += 8
+        if compressed:
+            (hb,) = struct.unpack_from("<Q", data, i)
+            i += 8
+            hs.append(p4.p4nd1dec64(data[i:i + hb], n))
+            i += hb
+            (cb,) = struct.unpack_from("<Q", data, i)
+            i += 8
+            cs.append(p4.p4nzdec(data[i:i + cb], n, cslots))
+            i += cb
+            continue
         hs.append(np.frombuffer(data, dtype=np.uint64, count=n, offset=i))
         i += 8 * n
         cs.append(np.frombuffer(data, dtype=cdt, count=n, offset=i))

@@ -150,8 +150,9 @@ def module_count(run_dir: str, sample_id: str, opts: PipelineOptions,
                 keys, counts, config.kmer_size, config.count_bytes)
         elif cf == "hash":
             F.write_hash_file(
-                kmdir.get_count_part_path(sample_id, p, False, "hash"),
-                keys, counts, config.count_bytes, sidx, p)
+                kmdir.get_count_part_path(sample_id, p, opts.cpr, "hash"),
+                keys, counts, config.count_bytes, sidx, p,
+                compressed=opts.cpr)
         elif cf == "vector":
             w = hw.window_size_bits
             vec = np.zeros(F.nbytes(w), dtype=np.uint8)
@@ -238,7 +239,7 @@ def module_aggregate(run_dir: str, *, count: str = "", matrix: str = "",
             hs, cs = [], []
             for p in range(nb):
                 _, hh, cc = F.read_hash_file(
-                    kmdir.get_count_part_path(sample_id, p, False, "hash"))
+                    kmdir.get_count_part_path(sample_id, p, cpr_in, "hash"))
                 hs.append(hh)
                 cs.append(cc)
             hashes, cnts = np.concatenate(hs), np.concatenate(cs)

@@ -294,9 +294,9 @@ def stage_count(kmdir: KmDir, config: Config, repart: Repartition,
                     kmdir.get_count_part_path(entry.id, p, False, "kff"),
                     keys, counts, config.kmer_size, config.count_bytes)
         elif count_mode == "hash":
-            path = kmdir.get_count_part_path(entry.id, p, False, "hash")
+            path = kmdir.get_count_part_path(entry.id, p, opts.cpr, "hash")
             F.write_hash_file(path, keys, counts, config.count_bytes,
-                              sample_idx, p)
+                              sample_idx, p, compressed=opts.cpr)
         elif count_mode == "kff":
             from kmtricks_tpu.io.kff import write_kff_file
             write_kff_file(
@@ -367,10 +367,7 @@ def stage_merge(kmdir: KmDir, config: Config, opts: PipelineOptions,
     cf, mode, out = parse_mode(opts.mode)
     nsamp = len(kmdir.fof)
     keys_list, counts_list = [], []
-    # hash count files are always written uncompressed (.p4 TurboPFor is
-    # not supported — see io/formats.write_hash_file), so never resolve
-    # the .p4 extension here
-    cpr_in = opts.cpr and cf == "kmer"
+    cpr_in = opts.cpr
     for path in kmdir.get_files_to_merge(partition, cpr_in, cf):
         if cf == "kmer":
             _, kk, cc = F.read_kmer_file(path)

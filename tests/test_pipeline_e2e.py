@@ -158,16 +158,25 @@ def test_pipeline_bft_and_filters(tmp_path, fof_path, repart_src):
         assert (got[:hw.bloom_size] == exp).all()
 
 
-def test_pipeline_hash_mode_with_cpr(tmp_path, fof_path, repart_src):
-    """--cpr with hash mode: hash files stay uncompressed (.p4 TurboPFor
-    unsupported) and merge must read them — regression for the .p4
-    resolution crash."""
+def test_pipeline_hash_mode_with_cpr(tmp_path, fof_path, repart_src,
+                                     ref_data):
+    """--cpr with hash mode: per-sample files are `.hash.p4` (p4nd1/p4nz
+    codec, hash_file.hpp:100-131) and decode to the same hash/count
+    streams as the reference's uncompressed fixtures."""
     opts = base_opts(tmp_path, fof_path, repart_src, mode="hash:count:bin",
                      bloom_size=1_000_000)
     opts.cpr = True
     kmdir = run_pipeline(opts)
     total = 0
     for p in range(4):
+        for name in ("D1", "D2"):
+            path = kmdir.get_count_part_path(name, p, True, "hash")
+            assert path.endswith(".hash.p4") and os.path.exists(path)
+            _, hh, cc = F.read_hash_file(path)
+            _, gh, gc = F.read_hash_file(
+                str(ref_data / "partitions" / "hashes" / f"partition_{p}"
+                    / f"{name}.hash"))
+            assert (hh == gh).all() and (cc == gc).all()
         path = kmdir.get_matrix_path(p, "count", "bin", "hash", True)
         assert path.endswith(".count_hash.lz4")
         _, hh, cc = F.read_matrix_hash_file(path)
