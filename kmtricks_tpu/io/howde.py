@@ -8,24 +8,40 @@ bits packed into little-endian u64 words), ``numBytes = bloom/8 + 8``.
 
 NOTE on constants: the reference's writer includes ``<bloom_filter_file.h>``
 from HowDeSBT, which is NOT vendored in the reference tree (src/howde is not
-built — see SURVEY.md fork notes), so the magic values below could not be
-cross-checked against reference source and follow the public HowDeSBT layout
-(struct field order/sizes verified against the reference writer's usage).
-Verify the magics against HowDeSBT before relying on cross-tool interop.
+built — see SURVEY.md fork notes) and is unreachable from this build
+environment (no network egress, no vendored copy anywhere on disk), so the
+five named constants below CANNOT be sourced here and are placeholders. The
+struct *layout* (field order/sizes/offsets, double-write protocol, SDSL
+vector serialization) is fully derived from the reference writer's usage
+(howde_utils.hpp:56-122) and locked by a byte-level golden test
+(tests/test_howde_header.py). For cross-tool interop with a real HowDeSBT
+install, override the constants with environment variables
+``KMTRICKS_TPU_BF_MAGIC`` / ``KMTRICKS_TPU_BF_MAGIC_UN`` /
+``KMTRICKS_TPU_BF_VERSION`` / ``KMTRICKS_TPU_BFKIND_SIMPLE`` /
+``KMTRICKS_TPU_BVCOMP_UNCOMPRESSED`` taken from your
+``bloom_filter_file.h`` — no other bytes differ.
 """
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
 
-# HowDeSBT bloom_filter_file.h constants (see module docstring caveat)
-BF_MAGIC_UNFINISHED = 0xD0B10F20D0B10F20
-BF_MAGIC = 0xD0B10F21D0B10F21
-BF_VERSION = 2
-BFKIND_SIMPLE = 1
-BVCOMP_UNCOMPRESSED = 0
+
+def _const(env: str, default: int) -> int:
+    v = os.environ.get(env)
+    return int(v, 0) if v is not None else default
+
+
+# HowDeSBT bloom_filter_file.h constants (see module docstring caveat:
+# placeholders, overridable via environment for real-HowDeSBT interop)
+BF_MAGIC_UNFINISHED = _const("KMTRICKS_TPU_BF_MAGIC_UN", 0xD0B10F20D0B10F20)
+BF_MAGIC = _const("KMTRICKS_TPU_BF_MAGIC", 0xD0B10F21D0B10F21)
+BF_VERSION = _const("KMTRICKS_TPU_BF_VERSION", 2)
+BFKIND_SIMPLE = _const("KMTRICKS_TPU_BFKIND_SIMPLE", 1)
+BVCOMP_UNCOMPRESSED = _const("KMTRICKS_TPU_BVCOMP_UNCOMPRESSED", 0)
 
 # bffileheader field layout: magic, headerSize, version, bfKind,
 # (explicit padding1), smerSize, numHashes, hashSeed1/2, hashModulus,
@@ -80,12 +96,16 @@ def write_bf_file(path: str, bits: np.ndarray, bloom_size: int,
         return
     total = header_size(1)
     with open(path, "wb") as f:
-        # first pass: unfinished magic (write_header:61-66)
-        f.write(_header_bytes(BF_MAGIC_UNFINISHED, _PREFIX_SIZE,
-                              bloom_size, kmer_size, total))
+        # first pass: zeroed header carrying only the unfinished magic and
+        # headerSize=sizeof(bffileprefix) (write_header zero-initialises the
+        # buffer with `new char[header_size]()`, howde_utils.hpp:59-64)
+        unfinished = bytearray(total)
+        unfinished[:16] = struct.pack("<QI4x", BF_MAGIC_UNFINISHED,
+                                      _PREFIX_SIZE)
+        f.write(bytes(unfinished))
         f.write(struct.pack("<Q", bloom_size))
         f.write(words.tobytes())
-        # rewrite with final magic
+        # rewrite with final magic and full fields
         f.seek(0)
         f.write(_header_bytes(BF_MAGIC, total, bloom_size, kmer_size, total))
 
