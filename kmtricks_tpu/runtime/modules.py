@@ -100,6 +100,61 @@ def count_from_superkmers(kmdir: KmDir, config: Config, sample_id: str,
     return (uniq if mode == "kmer" else uniq.ravel()), cnt
 
 
+def count_kff_sk(kmdir: KmDir, config: Config, rep, sample_id: str,
+                 opts: PipelineOptions,
+                 partitions: list[int] | None = None) -> None:
+    """`count --mode kff-sk`: counted superkmers as KFF minimizer sections
+    (KffSkWriter parity, kff_file.hpp:136-206 — vestigial in the reference,
+    functional here). Per partition: decode superkmers, count the
+    partition's canonical k-mers (hard-min, saturate to the section's
+    max=255/data_size=1), then emit one block per superkmer carrying its
+    per-k-mer counts, grouped by literal minimizer substring."""
+    from kmtricks_tpu.core import kmer as kops
+    from kmtricks_tpu.io.kff import write_kff_sk_file
+
+    k, m = config.kmer_size, config.minim_size
+    if not os.path.isdir(kmdir.get_superk_path(sample_id)) or not any(
+            f.startswith("skp.")
+            for f in os.listdir(kmdir.get_superk_path(sample_id))):
+        assert rep is not None, "no superkmers and no repartition"
+        stage_superk(kmdir, config, rep, kmdir.fof.get_i(sample_id), opts,
+                     partitions)
+    parts = partitions if partitions is not None \
+        else range(config.nb_partitions)
+    for p in parts:
+        path = os.path.join(kmdir.get_superk_path(sample_id), f"skp.{p}")
+        sks = [codes for _, codes in iter_skp_file(path, k)]
+        all_kmers = [kops.canonical(kops.kmers_from_codes(c, k), k)
+                     for c in sks]
+        if all_kmers:
+            cat = np.concatenate(all_kmers)
+            order = hops.sort_rows(cat)
+            uniq, cnt = hops.run_length_count(cat[order])
+            cnt = np.where(cnt >= opts.hard_min, cnt, 0)
+        else:
+            uniq = np.zeros((0, config.kmer_slots), dtype=np.uint64)
+            cnt = np.zeros(0, dtype=np.uint64)
+        vkeys = _lex_view(uniq)
+        blocks = []
+        for codes, kk in zip(sks, all_kmers):
+            masked = kops.masked_mmers(codes, m)
+            pos = int(np.argmin(masked))
+            idx = np.searchsorted(vkeys, _lex_view(kk))
+            counts = cnt[np.minimum(idx, max(len(cnt) - 1, 0))] \
+                if len(cnt) else np.zeros(len(kk), dtype=np.uint64)
+            blocks.append((codes, pos, counts))
+        write_kff_sk_file(
+            kmdir.get_count_part_path(sample_id, p, False, "kff"),
+            blocks, k, m)
+
+
+def _lex_view(rows: np.ndarray) -> np.ndarray:
+    """(N, s) u64 rows -> structured view comparing lexicographically
+    (for row-wise searchsorted)."""
+    rows = np.ascontiguousarray(rows)
+    return rows.view([("", rows.dtype)] * rows.shape[1]).ravel()
+
+
 def module_count(run_dir: str, sample_id: str, opts: PipelineOptions,
                  partitions: list[int] | None = None,
                  count_mode: str | None = None) -> None:
@@ -111,9 +166,8 @@ def module_count(run_dir: str, sample_id: str, opts: PipelineOptions,
     sidx = kmdir.fof.get_i(sample_id)
     cf = count_mode or opts.mode.split(":")[0]
     if cf == "kff-sk":
-        raise NotImplementedError(
-            "count --mode kff-sk (superkmer KFF sections) is not supported; "
-            "use --mode kff for counted k-mers in KFF")
+        count_kff_sk(kmdir, config, rep, sample_id, opts, partitions)
+        return
     skp_dir = kmdir.get_superk_path(sample_id)
     have_skp = os.path.exists(os.path.join(skp_dir, "skp.0")) or any(
         f.startswith("skp.") for f in (os.listdir(skp_dir)
