@@ -200,6 +200,7 @@ def decompress(data: bytes) -> bytes:
                 i += 4 + size
                 continue
             raise ValueError(f"bad LZ4 frame magic: {magic:#x}")
+        hdr_start = i
         flg = data[i]
         bd = data[i + 1]
         i += 2
@@ -210,13 +211,19 @@ def decompress(data: bytes) -> bytes:
         has_content_checksum = bool(flg & (1 << 2))
         has_block_checksum = bool(flg & (1 << 4))
         has_dict_id = bool(flg & 1)
+        content_size = None
         if has_content_size:
+            content_size = struct.unpack_from("<Q", data, i)[0]
             i += 8
         if has_dict_id:
             i += 4
-        i += 1  # header checksum byte
-        if bd:  # validate block-max field exists
-            pass
+        expect_hc = (xxhash.xxh32(data[hdr_start:i]).intdigest() >> 8) & 0xFF
+        if data[i] != expect_hc:
+            raise ValueError(
+                f"LZ4 frame header checksum mismatch: "
+                f"{data[i]:#x} != {expect_hc:#x}")
+        i += 1
+        frame_out_start = len(out)
         while True:
             bsize = struct.unpack_from("<I", data, i)[0]
             i += 4
@@ -227,9 +234,20 @@ def decompress(data: bytes) -> bytes:
             block = data[i:i + bsize]
             i += bsize
             if has_block_checksum:
+                bsum = struct.unpack_from("<I", data, i)[0]
                 i += 4
+                got = xxhash.xxh32(block).intdigest()
+                if bsum != got:
+                    raise ValueError("LZ4 block checksum mismatch")
             bmax = _BD_BLOCK_MAX.get((bd >> 4) & 7, 4 << 20)
             out += block if uncompressed else decompress_block(block, bmax)
+        frame_content = bytes(out[frame_out_start:])
+        if content_size is not None and len(frame_content) != content_size:
+            raise ValueError("LZ4 frame content size mismatch")
         if has_content_checksum:
+            csum = struct.unpack_from("<I", data, i)[0]
             i += 4
+            got = xxhash.xxh32(frame_content).intdigest()
+            if csum != got:
+                raise ValueError("LZ4 content checksum mismatch")
     return bytes(out)
