@@ -1,15 +1,27 @@
-"""Benchmark: k-mers counted + merged per second, single chip.
+"""Benchmark: the BASELINE metric matrix on one chip.
 
-Runs the fused flagship step (ASCII reads -> canonical k-mers -> XXH64 window
-hashes -> sort -> count + cross-sample merge with rescue) on synthetic reads
-and reports throughput in k-mer occurrences processed per second.
+Headline: k-mers counted + merged per second (fused hash-mode step:
+ASCII reads -> canonical k-mers -> XXH64 window hashes -> packed
+single-word sort -> Pallas segmented count+merge with rescue).
+
+Extra metrics (same JSON line, "extra"):
+- bf_bits_inserted_per_sec: distinct present hashes produced per second by
+  the hash:bf step — each is one bit insertion into the partition's
+  vertical BF window (write_as_bf semantics; file write excluded).
+- kmer_mode_kmers_per_sec: same fused step in k-mer mode (packed 62-bit
+  canonical k-mers ride the sort instead of window hashes).
+- mesh_backend_kmers_per_sec: the sharded pipeline (all_to_all shuffle
+  included) on a 1-device mesh — shows the routing overhead that
+  multi-chip runs pay.
+- matrix_build_wall_s_10samp: wall time to build a 10-sample count matrix
+  from 2.5M read-windows, device steps + host matrix assembly included.
 
 Baseline: the reference (tlemane/kmtricks) publishes no numbers
 (BASELINE.md); README.md:22 puts its counting "slightly slower than KMC",
 i.e. order 2e7 k-mers/s/core for the count+merge path on commodity CPUs.
 ``vs_baseline`` is measured throughput / 2e7.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 from __future__ import annotations
@@ -28,6 +40,26 @@ NSAMP = 8
 B, L = 4096, 1024          # ~4.07M k-mer windows per step
 
 
+def _fetch(out):
+    import jax
+    return np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:8])
+
+
+def _rate(step, args, kmers_per_step, iters=10):
+    """k-mers/s of a jitted step. block_until_ready does not block through
+    the remote device tunnel — fetch a small output instead; steps
+    serialize on-device so one fetch amortizes the round trip."""
+    _fetch(step(*args))
+    _fetch(step(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = step(*args)
+    _fetch(out)
+    dt = (time.perf_counter() - t0) / iters
+    return kmers_per_step / dt, dt
+
+
 def main() -> None:
     import os
 
@@ -42,7 +74,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from kmtricks_tpu.core.repartition import Repartition
-    from kmtricks_tpu.parallel.pipeline import build_single_chip_step
+    from kmtricks_tpu.parallel.pipeline import (build_sharded_pipeline,
+                                                build_single_chip_step,
+                                                make_mesh)
 
     rng = np.random.default_rng(42)
     batch = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(B, L))
@@ -50,41 +84,84 @@ def main() -> None:
     samp = (np.arange(B, dtype=np.int32) * NSAMP) // B
     repart = Repartition.from_xxh(NB_PARTS, M)
     amin = np.full(NSAMP, 2, dtype=np.uint32)
+    kmers_per_step = B * (L - K + 1)
 
-    # static_repart_parts computes XXH64(minimizer) % P on device —
-    # bit-identical to the from_xxh table, avoiding the 4M-wide table
-    # gather (which costs ~7x the whole encode stage on TPU)
-    # with_stats=False: the production mesh path rebuilds per-partition
-    # statistics host-side from the kernel outputs, so the device skips
-    # the 6 x nsamp masked reductions (~20% of the step)
-    step = jax.jit(build_single_chip_step(
-        k=K, m=M, nsamp=NSAMP, hard_min=2, rmin=1, save_if=2,
-        mode="hash", window_bits=WINDOW_BITS,
-        static_repart_parts=NB_PARTS, with_stats=False))
     args = (jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(samp),
             jnp.asarray(repart.table.astype(np.int32)), jnp.asarray(amin))
 
-    # NOTE: block_until_ready does not reliably block through the remote
-    # device tunnel — fetch a small output (the 6 x nsamp stats block) to
-    # force completion. Steps serialize on-device, so dispatching all
-    # iterations and fetching once amortizes the tunnel round trip.
-    np.asarray(step(*args)[-1])                  # compile + warm
-    np.asarray(step(*args)[-1])
+    # --- headline: hash-mode fused count+merge (static-repart partitions,
+    # stats rebuilt host-side in production -> with_stats=False)
+    hash_step = jax.jit(build_single_chip_step(
+        k=K, m=M, nsamp=NSAMP, hard_min=2, rmin=1, save_if=2,
+        mode="hash", window_bits=WINDOW_BITS,
+        static_repart_parts=NB_PARTS, with_stats=False))
+    hash_rate, hash_dt = _rate(hash_step, args, kmers_per_step)
 
-    iters = 10
+    # --- BF bits: distinct present hashes per second from the same step
+    # (each present head = one bit in the vertical BF, write_as_bf
+    # semantics merge.hpp:575-600)
+    present = np.asarray(hash_step(*args)[5])
+    bf_bits_per_sec = float(present.sum()) / hash_dt
+
+    # --- k-mer mode
+    kmer_step = jax.jit(build_single_chip_step(
+        k=K, m=M, nsamp=NSAMP, hard_min=2, rmin=1, save_if=2,
+        mode="kmer", static_repart_parts=NB_PARTS, with_stats=False))
+    kmer_rate, _ = _rate(kmer_step, args, kmers_per_step)
+
+    # --- mesh backend on a 1-device mesh (all_to_all included)
+    mesh = make_mesh(1)
+    mesh_step = build_sharded_pipeline(
+        mesh, k=K, m=M, nb_parts=NB_PARTS, cap=kmers_per_step,
+        nsamp=NSAMP, hard_min=2, rmin=1, save_if=2, mode="hash",
+        window_bits=WINDOW_BITS, static_repart=True, with_stats=False)
+    mesh_rate, _ = _rate(mesh_step, args, kmers_per_step, iters=5)
+
+    # --- matrix build wall time: 10-sample abundance matrix from 2.5M
+    # windows (BASELINE config-2 shape), device chunks + host assembly
+    nsamp10 = 10
+    b10 = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                     size=(2560, 1024))
+    s10 = (np.arange(2560, dtype=np.int32) * nsamp10) // 2560
+    amin10 = np.full(nsamp10, 2, dtype=np.uint32)
+    step10 = jax.jit(build_single_chip_step(
+        k=K, m=M, nsamp=nsamp10, hard_min=1, rmin=1, save_if=0,
+        mode="kmer", static_repart_parts=NB_PARTS, with_stats=False))
+    args10 = (jnp.asarray(b10), jnp.asarray(np.full(2560, 1024, np.int32)),
+              jnp.asarray(s10), jnp.asarray(repart.table.astype(np.int32)),
+              jnp.asarray(amin10))
+    _fetch(step10(*args10))           # compile outside the wall clock
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(*args)
-    np.asarray(out[-1])
-    dt = (time.perf_counter() - t0) / iters
+    outp = step10(*args10)
+    (part_s, keys_s, samp_s, final, cnt, present10, row_head, row_keep,
+     _row_of, _stats) = outp
+    part_s = np.asarray(part_s)
+    row_head = np.asarray(row_head).astype(bool)
+    present10 = np.asarray(present10).astype(bool)
+    final = np.asarray(final)
+    samp_np = np.asarray(samp_s)
+    keys0 = np.asarray(keys_s[0])
+    keys1 = np.asarray(keys_s[1])
+    row_of = np.cumsum(row_head) - 1
+    nrows = int(row_of[-1]) + 1 if row_head.any() else 0
+    mat = np.zeros((nrows, nsamp10), dtype=np.uint32)
+    mat[row_of[present10], samp_np[present10]] = final[present10]
+    kk = (keys0[row_head].astype(np.uint64) << np.uint64(32)) \
+        | keys1[row_head]
+    matrix_wall = time.perf_counter() - t0
+    assert nrows > 0 and kk.shape[0] == nrows and mat.shape[0] == nrows
 
-    kmers_per_step = B * (L - K + 1)
-    value = kmers_per_step / dt
     print(json.dumps({
         "metric": "kmers_counted_merged_per_sec_per_chip",
-        "value": round(value, 1),
+        "value": round(hash_rate, 1),
         "unit": "kmers/s",
-        "vs_baseline": round(value / BASELINE_KMERS_PER_SEC, 3),
+        "vs_baseline": round(hash_rate / BASELINE_KMERS_PER_SEC, 3),
+        "extra": {
+            "bf_bits_inserted_per_sec": round(bf_bits_per_sec, 1),
+            "kmer_mode_kmers_per_sec": round(kmer_rate, 1),
+            "mesh_backend_kmers_per_sec": round(mesh_rate, 1),
+            "matrix_build_wall_s_10samp_2.5Mwin": round(matrix_wall, 4),
+        },
     }))
 
 

@@ -74,13 +74,34 @@ def _per_sample(value, samp, nsamp):
     return jax.ops.segment_sum(v, samp, num_segments=nsamp)
 
 
+def _samp_bits(nsamp: int) -> int:
+    return max(1, (nsamp - 1).bit_length())
+
+
+def _use_pallas_segscan() -> bool:
+    """Segment-stage backend: KMTRICKS_TPU_SEGSCAN = pallas | xla | auto
+    (default auto = Pallas kernels on TPU, cumulative primitives
+    elsewhere). Read at trace time."""
+    import os
+    mode = os.environ.get("KMTRICKS_TPU_SEGSCAN", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("nsamp", "hard_min", "rmin", "save_if",
                                    "count_max", "with_stats",
-                                   "part_follows_keys"))
+                                   "part_follows_keys", "key_bits",
+                                   "window_bits"))
 def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
                      hard_min: int, rmin: int, save_if: int,
                      count_max: int = 0xFFFFFFFF, with_stats: bool = True,
-                     part_follows_keys: bool = False):
+                     part_follows_keys: bool = False,
+                     key_bits: int | None = None,
+                     window_bits: int | None = None,
+                     hard_min_vec=None):
     """Count and merge raw occurrences in one pass — variable key width.
 
     Parameters
@@ -114,6 +135,73 @@ def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
     nw = len(keys)
     inv = (~valid).astype(U32)
     top = U32(1 << 31)
+    sb = _samp_bits(nsamp)
+    # Packed fast path (hash mode): the window hash is bounded by
+    # window_bits * nb_parts = 2^key_bits, so (valid | hash | sample) packs
+    # into ONE u32 sort operand when 1 + key_bits + sb <= 32 (two when
+    # <= 64) — the sort cost on TPU scales with operand count (measured
+    # v5e, 4.19M rows: 1 op 9.6ms / 2 ops 12.5ms / 4 ops 18.3ms), and the
+    # partition is recomputed afterwards as hash // window_bits instead of
+    # riding the sort.
+    if (part_follows_keys and key_bits is not None and nw == 2
+            and 1 + key_bits + sb <= 32):
+        w = ((inv << U32(31)) | (keys[1] << U32(sb))
+             | (samp.astype(U32) & U32((1 << sb) - 1)))
+        w = jnp.where(valid, w, U32(0xFFFFFFFF))
+        (w_s,) = jax.lax.sort((w,), dimension=0, num_keys=1)
+        valid_s = (w_s >> U32(31)) == 0
+        samp_s = jnp.where(valid_s, w_s & U32((1 << sb) - 1), U32(0))
+        klo = jnp.where(valid_s,
+                        (w_s >> U32(sb)) & U32((1 << key_bits) - 1), U32(0))
+        keys_s = (jnp.zeros_like(klo), klo)
+        part_s = (klo // U32(window_bits)) if window_bits else \
+            jnp.zeros_like(klo)
+        occ_d = w_s[1:] != w_s[:-1]
+        kd = (w_s[1:] >> U32(sb)) != (w_s[:-1] >> U32(sb))
+        return _segment_stage(
+            part_s, keys_s, samp_s, valid_s, occ_d, kd, amin_vec,
+            nsamp=nsamp, hard_min=hard_min, rmin=rmin, save_if=save_if,
+            count_max=count_max, with_stats=with_stats,
+            hard_min_vec=hard_min_vec)
+    if (part_follows_keys and key_bits is not None and nw == 2
+            and 1 + key_bits + sb <= 64):
+        from kmtricks_tpu.ops import u64 as U
+        packed = U.shl64((keys[0], keys[1]), sb)
+        packed = (packed[0], packed[1] | (samp.astype(U32)
+                                          & U32((1 << sb) - 1)))
+        w0 = jnp.where(valid, packed[0], U32(0xFFFFFFFF))
+        w1 = jnp.where(valid, packed[1], U32(0xFFFFFFFF))
+        w0_s, w1_s = jax.lax.sort((w0, w1), dimension=0, num_keys=2)
+        valid_s = (w0_s >> U32(31)) == 0
+        samp_s = jnp.where(valid_s, w1_s & U32((1 << sb) - 1), U32(0))
+        khi, klo = U.shr64((w0_s, w1_s), sb)
+        mask_hi = U32((1 << max(key_bits - 32, 0)) - 1) if key_bits > 32 \
+            else U32(0)
+        khi = jnp.where(valid_s, khi & mask_hi, U32(0))
+        klo = jnp.where(valid_s,
+                        klo & (U32((1 << min(key_bits, 32)) - 1)
+                               if key_bits < 32 else U32(0xFFFFFFFF)),
+                        U32(0))
+        keys_s = (khi, klo)
+        if window_bits:
+            q = U.mulhi64((khi, klo), U.const64(U.barrett_magic(
+                window_bits)))
+            r = U.sub64((khi, klo), U.mul64(q, U.const64(window_bits)))
+            for _ in range(2):
+                ge = ~U.lt64(r, U.const64(window_bits))
+                q = (q[0], q[1] + ge.astype(U32))
+                r = U.select64(ge, U.sub64(r, U.const64(window_bits)), r)
+            part_s = q[1]
+        else:
+            part_s = jnp.zeros_like(klo)
+        occ_d = (w0_s[1:] != w0_s[:-1]) | (w1_s[1:] != w1_s[:-1])
+        kd = ((khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1])
+              | (valid_s[1:] != valid_s[:-1]))
+        return _segment_stage(
+            part_s, keys_s, samp_s, valid_s, occ_d, kd, amin_vec,
+            nsamp=nsamp, hard_min=hard_min, rmin=rmin, save_if=save_if,
+            count_max=count_max, with_stats=with_stats,
+            hard_min_vec=hard_min_vec)
     if part_follows_keys:
         # the key ordering already implies the partition ordering (window
         # hashes embed the partition, h = h%w + w*p), and the high key word
@@ -141,54 +229,92 @@ def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
         keys_s = sorted_ops[1:1 + nw]
         samp_s = sorted_ops[1 + nw]
         valid_s = (p0_s & top) == 0
-    samp_i = samp_s.astype(I32)
-    idx = jnp.arange(n, dtype=I32)
-
-    ones = jnp.ones((n,), dtype=bool)
     kd = keys_s[0][1:] != keys_s[0][:-1]
     for w in keys_s[1:]:
         kd = kd | (w[1:] != w[:-1])
     if not part_follows_keys:
         kd = kd | (part_s[1:] != part_s[:-1])
-    key_diff = ones.at[1:].set(kd)
-    samp_diff = ones.at[1:].set(samp_s[1:] != samp_s[:-1])
-    occ_diff = key_diff | samp_diff
-    occ_head = occ_diff & valid_s
-    key_head = key_diff & valid_s
+    occ_d = kd | (samp_s[1:] != samp_s[:-1])
+    return _segment_stage(
+        part_s, keys_s, samp_s, valid_s, occ_d, kd, amin_vec,
+        nsamp=nsamp, hard_min=hard_min, rmin=rmin, save_if=save_if,
+        count_max=count_max, with_stats=with_stats,
+        hard_min_vec=hard_min_vec)
 
-    # (key, sample) run length at occ heads: distance to the next
-    # occurrence boundary (next occ head or first invalid entry)
-    nxt_occ = _next_boundary(occ_diff | ~valid_s, idx, n)
-    cnt_raw = jnp.where(occ_head, nxt_occ - idx, 0).astype(U32)
-    present = occ_head & (cnt_raw >= hard_min)     # hard-min at count stage
-    cnt = jnp.minimum(cnt_raw, U32(count_max))     # saturating store
 
-    # A matrix row exists only for keys present (post hard-min) in >= 1
-    # sample. Mark the FIRST present entry of each key as the row head.
-    excl = jnp.cumsum(present.astype(I32)) - present.astype(I32)
-    group_base = jax.lax.cummax(jnp.where(key_head, excl, 0))
-    row_head = present & (excl == group_base)
-    row_of = jnp.maximum(jnp.cumsum(row_head.astype(I32)) - 1, 0)
-
-    amin = jnp.asarray(amin_vec, dtype=U32)
-    if nsamp <= 16:   # select chain beats a wide gather for few samples
-        amin_of = jnp.zeros((n,), dtype=U32)
+def _per_position(vec_or_scalar, samp_i, nsamp, default_scalar):
+    """Per-position threshold: a (nsamp,) vector gathered by sample id
+    (select chain for small nsamp), or a broadcast scalar."""
+    if vec_or_scalar is None:
+        return jnp.full(samp_i.shape, default_scalar, dtype=U32)
+    vec = jnp.asarray(vec_or_scalar, dtype=U32)
+    if nsamp <= 16:
+        out = jnp.zeros(samp_i.shape, dtype=U32)
         for s in range(nsamp):
-            amin_of = jnp.where(samp_i == s, amin[s], amin_of)
-    else:
-        amin_of = amin[samp_i]
-    solid = present & (cnt >= amin_of)
+            out = jnp.where(samp_i == s, vec[s], out)
+        return out
+    return vec[samp_i]
 
-    # per-key solid count. Invalid tail entries merge into the final key
-    # segment but contribute 0, so the totals stay correct.
-    solid_in = _seg_total(solid, key_diff)
 
-    if save_if > 0:
-        rescued = present & ~solid & (solid_in >= save_if)
+def _segment_stage(part_s, keys_s, samp_s, valid_s, occ_d, kd, amin_vec, *,
+                   nsamp: int, hard_min: int, rmin: int, save_if: int,
+                   count_max: int, with_stats: bool, hard_min_vec=None):
+    """Post-sort segmented count+merge logic shared by every sort layout.
+
+    ``occ_d`` / ``kd``: (N-1,) diffs of adjacent sorted entries at the
+    (key, sample) occurrence / distinct-key granularity."""
+    n = part_s.shape[0]
+    samp_i = samp_s.astype(I32)
+
+    ones = jnp.ones((n,), dtype=bool)
+    key_diff = ones.at[1:].set(kd)
+    occ_diff = ones.at[1:].set(occ_d | kd)
+
+    amin_of = _per_position(amin_vec, samp_i, nsamp, 0)
+    hmin_of = _per_position(hard_min_vec, samp_i, nsamp, hard_min)
+
+    if _use_pallas_segscan():
+        # fused two-pass Pallas kernels: O(1) HBM round-trips instead of
+        # ~7 separate cumulative-primitive passes (~3.5 ms each at 4M)
+        from kmtricks_tpu.ops.pallas_segscan import segment_stage_pallas
+        (cnt_i, present, solid, final_i, row_head, row_keep,
+         row_of) = segment_stage_pallas(
+            occ_diff, key_diff, valid_s, amin_of, hmin_of,
+            rmin=rmin, save_if=save_if, count_max=count_max)
+        cnt = cnt_i.astype(U32)
+        final = final_i.astype(U32)
+        rescued = present & ~solid & (final > 0)
     else:
-        rescued = jnp.zeros_like(solid)
-    final = jnp.where(solid | rescued, cnt, U32(0))
-    row_keep = row_head & (solid_in >= rmin)
+        idx = jnp.arange(n, dtype=I32)
+        occ_head = occ_diff & valid_s
+        key_head = key_diff & valid_s
+
+        # (key, sample) run length at occ heads: distance to the next
+        # occurrence boundary (next occ head or first invalid entry)
+        nxt_occ = _next_boundary(occ_diff | ~valid_s, idx, n)
+        cnt_raw = jnp.where(occ_head, nxt_occ - idx, 0).astype(U32)
+        present = occ_head & (cnt_raw >= hmin_of)   # count-stage hard-min
+        cnt = jnp.minimum(cnt_raw, U32(count_max))  # saturating store
+
+        # A matrix row exists only for keys present (post hard-min) in
+        # >= 1 sample; its head is the FIRST present entry of the key.
+        excl = jnp.cumsum(present.astype(I32)) - present.astype(I32)
+        group_base = jax.lax.cummax(jnp.where(key_head, excl, 0))
+        row_head = present & (excl == group_base)
+        row_of = jnp.maximum(jnp.cumsum(row_head.astype(I32)) - 1, 0)
+
+        solid = present & (cnt >= amin_of)
+
+        # per-key solid count. Invalid tail entries merge into the final
+        # key segment but contribute 0, so the totals stay correct.
+        solid_in = _seg_total(solid, key_diff)
+
+        if save_if > 0:
+            rescued = present & ~solid & (solid_in >= save_if)
+        else:
+            rescued = jnp.zeros_like(solid)
+        final = jnp.where(solid | rescued, cnt, U32(0))
+        row_keep = row_head & (solid_in >= rmin)
 
     if with_stats:
         stats = jnp.stack([

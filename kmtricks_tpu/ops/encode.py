@@ -192,13 +192,26 @@ def _lt_words(a, b):
     return lt
 
 
+def device_key_words(k: int) -> int:
+    """Number of msb-first u32 key words on the device path: the span is the
+    smallest of {32, 64, 96, 128} holding k (loop_executor.hpp:23-70 /
+    KMER_LIST), two u32 words per 32-nt span word."""
+    assert k <= 128
+    span = next(s for s in (32, 64, 96, 128) if k <= s)
+    return span // 16
+
+
 @partial(jax.jit, static_argnames=("k", "m", "static_parts"))
 def encode_batch_wide(batch, lengths, repart_table, k: int, m: int,
                       static_parts: int | None = None):
-    """Encode for 32 < k <= 64: canonical k-mers as 4 lsb-first u32 words
-    (= 2 little-endian u64 words, the reference's Kmer<64> storage,
-    kmer.hpp:909-1172). Same routing semantics as :func:`encode_batch`."""
-    assert 32 < k <= 64
+    """Encode for 32 < k <= 128: canonical k-mers as lsb-first u32 word
+    lists — 4 words for k <= 64 (the reference's Kmer<64> __uint128_t
+    storage, kmer.hpp:909-1172), 6 for k <= 96 and 8 for k <= 128 (the
+    generic uint64_t[] backend, kmer.hpp:164-630). Same routing semantics
+    as :func:`encode_batch`."""
+    assert 32 < k <= 128
+    nw = device_key_words(k)
+    span_nt = 16 * nw
     B, L = batch.shape
     W = L - k + 1
     Wm = L - m + 1
@@ -211,14 +224,14 @@ def encode_batch_wide(batch, lengths, repart_table, k: int, m: int,
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
     valid = win_clean & (pos + k <= lengths[:, None])
 
-    fwd = [jnp.zeros((B, W), dtype=U32) for _ in range(4)]
+    fwd = [jnp.zeros((B, W), dtype=U32) for _ in range(nw)]
     for j in range(k):
         fwd = _shl2_words(fwd)
         fwd[0] = fwd[0] | jax.lax.dynamic_slice_in_dim(codes, j, W, axis=1)
-    # revcomp: reverse 2-bit groups of the 128-bit storage, complement,
-    # realign right by 2*(64 - k) (kmer.hpp rev_comp semantics)
-    rc = [_rev2bit32(fwd[3 - i]) ^ U32(0xAAAAAAAA) for i in range(4)]
-    rc = _shr_words(rc, 2 * (64 - k))
+    # revcomp: reverse 2-bit groups of the span storage, complement,
+    # realign right by 2*(span - k) (kmer.hpp rev_comp semantics)
+    rc = [_rev2bit32(fwd[nw - 1 - i]) ^ U32(0xAAAAAAAA) for i in range(nw)]
+    rc = _shr_words(rc, 2 * (span_nt - k))
     take_rc = _lt_words(rc, fwd)
     cano = tuple(jnp.where(take_rc, r, f) for r, f in zip(rc, fwd))
 
@@ -237,5 +250,5 @@ def encode_batch_wide(batch, lengths, repart_table, k: int, m: int,
     else:
         parts = repart_table[minim.astype(jnp.int32)]
     # msb-first word order for sorting (keys[0] most significant)
-    return ((cano[3], cano[2], cano[1], cano[0]), parts.astype(jnp.int32),
-            valid)
+    return (tuple(cano[nw - 1 - i] for i in range(nw)),
+            parts.astype(jnp.int32), valid)

@@ -7,8 +7,8 @@ the reference).
 
 Shapes are bucketed (lengths round up to multiples of BUCKET) so
 recompilation is bounded: distinct (L, N) buckets, not distinct inputs,
-trigger compiles. k <= 64 on this path (2- or 4-word u32 keys); larger k
-runs on the host path.
+trigger compiles. k <= 128 on this path (2/4/6/8-word u32 keys, matching
+the reference KMER_LIST spans).
 """
 
 from __future__ import annotations
@@ -59,8 +59,8 @@ def count_sample_device(
     count_max: int = 0xFFFFFFFF,
     hist=None,
 ) -> SampleCounts:
-    """Device-path equivalent of host.ops.count_sequences (k <= 64)."""
-    assert k <= 64, "device path supports k <= 64; use the host path beyond"
+    """Device-path equivalent of host.ops.count_sequences (k <= 128)."""
+    assert k <= 128, "device path supports k <= 128"
     nb_parts = int(repart_table.max()) + 1 if len(repart_table) else 1
     table_dev = jnp.asarray(repart_table.astype(np.int32))
 
@@ -79,18 +79,18 @@ def count_sample_device(
     parts, valid = parts.ravel(), valid.ravel()
     if mode == "hash":
         assert window_bits is not None
-        if len(keys) == 2:
-            words = [(keys[0], keys[1])]
-        else:
-            words = [(keys[2], keys[3]), (keys[0], keys[1])]
-        keys = window_hash(words, parts, window_bits)
+        keys = window_hash(U.msb_words_to_u64_pairs(keys), parts,
+                           window_bits)
 
     zeros = jnp.zeros_like(parts)
+    key_bits = ((window_bits * nb_parts - 1).bit_length()
+                if mode == "hash" else None)
     (part_s, keys_s, _samp, _final, cnt, present, _rh, _rk, _ro,
      _stats) = count_merge_keys(
         parts, keys, zeros, valid, jnp.ones(1, dtype=jnp.uint32),
         nsamp=1, hard_min=1, rmin=1, save_if=0,
-        part_follows_keys=(mode == "hash"))
+        part_follows_keys=(mode == "hash"), key_bits=key_bits,
+        window_bits=window_bits if mode == "hash" else None)
 
     part_s = np.asarray(part_s)
     present = np.asarray(present).astype(bool)
@@ -102,11 +102,7 @@ def count_sample_device(
         keys_np = h.reshape(-1, 1)
     else:
         kparts = part_s.astype(np.int64)
-        if len(words) == 2:
-            keys_np = U.to_u64_np(words[0], words[1]).reshape(-1, 1)
-        else:   # msb-first -> (N, 2) little-endian u64 rows
-            keys_np = np.stack([U.to_u64_np(words[2], words[3]),
-                                U.to_u64_np(words[0], words[1])], axis=1)
+        keys_np = U.msb_words_to_u64_rows_np(words)
 
     keys_np, kparts, counts = keys_np[present], kparts[present], cnt[present]
     if hist is not None:

@@ -222,3 +222,20 @@ def mod_const(a, w: int):
         ge = ~lt64(r, wc)
         r = select64(ge, sub64(r, wc), r)
     return r
+
+
+def msb_words_to_u64_pairs(keys):
+    """msb-first u32 word tuple (device key layout) -> list of (hi, lo)
+    u64 pairs in little-endian u64 word order (least significant first) —
+    the reference's uint64_t[] Kmer storage order (kmer.hpp:164-630)."""
+    nw = len(keys)
+    assert nw % 2 == 0
+    return [(keys[nw - 2 - 2 * i], keys[nw - 1 - 2 * i])
+            for i in range(nw // 2)]
+
+
+def msb_words_to_u64_rows_np(words) -> np.ndarray:
+    """msb-first u32 numpy word list -> (N, slots) little-endian u64 rows."""
+    nw = len(words)
+    return np.stack([to_u64_np(words[nw - 2 - 2 * i], words[nw - 1 - 2 * i])
+                     for i in range(nw // 2)], axis=1)

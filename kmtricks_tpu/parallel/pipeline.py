@@ -117,11 +117,8 @@ def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
     sampw = jnp.broadcast_to(samp[:, None], (B, W)).ravel()
     if mode == "hash":
         # hash the packed k-mer: little-endian u64 words (hi, lo) pairs
-        if len(keys) == 2:
-            words = [(keys[0], keys[1])]
-        else:   # (w3, w2, w1, w0) msb-first -> u64 words [(w1,w0), (w3,w2)]
-            words = [(keys[2], keys[3]), (keys[0], keys[1])]
-        keys = window_hash(words, parts, window_bits)
+        from kmtricks_tpu.ops.u64 import msb_words_to_u64_pairs
+        keys = window_hash(msb_words_to_u64_pairs(keys), parts, window_bits)
     return keys, sampw, parts, valid
 
 
@@ -132,7 +129,8 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                            count_max: int = 0xFFFFFFFF,
                            encode_impl: str = "auto",
                            static_repart: bool = False,
-                           with_stats: bool = True):
+                           with_stats: bool = True,
+                           hard_min_vec=None):
     """Build the jitted SPMD pipeline step over ``mesh``.
 
     The returned function takes GLOBAL arrays (leading axis divisible by the
@@ -148,7 +146,10 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     if mode == "hash":
         assert window_bits is not None
 
-    nw = 2 if (mode == "hash" or k <= 32) else 4
+    from kmtricks_tpu.ops.encode import device_key_words
+    nw = 2 if mode == "hash" else device_key_words(k)
+    key_bits = ((window_bits * nb_parts - 1).bit_length()
+                if mode == "hash" else None)
 
     def step(batch, lengths, samp, repart_table, amin_vec):
         keys, sampw, parts, valid = _encode_flat(
@@ -164,7 +165,10 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
             rpart, rkeys, rsamp, rvalid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,
             count_max=count_max, with_stats=with_stats,
-            part_follows_keys=(mode == "hash"))
+            part_follows_keys=(mode == "hash"), key_bits=key_bits,
+            window_bits=window_bits if mode == "hash" else None,
+            hard_min_vec=None if hard_min_vec is None
+            else jnp.asarray(hard_min_vec, dtype=jnp.uint32))
         stats = jax.lax.psum(stats, axis)
         dropped = jax.lax.psum(dropped, axis)
         return (part_s, keys_s, samp_s, final, cnt, present, key_head,
@@ -185,11 +189,15 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
                            count_max: int = 0xFFFFFFFF,
                            encode_impl: str = "auto",
                            static_repart_parts: int | None = None,
+                           nb_parts: int | None = None,
                            with_stats: bool = True):
     """Single-device fused forward step (no collectives): encode -> hash ->
     sort -> count+merge. Jittable; used by ``__graft_entry__.entry`` and the
     benchmark."""
     assert mode in ("kmer", "hash")
+    known_parts = nb_parts or static_repart_parts
+    key_bits = ((window_bits * known_parts - 1).bit_length()
+                if (mode == "hash" and known_parts) else None)
 
     def step(batch, lengths, samp, repart_table, amin_vec):
         keys, sampw, parts, valid = _encode_flat(
@@ -199,6 +207,7 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
             parts, keys, sampw, valid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,
             count_max=count_max, with_stats=with_stats,
-            part_follows_keys=(mode == "hash"))
+            part_follows_keys=(mode == "hash"), key_bits=key_bits,
+            window_bits=window_bits if mode == "hash" else None)
 
     return step

@@ -96,13 +96,19 @@ def save_gatb_config(config: Config, run_dir: str) -> None:
 
     d = os.path.join(run_dir, "config_gatb")
     os.makedirs(d, exist_ok=True)
+    plan = (config.extra or {}).get("gatb_plan", {})
     with open(os.path.join(d, "gatb.config"), "wb") as f:
         f.write(struct.pack(
             _GATB_CONFIG, config.kmer_size, config.minim_size,
-            config.repart_type, config.minim_type, 0, config.max_memory_mb,
-            1, 1, 0, 1, config.seq_number, config.seq_total_size,
-            config.seq_max_size, 0, 0, config.kmers_estimated, 1,
-            config.nb_partitions, 2 * config.kmer_size, 1, 0))
+            config.repart_type, config.minim_type,
+            plan.get("max_disk_mb", 0), config.max_memory_mb,
+            1, plan.get("nb_parallel", 1), 0,
+            plan.get("cores_per_partition", 1), config.seq_number,
+            config.seq_total_size, config.seq_max_size,
+            plan.get("available_space", 0), plan.get("volume", 0),
+            config.kmers_estimated, plan.get("nb_passes", 1),
+            config.nb_partitions, 2 * config.kmer_size, 1,
+            plan.get("nb_cached_items_per_core_per_part", 0)))
 
 
 def estimate_banks(fof: Fof) -> seqio.BankEstimate:
@@ -115,24 +121,91 @@ def estimate_banks(fof: Fof) -> seqio.BankEstimate:
     return seqio.BankEstimate(seqs, bases, mx)
 
 
+def gatb_partition_plan(kmers_nb: int, kmer_size: int, max_memory_mb: int,
+                        max_disk_mb: int = 0, nb_cores: int = 1,
+                        nb_parallel: int = 1,
+                        storage_file: bool = True) -> dict:
+    """The reference's full disk/memory/open-file feedback loop
+    (ConfigurationAlgorithm.cpp:304-466), reproduced exactly:
+
+    volume = kmersNb * sizeof(Type) / MB; volume_minim = volume * 0.6;
+    max_disk defaults to max(75% of available, available - 2GB);
+    nb_passes = (volume/4)/max_disk + 1; then iterate
+    nb_partitions = volume_minim/nb_passes * parallel / max_memory + 1
+    against the open-file limit (halve parallelism, then add passes);
+    round partitions up to a multiple of the parallelism; finally size the
+    per-core partition write cache to a tenth of memory."""
+    import resource
+
+    MB = 1 << 20
+    type_bytes = 8 * ((kmer_size + 31) // 32)
+    try:
+        st = os.statvfs(".")
+        available_mb = st.f_bavail * st.f_frsize // 1024 // 1024
+    except OSError:
+        available_mb = 0
+    volume = max(1, kmers_nb * type_bytes // MB)
+    volume_minim = max(1, int(volume * 0.5 * 1.2))
+    if max_disk_mb == 0:
+        max_disk_mb = max(75 * available_mb // 100,
+                          available_mb - 2000)
+    if max_disk_mb == 0:
+        max_disk_mb = 10000
+    max_memory_mb = max(max_memory_mb, 1)
+    nb_passes = (volume // 4) // max_disk_mb + 1
+    try:
+        max_open = resource.getrlimit(resource.RLIMIT_NOFILE)[0] // 2
+    except (ValueError, OSError):
+        max_open = 512
+    if storage_file:
+        max_open //= 3          # STORAGE_FILE opens twice (cpp:360-364)
+    while True:
+        volume_per_pass = volume_minim // nb_passes
+        nb_partitions = (volume_per_pass * nb_parallel) // max_memory_mb + 1
+        if nb_partitions >= max_open and nb_parallel > 1:
+            nb_parallel //= 2
+        elif nb_partitions >= max_open:
+            nb_passes += 1
+        else:
+            break
+    incpart = (nb_parallel - nb_partitions % nb_parallel) % nb_parallel
+    if max_open - nb_partitions > incpart:
+        nb_partitions += incpart
+    cores_per_partition = max(1, nb_cores // nb_parallel)
+    cached = 1 << 8
+    while True:
+        cached *= 2
+        if cached * nb_partitions * nb_cores * type_bytes                 >= max_memory_mb * MB // 10:
+            break
+    return dict(volume=volume, available_space=available_mb,
+                max_disk_mb=max_disk_mb, nb_passes=nb_passes,
+                nb_partitions=nb_partitions, nb_parallel=nb_parallel,
+                cores_per_partition=cores_per_partition,
+                nb_cached_items_per_core_per_part=cached)
+
+
 def configure(fof: Fof, kmer_size: int, minim_size: int = 10,
               nb_partitions: int = 0, bloom_size: int = 10_000_000,
               max_memory_mb: int = 8192, mode: str = "kmer:count:bin",
               hard_min: int = 2, minim_type: int = 0,
-              repart_type: int = 0) -> Config:
+              repart_type: int = 0, max_disk_mb: int = 0,
+              nb_cores: int = 1) -> Config:
     """Estimate inputs and fix the partition count.
 
-    ``nb_partitions = 0`` means auto: ceil(bytes_per_partition_stream /
-    max_memory) over the estimated distinct-kmer volume, min 4, rounded up
-    to a multiple of 4 (the reference's minimum and rounding-to-parallelism,
-    task.hpp:112-117 + ConfigurationAlgorithm.cpp:420-425).
+    ``nb_partitions = 0`` means auto, via the reference's exact
+    disk/memory/open-file feedback loop (gatb_partition_plan), then
+    kmtricks' floor of 4 partitions (task.hpp:112-117) and rounding to a
+    multiple of 4.
     """
     est = estimate_banks(fof)
-    kmers = max(0, est.total_bases - (kmer_size - 1) * max(est.sequences, 1))
+    seqs = max(est.sequences, 1)
+    mean_len = est.total_bases // seqs
+    used_len = max(mean_len, kmer_size)      # cpp:309-310
+    kmers = max(1, (used_len - kmer_size + 1) * seqs)
+    plan = gatb_partition_plan(kmers, kmer_size, max_memory_mb,
+                               max_disk_mb=max_disk_mb, nb_cores=nb_cores)
     if nb_partitions <= 0:
-        slots = (kmer_size + 31) // 32
-        volume_mb = kmers * (8 * slots + 8) / (1 << 20)
-        nb_partitions = max(4, math.ceil(volume_mb / max(max_memory_mb, 1)))
+        nb_partitions = max(4, plan["nb_partitions"])
         nb_partitions = ((nb_partitions + 3) // 4) * 4
     return Config(
         kmer_size=kmer_size, minim_size=minim_size,
@@ -140,4 +213,5 @@ def configure(fof: Fof, kmer_size: int, minim_size: int = 10,
         minim_type=minim_type, repart_type=repart_type,
         max_memory_mb=max_memory_mb, seq_number=est.sequences,
         seq_total_size=est.total_bases, seq_max_size=est.max_size,
-        kmers_estimated=kmers, mode=mode, hard_min=hard_min)
+        kmers_estimated=kmers, mode=mode, hard_min=hard_min,
+        extra={"gatb_plan": plan})

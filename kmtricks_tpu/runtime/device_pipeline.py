@@ -50,6 +50,108 @@ def _is_float_quantile(spec) -> bool:
         return False
 
 
+def _round128(x: int) -> int:
+    return max(128, ((x + 127) // 128) * 128)
+
+
+def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
+                      rows: int, pad: int = ord("N")):
+    """Stream the whole collection as fixed-shape (rows, L) chunks.
+
+    Reads longer than L are split into overlapping segments (overlap
+    k - 1), so every k-mer window appears exactly once; short trailing
+    chunks are padded with 'N' rows (masked on device). Host RSS is
+    bounded by one chunk — the replacement for materializing the whole
+    collection (the reference streams banks the same way,
+    BankFasta.cpp 256KB buffers)."""
+    step_over = L - k + 1
+    buf = np.full((rows, L), pad, np.uint8)
+    ln = np.zeros(rows, np.int32)
+    sa = np.zeros(rows, np.int32)
+    fill = 0
+    for si, entry in enumerate(kmdir.fof):
+        for seq in seqio.iter_sequences(entry.paths, opts.bam_filter()):
+            n = len(seq)
+            if n < k:
+                continue
+            for off in range(0, n - k + 1, step_over):
+                seg = seq[off:off + L]
+                if len(seg) < k:
+                    break
+                arr = np.frombuffer(seg, np.uint8)
+                buf[fill, :len(arr)] = arr
+                ln[fill] = len(arr)
+                sa[fill] = si
+                fill += 1
+                if fill == rows:
+                    yield buf, ln, sa
+                    buf = np.full((rows, L), pad, np.uint8)
+                    ln = np.zeros(rows, np.int32)
+                    sa = np.zeros(rows, np.int32)
+                    fill = 0
+    if fill:
+        yield buf, ln, sa
+
+
+def prefetched(gen, depth: int = 2):
+    """Run a generator on a background thread with a bounded queue —
+    double-buffered host decode overlapping device compute (the
+    reference's --focus superk/count overlap reborn)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        yield item
+
+
+def estimate_dest_skew(kmdir: KmDir, opts: PipelineOptions, config: Config,
+                       repart, ndev: int, sample_rows: int = 384) -> float:
+    """Sampled fraction of k-mer occurrences routed to the busiest device
+    (the reference's PartiInfo pre-sizing role, PartiInfo.hpp:44-280):
+    sizes the all_to_all per-peer capacity instead of assuming the
+    worst case."""
+    from kmtricks_tpu.core import kmer as kops
+
+    k, m = config.kmer_size, config.minim_size
+    counts = np.zeros(ndev, dtype=np.int64)
+    seen = 0
+    for entry in kmdir.fof:
+        for seq in seqio.iter_sequences(entry.paths, opts.bam_filter()):
+            if len(seq) < k:
+                continue
+            codes, valid = kops.encode_ascii(seq)
+            wv = kops.window_validity(valid, k)
+            if wv.any():
+                minim = kops.window_minimizers(codes, k, m)
+                parts = repart.table[minim[wv].astype(np.int64)]
+                dest = (parts.astype(np.int64) * ndev) // config.nb_partitions
+                counts += np.bincount(dest, minlength=ndev)
+            seen += 1
+            if seen >= sample_rows:
+                break
+        if seen >= sample_rows:
+            break
+    total = counts.sum()
+    if total == 0:
+        return 1.0 / ndev
+    return float(counts.max()) / float(total)
+
+
 def _load_global_batch(kmdir: KmDir, opts: PipelineOptions, k: int,
                        ndev: int):
     import math
@@ -97,12 +199,11 @@ def _mesh_common(kmdir: KmDir, config: Config, opts: PipelineOptions,
 
 def _keys_to_u64(keys_s) -> np.ndarray:
     """Kernel key words (msb-first u32 tuple) -> u64 array: (N,) for 2-word
-    keys, (N, 2) little-endian u64 rows for 4-word (k > 32) keys."""
+    keys, (N, slots) little-endian u64 rows for wider (k > 32) keys."""
     keys_s = [np.asarray(w) for w in keys_s]
     if len(keys_s) == 2:
         return U.to_u64_np(keys_s[0], keys_s[1])
-    return np.stack([U.to_u64_np(keys_s[2], keys_s[3]),
-                     U.to_u64_np(keys_s[0], keys_s[1])], axis=1)
+    return U.msb_words_to_u64_rows_np(keys_s)
 
 
 def stage_mesh_count_merge(kmdir: KmDir, config: Config,
@@ -122,31 +223,51 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
         batch, lengths, sarr = _load_global_batch(
             kmdir, opts, config.kmer_size, ndev)
     n_windows = batch.shape[0] * (batch.shape[1] - config.kmer_size + 1)
-    cap = -(-n_windows // ndev)          # worst case: all to one device
-    cf, window_bits, count_max, hard_mins = _mesh_common(kmdir, config, opts)
+    local = -(-n_windows // ndev)        # worst case: all to one device
+    cf, window_bits, count_max, hard_mins = _mesh_common(
+        kmdir, config, opts, uniform_hard_min=False)
     hard_min = hard_mins[0]
+    # per-sample `! amin` fof overrides ride the fused kernel directly
+    hard_min_vec = (np.asarray(hard_mins, dtype=np.uint32)
+                    if len(set(hard_mins)) != 1 else None)
 
-    log.info("mesh step: %d reads x %d (windows %d) over %d device(s)",
-             batch.shape[0], batch.shape[1], n_windows, ndev)
-    step = build_sharded_pipeline(
-        mesh, k=config.kmer_size, m=config.minim_size,
-        nb_parts=config.nb_partitions, cap=cap, nsamp=nsamp,
-        hard_min=hard_min, rmin=opts.recurrence_min,
-        save_if=opts.share_min, mode=cf, window_bits=window_bits,
-        count_max=count_max, static_repart=opts.static_repart,
-        with_stats=False)   # per-partition stats are rebuilt on host
-    outp = step(jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(sarr),
-                jnp.asarray(repart.table.astype(np.int32)),
-                jnp.asarray(amin_vec, dtype=np.uint32))
+    # size the per-peer all_to_all capacity from measured minimizer skew
+    # (PartiInfo pre-sizing analogue) with 1.5x headroom; overflow
+    # self-heals by doubling the cap and recompiling (never a hard error)
+    skew = estimate_dest_skew(kmdir, opts, config, repart, ndev)
+    cap = min(local, int(local * skew * ndev * 1.5) + 1024)
+    log.info("mesh step: %d reads x %d (windows %d) over %d device(s), "
+             "skew %.3f cap %d/%d",
+             batch.shape[0], batch.shape[1], n_windows, ndev, skew, cap,
+             local)
+
+    def build(c):
+        return build_sharded_pipeline(
+            mesh, k=config.kmer_size, m=config.minim_size,
+            nb_parts=config.nb_partitions, cap=c, nsamp=nsamp,
+            hard_min=hard_min, rmin=opts.recurrence_min,
+            save_if=opts.share_min, mode=cf, window_bits=window_bits,
+            count_max=count_max, static_repart=opts.static_repart,
+            with_stats=False,   # per-partition stats are rebuilt on host
+            hard_min_vec=hard_min_vec)
+
+    args = (jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(sarr),
+            jnp.asarray(repart.table.astype(np.int32)),
+            jnp.asarray(amin_vec, dtype=np.uint32))
+    while True:
+        outp = build(cap)(*args)
+        ndropped = int(np.asarray(outp[-1]))
+        if not ndropped:
+            break
+        assert cap < local, "dropped occurrences at worst-case capacity"
+        cap = min(local, cap * 2)
+        log.warning("mesh shuffle overflow (%d dropped) - retrying with "
+                    "cap %d", ndropped, cap)
     (part_s, keys_s, samp_s, final, cnt, present, row_head, row_keep,
      stats, dropped) = outp
     part_s, samp_s, final, cnt, present, row_head, row_keep = map(
         np.asarray, (part_s, samp_s, final, cnt, present, row_head,
                      row_keep))
-    if int(np.asarray(dropped)):
-        raise RuntimeError(
-            f"mesh shuffle overflow: {int(np.asarray(dropped))} occurrences "
-            "dropped — increase partitions or use --backend host")
 
     keys = _keys_to_u64(keys_s)
     present = present.astype(bool)
@@ -198,7 +319,8 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
                        repart, amin_vec: np.ndarray,
                        chunk_windows: int,
                        batch=None, lengths=None, sarr=None,
-                       n_devices: int | None = None) -> None:
+                       n_devices: int | None = None,
+                       use_stream: bool = False) -> None:
     """Chunked mesh pipeline for collections larger than one device step.
 
     Each chunk runs the sharded step as a PURE COUNTER (hard_min=1, no
@@ -208,6 +330,11 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
     is the reference's memory feedback loop (ConfigurationAlgorithm.cpp:
     398-425) reborn: the chunk size is the device-memory budget, the host
     aggregation replaces the per-partition files.
+
+    With ``use_stream``, chunks are decoded from the banks on a background
+    thread (prefetched, double-buffered with the device steps) and the
+    whole collection is NEVER materialized: host RSS stays bounded by a
+    few chunks regardless of collection size.
     """
     import jax.numpy as jnp
 
@@ -217,53 +344,86 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
     nsamp = len(kmdir.fof)
     mesh = make_mesh(n_devices)
     ndev = mesh.shape[mesh.axis_names[0]]
-    if batch is None:
-        batch, lengths, sarr = _load_global_batch(
-            kmdir, opts, config.kmer_size, ndev)
     import math
 
     rows_align = math.lcm(ndev, 8)
-    W = batch.shape[1] - config.kmer_size + 1
-    rows_per_chunk = max(rows_align,
-                         (chunk_windows // W) // rows_align * rows_align)
-    # never pad a chunk beyond the actual batch
-    rows_per_chunk = min(rows_per_chunk,
-                         -(-batch.shape[0] // rows_align) * rows_align)
+    k = config.kmer_size
+    if use_stream:
+        ests = [seqio.estimate(e.paths) for e in kmdir.fof]
+        L = max(_round128(k), min(_round128(max(e.max_size for e in ests)),
+                                  4096))
+        W = L - k + 1
+        rows_per_chunk = max(rows_align,
+                             (chunk_windows // W) // rows_align * rows_align)
+        depth = max(1, int(round((opts.focus or 0.5) * 4)))
+        chunks = prefetched(
+            stream_row_chunks(kmdir, opts, k, L, rows_per_chunk), depth)
+        log.info("mesh chunked (streaming): %d-row x %d chunks, prefetch "
+                 "depth %d", rows_per_chunk, L, depth)
+    else:
+        if batch is None:
+            batch, lengths, sarr = _load_global_batch(kmdir, opts, k, ndev)
+        L = batch.shape[1]
+        W = L - k + 1
+        rows_per_chunk = max(rows_align,
+                             (chunk_windows // W) // rows_align * rows_align)
+        # never pad a chunk beyond the actual batch
+        rows_per_chunk = min(rows_per_chunk,
+                             -(-batch.shape[0] // rows_align) * rows_align)
+
+        def _slice_chunks():
+            nchunks = -(-batch.shape[0] // rows_per_chunk)
+            for c in range(nchunks):
+                lo = c * rows_per_chunk
+                hi = min(batch.shape[0], lo + rows_per_chunk)
+                pad = rows_per_chunk - (hi - lo)
+                cb, cl, cs = batch[lo:hi], lengths[lo:hi], sarr[lo:hi]
+                if pad:
+                    cb = np.vstack([cb, np.full((pad, L), ord("N"),
+                                                np.uint8)])
+                    cl = np.concatenate([cl, np.zeros(pad, np.int32)])
+                    cs = np.concatenate([cs, np.zeros(pad, np.int32)])
+                yield cb, cl, cs
+
+        chunks = _slice_chunks()
+        log.info("mesh chunked: %d reads in %d chunk(s) of %d rows",
+                 batch.shape[0], -(-batch.shape[0] // rows_per_chunk),
+                 rows_per_chunk)
     cf, window_bits, count_max, hard_mins = _mesh_common(
         kmdir, config, opts, uniform_hard_min=False)
 
-    cap = -(-(rows_per_chunk * W) // ndev)
-    step = build_sharded_pipeline(
-        mesh, k=config.kmer_size, m=config.minim_size,
-        nb_parts=config.nb_partitions, cap=cap, nsamp=nsamp,
-        hard_min=1, rmin=1, save_if=0, mode=cf, window_bits=window_bits,
-        count_max=0xFFFFFFFF, static_repart=opts.static_repart,
-        with_stats=False)
+    local = -(-(rows_per_chunk * W) // ndev)
+    skew = estimate_dest_skew(kmdir, opts, config, repart, ndev)
+    cap = min(local, int(local * skew * ndev * 1.5) + 1024)
+
+    def build(c):
+        return build_sharded_pipeline(
+            mesh, k=k, m=config.minim_size,
+            nb_parts=config.nb_partitions, cap=c, nsamp=nsamp,
+            hard_min=1, rmin=1, save_if=0, mode=cf, window_bits=window_bits,
+            count_max=0xFFFFFFFF, static_repart=opts.static_repart,
+            with_stats=False)
+
+    step = build(cap)
     table = jnp.asarray(repart.table.astype(np.int32))
     ones = jnp.ones(nsamp, dtype=jnp.uint32)
 
     partials: list[tuple] = []       # (part, keys, samp, cnt) per chunk
-    nchunks = -(-batch.shape[0] // rows_per_chunk)
-    log.info("mesh chunked: %d reads in %d chunk(s) of %d rows",
-             batch.shape[0], nchunks, rows_per_chunk)
-    for c in range(nchunks):
-        lo = c * rows_per_chunk
-        hi = min(batch.shape[0], lo + rows_per_chunk)
-        pad = rows_per_chunk - (hi - lo)
-        cb = batch[lo:hi]
-        cl, cs = lengths[lo:hi], sarr[lo:hi]
-        if pad:
-            cb = np.vstack([cb, np.full((pad, batch.shape[1]), ord("N"),
-                                        np.uint8)])
-            cl = np.concatenate([cl, np.zeros(pad, np.int32)])
-            cs = np.concatenate([cs, np.zeros(pad, np.int32)])
-        outp = step(jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cs),
-                    table, ones)
+    for cb, cl, cs in chunks:
+        args = (jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cs), table,
+                ones)
+        while True:
+            outp = step(*args)
+            ndropped = int(np.asarray(outp[-1]))
+            if not ndropped:
+                break
+            assert cap < local, "dropped at worst-case capacity"
+            cap = min(local, cap * 2)
+            log.warning("mesh chunk overflow (%d dropped) - retrying with "
+                        "cap %d", ndropped, cap)
+            step = build(cap)
         (part_s, keys_s, samp_s, _final, cnt, present, _rh, _rk,
          _stats, dropped) = outp
-        if int(np.asarray(dropped)):
-            raise RuntimeError("mesh chunk overflow — smaller chunks "
-                               "needed")
         present = np.asarray(present).astype(bool)
         keys = _keys_to_u64([np.asarray(w)[present] for w in keys_s])
         keys = keys.reshape(len(keys), -1)
@@ -348,8 +508,6 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
 def _needs_host_aggregation(opts: PipelineOptions, kmdir: KmDir) -> bool:
     if opts.hist:
         return True
-    if len(set(kmdir.fof.abundance_mins(opts.hard_min))) != 1:
-        return True
     return _is_float_quantile(opts.soft_min)   # quantile needs histograms
 
 
@@ -365,9 +523,6 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
         raise ValueError("--backend mesh runs the fused count+merge step; "
                          "--until repart/superk/count need --backend "
                          "host/device")
-    if opts.kmer_size > 64:
-        raise ValueError("--backend mesh supports k <= 64; use --backend "
-                         "host for larger k")
     kmdir, config = stage_config(opts)
     repart = stage_repart(kmdir, config, opts)
     if getattr(repart, "freq", None) is not None:
@@ -383,10 +538,24 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
     from kmtricks_tpu.parallel.pipeline import make_mesh
 
     ndev = make_mesh().shape["d"]
-    batch, lengths, sarr = _load_global_batch(kmdir, opts, opts.kmer_size,
-                                              ndev)
     budget_windows = int(opts.max_memory_mb * 1e6 / 48)
-    n_windows = batch.shape[0] * (batch.shape[1] - opts.kmer_size + 1)
+    k = opts.kmer_size
+    # sampled size estimate decides whether the collection is ever
+    # materialized: far beyond the device budget -> stream chunks from the
+    # banks with bounded host RSS
+    ests = [seqio.estimate(e.paths) for e in kmdir.fof]
+    est_windows = sum(max(0, e.total_bases - (k - 1) * e.sequences)
+                      for e in ests)
+    if est_windows > 4 * budget_windows:
+        stage_mesh_chunked(kmdir, config, opts, repart, None,
+                           chunk_windows=budget_windows, use_stream=True)
+        cf, mode, _ = parse_mode(opts.mode)
+        if mode == "bft":
+            from kmtricks_tpu.runtime.pipeline import stage_format
+            stage_format(kmdir, config, opts)
+        return _finish(kmdir, t0)
+    batch, lengths, sarr = _load_global_batch(kmdir, opts, k, ndev)
+    n_windows = batch.shape[0] * (batch.shape[1] - k + 1)
     if n_windows > budget_windows or _needs_host_aggregation(opts, kmdir):
         stage_mesh_chunked(kmdir, config, opts, repart, None,
                            chunk_windows=budget_windows,

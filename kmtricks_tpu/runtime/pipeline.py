@@ -82,7 +82,7 @@ class PipelineOptions:
     max_memory_mb: int = 8192
     backend: str = "host"         # host | device
     bf_format: str = "howdesbt"
-    focus: float = 0.5            # accepted for CLI parity (no-op here)
+    focus: float = 0.5   # host-decode prefetch depth knob (mesh streaming)
     verbose: str = "info"
     bam_require_flags: int = 0
     bam_exclude_flags: int = 0
@@ -239,7 +239,7 @@ def stage_repart(kmdir: KmDir, config: Config,
 
 def _count_backend(opts: PipelineOptions, config: Config,
                    has_freq: bool = False):
-    if opts.backend == "device" and config.kmer_size <= 64 and not has_freq:
+    if opts.backend == "device" and config.kmer_size <= 128 and not has_freq:
         from kmtricks_tpu.ops.pipeline import count_sample_device
         return count_sample_device
     return hops.count_sequences

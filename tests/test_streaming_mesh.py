@@ -1,0 +1,139 @@
+"""Streaming mesh input (bounded host RSS), shuffle self-healing, and
+long-read splitting — VERDICT round-1 items 4 & 5."""
+
+import numpy as np
+import pytest
+
+from kmtricks_tpu.io import formats as F
+from kmtricks_tpu.runtime.pipeline import PipelineOptions, run_pipeline
+
+
+def write_fasta(path, reads):
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+
+
+def random_reads(rng, n, lo, hi):
+    return ["".join(rng.choice(list("ACGT"), size=int(rng.integers(lo, hi))))
+            for _ in range(n)]
+
+
+@pytest.fixture()
+def small_fof(tmp_path):
+    rng = np.random.default_rng(77)
+    lines = []
+    for s in range(3):
+        p = tmp_path / f"S{s}.fasta"
+        write_fasta(p, random_reads(rng, 40, 80, 160))
+        lines.append(f"S{s} : {p}")
+    fof = tmp_path / "t.fof"
+    fof.write_text("\n".join(lines) + "\n")
+    return str(fof)
+
+
+def _opts(fof, run_dir, **kw):
+    d = dict(fof=fof, run_dir=str(run_dir), kmer_size=31, hard_min=1,
+             soft_min="2", share_min=2, mode="kmer:count:bin",
+             static_repart=True, nb_partitions=8)
+    d.update(kw)
+    return PipelineOptions(**d)
+
+
+def _matrices(kmdir, nb=8):
+    return [open(kmdir.get_matrix_path(p, "count", "bin", "kmer", False),
+                 "rb").read() for p in range(nb)]
+
+
+def test_streaming_chunked_equals_host(small_fof, tmp_path):
+    """use_stream chunked path == host backend, byte for byte."""
+    from kmtricks_tpu.runtime.device_pipeline import stage_mesh_chunked
+    from kmtricks_tpu.runtime.pipeline import (
+        resolve_soft_min, stage_config, stage_repart)
+
+    host = run_pipeline(_opts(small_fof, tmp_path / "host", backend="host"))
+
+    opts = _opts(small_fof, tmp_path / "stream")
+    kmdir, config = stage_config(opts)
+    repart = stage_repart(kmdir, config, opts)
+    amin = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
+    # tiny chunk budget: forces many chunks + trailing padded chunk
+    stage_mesh_chunked(kmdir, config, opts, repart, amin,
+                       chunk_windows=3000, use_stream=True)
+    assert _matrices(kmdir) == _matrices(host)
+
+
+def test_streaming_splits_long_reads(tmp_path):
+    """Reads longer than the streaming segment length L are split with
+    k-1 overlap — matrices equal the host backend's."""
+    from kmtricks_tpu.runtime.device_pipeline import (
+        stage_mesh_chunked, stream_row_chunks)
+    from kmtricks_tpu.runtime.pipeline import (
+        resolve_soft_min, stage_config, stage_repart)
+
+    rng = np.random.default_rng(5)
+    p = tmp_path / "L.fasta"
+    write_fasta(p, random_reads(rng, 6, 5000, 6000))   # long reads
+    fof = tmp_path / "t.fof"
+    fof.write_text(f"S0 : {p}\n")
+
+    host = run_pipeline(_opts(str(fof), tmp_path / "host", backend="host"))
+
+    opts = _opts(str(fof), tmp_path / "stream")
+    kmdir, config = stage_config(opts)
+    repart = stage_repart(kmdir, config, opts)
+    amin = resolve_soft_min(opts.soft_min, kmdir, 1)
+    stage_mesh_chunked(kmdir, config, opts, repart, amin,
+                       chunk_windows=50_000, use_stream=True)
+    assert _matrices(kmdir) == _matrices(host)
+    # sanity: the stream really does split (L is capped at 4096)
+    chunks = list(stream_row_chunks(kmdir, opts, 31, 4096, 64))
+    assert sum((c[1] > 0).sum() for c in chunks) > 6   # more rows than reads
+
+
+def test_adversarial_skew_self_heals(tmp_path, caplog):
+    """All reads identical -> every occurrence routes to a handful of
+    partitions. The skew-sized cap + doubling retry must converge with no
+    RuntimeError and produce host-identical output."""
+    rng = np.random.default_rng(13)
+    read = "".join(rng.choice(list("ACGT"), size=150))
+    p = tmp_path / "A.fasta"
+    write_fasta(p, [read] * 64)
+    fof = tmp_path / "t.fof"
+    fof.write_text(f"S0 : {p}\n")
+
+    host = run_pipeline(_opts(str(fof), tmp_path / "host", backend="host"))
+    mesh = run_pipeline(_opts(str(fof), tmp_path / "mesh", backend="mesh"))
+    assert _matrices(mesh) == _matrices(host)
+
+
+def test_skew_estimator_uniformish(small_fof, tmp_path):
+    from kmtricks_tpu.runtime.device_pipeline import estimate_dest_skew
+    from kmtricks_tpu.runtime.pipeline import stage_config, stage_repart
+
+    opts = _opts(small_fof, tmp_path / "sk")
+    kmdir, config = stage_config(opts)
+    repart = stage_repart(kmdir, config, opts)
+    skew = estimate_dest_skew(kmdir, opts, config, repart, ndev=4)
+    assert 0.25 <= skew <= 1.0
+
+
+def test_per_sample_hard_min_in_fused_kernel(tmp_path):
+    """fof `! amin` overrides ride the fused mesh kernel (not just the
+    chunked host path) — output equals the host backend's."""
+    rng = np.random.default_rng(21)
+    lines = []
+    for s, amin in ((0, 1), (1, 2), (2, 3)):
+        p = tmp_path / f"S{s}.fasta"
+        rs = random_reads(rng, 20, 100, 180)
+        rs += rs[:8]            # duplicates -> counts >= 2 for some kmers
+        write_fasta(p, rs)
+        lines.append(f"S{s} : {p} ! {amin}")
+    fof = tmp_path / "t.fof"
+    fof.write_text("\n".join(lines) + "\n")
+
+    host = run_pipeline(_opts(str(fof), tmp_path / "host", backend="host",
+                              soft_min="1"))
+    mesh = run_pipeline(_opts(str(fof), tmp_path / "mesh", backend="mesh",
+                              soft_min="1"))
+    assert _matrices(mesh) == _matrices(host)

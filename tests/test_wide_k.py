@@ -1,4 +1,5 @@
-"""k > 32 device path (4-word u32 keys): parity vs the host golden path."""
+"""k > 32 device path (4/6/8-word u32 keys, spans 64/96/128 matching the
+reference KMER_LIST): parity vs the host golden path."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -23,7 +24,7 @@ def random_reads(rng, n, lo=70, hi=180):
             for _ in range(n)]
 
 
-@pytest.mark.parametrize("k", [33, 45, 55, 64])
+@pytest.mark.parametrize("k", [33, 45, 55, 64, 65, 96, 97, 127, 128])
 def test_encode_wide_matches_host(k):
     from kmtricks_tpu.core import kmer as kops
 
@@ -53,20 +54,19 @@ def test_encode_wide_matches_host(k):
         assert (valid[i, :W] == wv).all()
         if not wv.any():
             continue
+        from kmtricks_tpu.ops import u64 as U
         fwd = kops.kmers_from_codes(codes, k)
-        cano = kops.canonical(fwd, k)            # (W, 2) LE u64
-        got0 = (keys[2][i, :W].astype(np.uint64) << np.uint64(32)) \
-            | keys[3][i, :W]
-        got1 = (keys[0][i, :W].astype(np.uint64) << np.uint64(32)) \
-            | keys[1][i, :W]
-        assert (got0[wv] == cano[wv, 0]).all()
-        assert (got1[wv] == cano[wv, 1]).all()
+        cano = kops.canonical(fwd, k)            # (W, slots) LE u64
+        rows = U.msb_words_to_u64_rows_np([w[i, :W] for w in keys])
+        assert (rows[wv] == cano[wv]).all()
         minim = kops.window_minimizers(codes, k, M)
         assert (parts[i, :W][wv] == rep.table[minim[wv]]).all()
 
 
 @pytest.mark.parametrize("k,mode", [(45, "kmer"), (45, "hash"),
-                                    (64, "kmer")])
+                                    (64, "kmer"), (96, "kmer"),
+                                    (96, "hash"), (127, "kmer"),
+                                    (128, "kmer")])
 def test_count_and_merge_device_wide(k, mode):
     rng = np.random.default_rng(1000 + k)
     rep = Repartition.from_xxh(NB_PARTS, M)
@@ -89,8 +89,16 @@ def test_count_and_merge_device_wide(k, mode):
             assert (np.asarray(dk) == np.asarray(hk)).all()
             assert (np.asarray(dc) == np.asarray(hc)).all()
 
-        hkeys = [host[i].partitions[p][0] for i in range(2)]
-        hcnts = [host[i].partitions[p][1] for i in range(2)]
+        import kmtricks_tpu.core.kmer as kops
+        slots = kops.slots_for_k(k)
+        empty = (np.zeros((0, slots), dtype=np.uint64) if mode == "kmer"
+                 else np.zeros(0, dtype=np.uint64))
+        hkeys = [host[i].partitions.get(p, (empty, np.zeros(0, np.uint32)))[0]
+                 for i in range(2)]
+        hcnts = [host[i].partitions.get(p, (empty, np.zeros(0, np.uint32)))[1]
+                 for i in range(2)]
+        if not any(len(x) for x in hkeys):
+            continue
         g = merge_partition(hkeys, hcnts, amin, 1, 1)
         r = merge_partition_device(hkeys, hcnts, amin, 1, 1)
         assert (np.asarray(r.keys) == np.asarray(g.keys)).all()
@@ -126,3 +134,34 @@ def test_pipeline_backends_k45(tmp_path):
             c = open(runs[b].get_matrix_path(p, "count", "bin", "kmer",
                                              False), "rb").read()
             assert a == c, f"{b} differs on partition {p}"
+
+
+def test_pipeline_backends_k96(tmp_path):
+    """k = 96 (6-word device keys) agrees across all three backends."""
+    rng = np.random.default_rng(9696)
+    lines = []
+    for s in range(2):
+        p = tmp_path / f"S{s}.fasta"
+        with open(p, "w") as f:
+            for i, r in enumerate(random_reads(rng, 16, 140, 260)):
+                f.write(f">r{i}\n{r.decode()}\n")
+        lines.append(f"S{s} : {p}")
+    fof = tmp_path / "t.fof"
+    fof.write_text("\n".join(lines) + "\n")
+
+    runs = {}
+    for backend in ("host", "device", "mesh"):
+        runs[backend] = run_pipeline(PipelineOptions(
+            fof=str(fof), run_dir=str(tmp_path / backend), kmer_size=96,
+            hard_min=1, soft_min="1", mode="kmer:count:bin",
+            static_repart=True, nb_partitions=4, backend=backend))
+    total = 0
+    for p in range(4):
+        a = open(runs["host"].get_matrix_path(p, "count", "bin", "kmer",
+                                              False), "rb").read()
+        total += len(a) - 45                     # payload beyond the header
+        for b in ("device", "mesh"):
+            c = open(runs[b].get_matrix_path(p, "count", "bin", "kmer",
+                                             False), "rb").read()
+            assert a == c, f"{b} differs on partition {p}"
+    assert total > 0
