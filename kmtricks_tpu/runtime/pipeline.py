@@ -133,10 +133,12 @@ def stage_config(opts: PipelineOptions) -> tuple[KmDir, Config]:
 
 def sample_minimizer_bins(kmdir: KmDir, config: Config, bam_filter=None,
                           freq_order=None) -> np.ndarray:
-    """Tally sampled k-mers per minimizer (RepartitionAlgorithm.cpp:157-243
-    semantics; we tally k-mer windows where the reference tallies kx-mers —
-    proportional loads, same LPT result shape; deterministic: first-N
-    sampling, like the reference's CancellableIterator cutoff)."""
+    """Tally sampled KX-MERS per minimizer — the reference's exact LPT
+    weights (SampleRepart, RepartitionAlgorithm.cpp:158-243): within each
+    superkmer (run of consecutive valid windows sharing a minimizer), a
+    new kxmer starts when the canonical strand flips or after 4 k-mers.
+    Deterministic: first-N sampling, like the reference's
+    CancellableIterator cutoff."""
     from kmtricks_tpu.core import kmer as kops
 
     k, m = config.kmer_size, config.minim_size
@@ -155,8 +157,18 @@ def sample_minimizer_bins(kmdir: KmDir, config: Config, bam_filter=None,
             if not wv.any():
                 continue
             minim = kops.window_minimizers(codes, k, m,
-                                           freq_order=freq_order)[wv]
-            np.add.at(bins, minim.astype(np.int64), 1)
+                                           freq_order=freq_order)
+            fwd = kops.kmers_from_codes(codes, k)
+            which = ~kops.compare_lt(kops.revcomp(fwd, k), fwd)
+            n = len(minim)
+            idx = np.arange(n)
+            sk_break = np.ones(n, dtype=bool)     # superkmer boundaries
+            sk_break[1:] = (~wv[1:]) | (~wv[:-1]) | (minim[1:] != minim[:-1])
+            wb = sk_break.copy()                  # which-run boundaries
+            wb[1:] |= which[1:] != which[:-1]
+            run_start = np.maximum.accumulate(np.where(wb, idx, 0))
+            kx_start = (wb | ((idx - run_start) % 4 == 0)) & wv
+            np.add.at(bins, minim[kx_start].astype(np.int64), 1)
     return bins
 
 
@@ -556,29 +568,38 @@ def run_pipeline(opts: PipelineOptions) -> KmDir:
         return _finish(kmdir, t0)
 
     partitions = _selected_partitions(opts, config)
+    from kmtricks_tpu.runtime.progress import ProgressBar
+
     if opts.until == "superk":
         # superkmer files are a disk-era shuffle artifact; module parity is
         # provided by the `superk` command (see runtime/superk.py)
         from kmtricks_tpu.runtime.superk import stage_superk
-        for s in range(len(kmdir.fof)):
-            log.info("superk [%s]", kmdir.fof.entries[s].id)
-            stage_superk(kmdir, config, repart, s, opts)
+        with ProgressBar("superk", len(kmdir.fof)) as bar:
+            for s in range(len(kmdir.fof)):
+                log.info("superk [%s]", kmdir.fof.entries[s].id)
+                stage_superk(kmdir, config, repart, s, opts)
+                bar.tick()
         return _finish(kmdir, t0)
 
-    _pmap(opts.threads,
-          lambda s: (log.info("count [%s]", kmdir.fof.entries[s].id),
-                     stage_count(kmdir, config, repart, s, opts,
-                                 partitions=partitions)),
-          range(len(kmdir.fof)))
+    with ProgressBar("count", len(kmdir.fof)) as bar:
+        _pmap(opts.threads,
+              lambda s: (log.info("count [%s]", kmdir.fof.entries[s].id),
+                         stage_count(kmdir, config, repart, s, opts,
+                                     partitions=partitions),
+                         bar.tick()),
+              range(len(kmdir.fof)))
     if opts.until == "count":
         return _finish(kmdir, t0)
 
     amin_vec = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
-    _pmap(opts.threads,
-          lambda p: (log.info("merge [partition %d]", p),
-                     stage_merge(kmdir, config, opts, p, amin_vec)),
-          partitions if partitions is not None
-          else range(config.nb_partitions))
+    merge_parts = (partitions if partitions is not None
+                   else range(config.nb_partitions))
+    with ProgressBar("merge", len(list(merge_parts))) as bar:
+        _pmap(opts.threads,
+              lambda p: (log.info("merge [partition %d]", p),
+                         stage_merge(kmdir, config, opts, p, amin_vec),
+                         bar.tick()),
+              merge_parts)
 
     if mode == "bft":
         log.info("format: per-sample Bloom filters")

@@ -78,3 +78,56 @@ def test_pipeline_minimizer_variants(tmp_path, fof_path, minim_type,
         # freq sidecar persisted and reloadable
         r = Repartition.load(kmdir.repart_path)
         assert r.freq is not None
+
+
+def test_kxmer_lpt_weights_brute_force(tmp_path):
+    """sample_minimizer_bins tallies kx-mers exactly as SampleRepart
+    (RepartitionAlgorithm.cpp:158-243): new kxmer on strand flip or after
+    4 k-mers, within superkmer runs broken by minimizer change or an
+    invalid window."""
+    import numpy as np
+
+    from kmtricks_tpu.core import kmer as kops
+    from kmtricks_tpu.runtime.config import Config
+    from kmtricks_tpu.runtime.kmdir import KmDir
+    from kmtricks_tpu.runtime.pipeline import sample_minimizer_bins
+
+    rng = np.random.default_rng(8)
+    k, m = 11, 4
+    reads = []
+    for _ in range(30):
+        reads.append("".join(rng.choice(list("ACGTN"), size=60,
+                                        p=[.24, .24, .24, .24, .04])))
+    fa = tmp_path / "r.fasta"
+    fa.write_text("".join(f">s{i}\n{r}\n" for i, r in enumerate(reads)))
+    fof = tmp_path / "t.fof"
+    fof.write_text(f"S : {fa}\n")
+    kmdir = KmDir.init(str(tmp_path / "run"), str(fof), True)
+    config = Config(kmer_size=k, minim_size=m, seq_number=30)
+    bins = sample_minimizer_bins(kmdir, config)
+
+    # brute force per read
+    exp = np.zeros(4 ** m, dtype=np.int64)
+    for r in reads:
+        codes, valid = kops.encode_ascii(r.encode())
+        if len(codes) < k:
+            continue
+        wv = kops.window_validity(valid, k)
+        minim = kops.window_minimizers(codes, k, m)
+        fwd = kops.kmers_from_codes(codes, k)
+        which = ~kops.compare_lt(kops.revcomp(fwd, k), fwd)
+        prev_min, prev_which, kx = None, None, 0
+        for i in range(len(minim)):
+            if not wv[i]:
+                prev_min = None
+                continue
+            if prev_min is None or minim[i] != prev_min:
+                exp[minim[i]] += 1          # superkmer restart -> new kxmer
+                kx = 1
+            elif which[i] != prev_which or kx >= 4:
+                exp[minim[i]] += 1
+                kx = 1
+            else:
+                kx += 1
+            prev_min, prev_which = minim[i], which[i]
+    assert (bins == exp).all()
