@@ -1,0 +1,301 @@
+"""Pallas u32 sort for the packed single-word hash keys.
+
+``jax.lax.sort`` of one u32 operand costs 9.6 ms at N = 4.19M on a v5e —
+the largest remaining share of the fused count+merge step. This sorter
+exploits the packed-key design (everything rides ONE u32, sentinel
+0xFFFFFFFF tail-padding is semantically invalid):
+
+1. tile kernel: full bitonic sort of 8192-element VMEM tiles (butterfly
+   exchanges = two ``pltpu.roll`` + select per stage);
+2. merge levels: pairs of sorted runs are merged with the merge-path
+   method — per 8192-wide output block, the (A, B) split point is found
+   by a vectorized binary search OUTSIDE the kernel (tiny XLA gathers),
+   prefetched, then the block's two windows are DMA'd in and merged with
+   one bitonic merge (sentinel-masked). O(1) HBM passes per level.
+
+Signed trick: u32 keys are bitcast to i32 with the sign bit flipped
+(x ^ 0x80000000), so signed min/max implement unsigned compares.
+
+Requires N padded to a power of two (callers pad with 0xFFFFFFFF; the
+fused step's tail padding makes this a few % extra at bench shapes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+U32 = jnp.uint32
+LANES = 128
+SUB = 64
+TILE = SUB * LANES            # 8192: base sorted-run length
+SIGN = np.uint32(0x80000000)
+BIG = np.int32(0x7FFFFFFF)
+
+
+def _butterfly(x, d: int):
+    """y[i] = x[i ^ d] over a tile, memory-flat index (d a power of 2)."""
+    R, C = x.shape
+    if d < C:
+        up = pltpu.roll(x, C - d, axis=1)     # up[i] = x[i+d] (lane-local)
+        dn = pltpu.roll(x, d, axis=1)         # dn[i] = x[i-d]
+        col = jax.lax.broadcasted_iota(I32, (R, C), 1)
+        return jnp.where((col & d) == 0, up, dn)
+    rd = d // C
+    up = pltpu.roll(x, R - rd, axis=0)
+    dn = pltpu.roll(x, rd, axis=0)
+    row = jax.lax.broadcasted_iota(I32, (R, C), 0)
+    return jnp.where((row & rd) == 0, up, dn)
+
+
+def _flat_idx(shape):
+    row = jax.lax.broadcasted_iota(I32, shape, 0)
+    col = jax.lax.broadcasted_iota(I32, shape, 1)
+    return row * shape[1] + col
+
+
+def _stage(x, idx, k: int, d: int):
+    """One compare-exchange stage of the bitonic network: partner at XOR
+    distance d, ascending iff (i & k) == 0 (k = 0 -> all ascending)."""
+    part = _butterfly(x, d)
+    lo = jnp.minimum(x, part)
+    hi = jnp.maximum(x, part)
+    upper = (idx & d) != 0          # i is the higher of the pair
+    desc = ((idx & k) != 0) if k else jnp.zeros_like(upper)
+    return jnp.where(upper ^ desc, hi, lo)
+
+
+def _bitonic_sort_tile(x):
+    """Ascending bitonic sort of one tile (flat row-major order)."""
+    idx = _flat_idx(x.shape)
+    n = x.shape[0] * x.shape[1]
+    k = 2
+    while k <= n:
+        d = k // 2
+        while d >= 1:
+            x = _stage(x, idx, 0 if k == n else k, d)
+            d //= 2
+        k *= 2
+    return x
+
+
+def _bitonic_merge_tile(x):
+    """Bitonic merge of a tile holding a bitonic sequence -> ascending."""
+    idx = _flat_idx(x.shape)
+    n = x.shape[0] * x.shape[1]
+    d = n // 2
+    while d >= 1:
+        x = _stage(x, idx, 0, d)
+        d //= 2
+    return x
+
+
+def _flat_shift_up(x, r: int):
+    """y[i] = x[i+r] (memory-flat, circular — callers mask the wrap)."""
+    R, C = x.shape
+    a, b = divmod(r, C)
+    if a:
+        x = pltpu.roll(x, R - a, axis=0)
+    if b:
+        col = jax.lax.broadcasted_iota(I32, (R, C), 1)
+        z = pltpu.roll(x, C - b, axis=1)
+        z2 = pltpu.roll(z, R - 1, axis=0)
+        x = jnp.where(col < C - b, z, z2)
+    return x
+
+
+def _flat_shift_down(x, r: int):
+    """y[i] = x[i-r] (memory-flat, circular — callers mask the wrap)."""
+    R, C = x.shape
+    a, b = divmod(r, C)
+    if a:
+        x = pltpu.roll(x, a, axis=0)
+    if b:
+        col = jax.lax.broadcasted_iota(I32, (R, C), 1)
+        z = pltpu.roll(x, b, axis=1)
+        z2 = pltpu.roll(z, 1, axis=0)
+        x = jnp.where(col >= b, z, z2)
+    return x
+
+
+def _oem_merge_halves(x):
+    """Batcher odd-even merge of a (2S, C) tile whose flat halves are each
+    sorted ascending (no reversal needed, unlike the bitonic merge —
+    Mosaic has no `rev`). Stages: CE(i, i+E) then, for r = E/2..1,
+    CE(i, i+r) on i = r (mod 2r)."""
+    idx = _flat_idx(x.shape)
+    n2 = x.shape[0] * x.shape[1]
+    E = n2 // 2
+    x = _stage(x, idx, 0, E)          # pairs (i, i^E) == (i, i+E) for i < E
+    r = E // 2
+    while r >= 1:
+        up = _flat_shift_up(x, r)
+        dn = _flat_shift_down(x, r)
+        # stage r: CE(i, i+r) for every i with bit r set, i < n2 - r
+        act_lo = ((idx & r) != 0) & (idx < n2 - r)
+        act_hi = ((idx & r) == 0) & (idx >= 2 * r)
+        y = jnp.where(act_lo, jnp.minimum(x, up), x)
+        x = jnp.where(act_hi, jnp.maximum(y, dn), y)
+        r //= 2
+    return x
+
+
+def _sort_tiles_kernel(x_ref, o_ref):
+    o_ref[...] = _bitonic_sort_tile(x_ref[...])
+
+
+ALIGN = 1024                  # HBM slice offsets must be 1024-divisible
+
+
+def _dyn_normalize(win, alpha):
+    """Shift a (SUB+8, LANES) window flat-up by dynamic alpha in
+    [0, ALIGN): bit-decomposed into conditional static circular rolls
+    (Mosaic-safe; the wrapped tail never reaches the first TILE
+    elements because alpha < ALIGN)."""
+    p = 1
+    while p < ALIGN:
+        win = jnp.where((alpha & p) != 0, _flat_shift_up(win, p), win)
+        p <<= 1
+    return win
+
+
+def _merge_kernel(log2r: int, splits_ref, x_ref, o_ref, awin, bwin, sems):
+    """Merge-path block merge (see module docstring). DMA offsets are
+    rounded down to ALIGN (Mosaic requires tiling-divisible dynamic
+    offsets); windows are TILE+ALIGN wide and normalized in-VMEM."""
+    o = pl.program_id(0)
+    R = 1 << log2r
+    g = o * TILE
+    pair = g >> (log2r + 1)
+    d0 = g - (pair << (log2r + 1))
+    a0 = splits_ref[o]
+    a1 = splits_ref[o + 1]
+    last_of_pair = (d0 + TILE) >= (2 * R)
+    a1 = jnp.where(last_of_pair, R, a1)
+    na = a1 - a0
+    nb = TILE - na
+    b0 = d0 - a0
+    abase = pair << (log2r + 1)
+    bbase = abase + R
+
+    astart = abase + a0
+    bstart = bbase + b0
+    astart_al = (astart // ALIGN) * ALIGN
+    bstart_al = (bstart // ALIGN) * ALIGN
+    cp_a = pltpu.make_async_copy(
+        x_ref.at[pl.ds(astart_al, TILE + ALIGN)], awin, sems.at[0])
+    cp_b = pltpu.make_async_copy(
+        x_ref.at[pl.ds(bstart_al, TILE + ALIGN)], bwin, sems.at[1])
+    cp_a.start()
+    cp_b.start()
+    cp_a.wait()
+    cp_b.wait()
+
+    rows = (TILE + ALIGN) // LANES
+    a2 = _dyn_normalize(awin[...].reshape(rows, LANES),
+                        astart - astart_al)[:SUB]
+    b2 = _dyn_normalize(bwin[...].reshape(rows, LANES),
+                        bstart - bstart_al)[:SUB]
+    idx = _flat_idx((SUB, LANES))
+    a2 = jnp.where(idx < na, a2, BIG)
+    b2 = jnp.where(idx < nb, b2, BIG)
+    merged = _oem_merge_halves(jnp.concatenate([a2, b2], axis=0))
+    o_ref[...] = merged[:SUB]
+
+
+def _merge_splits(x, log2r: int):
+    """Vectorized binary search for per-block merge-path splits (XLA).
+
+    For output-block boundary g: a = elements the merged prefix of length
+    d0 = g mod 2R takes from the A run; P(a) = A[a-1] <= B[d0-a] is
+    monotone non-increasing in a — find the largest a with P(a)."""
+    n = x.shape[0]
+    R = 1 << log2r
+    nblocks = n // TILE
+    o = jnp.arange(nblocks + 1, dtype=I32)
+    g = o * TILE
+    pair = g >> (log2r + 1)
+    d0 = g - (pair << (log2r + 1))
+    abase = pair << (log2r + 1)
+    bbase = abase + R
+    lo = jnp.maximum(0, d0 - R)
+    hi = jnp.minimum(R, d0)
+    for _ in range(log2r + 1):
+        mid = (lo + hi + 1) >> 1
+        av = x[jnp.clip(abase + mid - 1, 0, n - 1)]
+        bv = x[jnp.clip(bbase + d0 - mid, 0, n - 1)]
+        guard_b = (d0 - mid) >= R          # B exhausted -> +inf
+        ok = (mid <= lo) | guard_b | (av <= bv)
+        take = ok & (mid <= hi)
+        lo = jnp.where(take, mid, lo)
+        hi = jnp.where(take, hi, jnp.minimum(hi, mid - 1))
+    return lo.astype(I32)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sort_u32_pow2(x, interpret: bool = False):
+    """Ascending sort of a power-of-two-length u32 array (>= TILE)."""
+    n = x.shape[0]
+    assert n & (n - 1) == 0 and n >= TILE, "power-of-two length required"
+    xs = jax.lax.bitcast_convert_type(x ^ SIGN, jnp.int32)
+
+    tiles = n // TILE
+    shape2 = (n // LANES, LANES)
+    tspec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    cur = pl.pallas_call(
+        _sort_tiles_kernel,
+        grid=(tiles,),
+        in_specs=[tspec],
+        out_specs=tspec,
+        out_shape=jax.ShapeDtypeStruct(shape2, jnp.int32),
+        interpret=interpret,
+    )(xs.reshape(shape2)).reshape(n)
+
+    # windows overfetch up to one tile + ALIGN past a run's end;
+    # out-of-bounds DMA starts are clamped (shifting the window!), so the
+    # input of each merge level carries two sentinel tiles of padding
+    big_tile = jnp.full((TILE,), BIG, dtype=jnp.int32)
+    log2r = TILE.bit_length() - 1
+    while (1 << log2r) < n:
+        splits = _merge_splits(cur, log2r)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((TILE + 1024,), jnp.int32),
+                            pltpu.VMEM((TILE + 1024,), jnp.int32),
+                            pltpu.SemaphoreType.DMA((2,))],
+        )
+        cur = pl.pallas_call(
+            partial(_merge_kernel, log2r),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(shape2, jnp.int32),
+            interpret=interpret,
+        )(splits, jnp.concatenate([cur, big_tile, big_tile])).reshape(n)
+        log2r += 1
+    return jax.lax.bitcast_convert_type(cur, jnp.uint32) ^ SIGN
+
+
+def sort_u32(x, interpret: bool = False):
+    """Ascending u32 sort; pads to the next power of two with the
+    0xFFFFFFFF sentinel (the fused step's invalid marker) and slices
+    back. Falls back to lax.sort below one tile."""
+    n = x.shape[0]
+    if n < TILE:
+        (s,) = jax.lax.sort((x,), dimension=0, num_keys=1)
+        return s
+    npad = 1 << (n - 1).bit_length()
+    if npad != n:
+        x = jnp.concatenate(
+            [x, jnp.full((npad - n,), 0xFFFFFFFF, dtype=U32)])
+    s = sort_u32_pow2(x, interpret=interpret)
+    return s[:n]

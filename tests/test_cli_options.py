@@ -157,3 +157,46 @@ def test_pinfo_counts_match_occurrences(tmp_path, fof_path):
     # kx-mer radix totals sum to the same k-mer totals
     per_rad = pinfo.nbk_per_radix * (np.arange(5)[None, :, None] + 1)
     assert (per_rad.sum(axis=(1, 2)) == pinfo.part_nb_kmers).all()
+
+
+def test_gatb_config_twin_byte_layout(tmp_path):
+    """The gatb.config twin matches Configuration::save's exact byte
+    layout (Configuration.cpp:145-175 / Configuration.hpp:56-100):
+    4 size_t + u64 + u32 + 3 size_t + size_t + 3 u64 + 3 u64 + 2 u32 +
+    2 u16 + u32 = 140 bytes, raw consecutive little-endian writes."""
+    import struct
+
+    from kmtricks_tpu.runtime.config import (Config, load_gatb_config,
+                                             save_gatb_config)
+
+    cfg = Config(kmer_size=31, minim_size=10, nb_partitions=8,
+                 max_memory_mb=5000, seq_number=123, seq_total_size=45600,
+                 seq_max_size=700, kmers_estimated=41900,
+                 repart_type=1, minim_type=0,
+                 extra={"gatb_plan": {"max_disk_mb": 115401,
+                                      "nb_parallel": 2,
+                                      "cores_per_partition": 3,
+                                      "available_space": 117401,
+                                      "volume": 77,
+                                      "nb_passes": 4,
+                                      "nb_cached_items_per_core_per_part":
+                                      8388608}})
+    save_gatb_config(cfg, str(tmp_path))
+    raw = open(tmp_path / "config_gatb" / "gatb.config", "rb").read()
+    assert len(raw) == 140
+    vals = struct.unpack("<QQQQQIQQQQQQQQQQIIHHI", raw)
+    assert vals[0] == 31 and vals[1] == 10          # kmer, minim
+    assert vals[2] == 1 and vals[3] == 0            # repart, minim type
+    assert vals[4] == 115401 and vals[5] == 5000    # max_disk, max_memory
+    assert vals[7] == 2                             # nb_partitions_in_par
+    assert vals[9] == 3                             # nbCores_per_partition
+    assert vals[10] == 123 and vals[11] == 45600 and vals[12] == 700
+    assert vals[13] == 117401 and vals[14] == 77    # avail, volume
+    assert vals[15] == 41900                        # kmersNb
+    assert vals[16] == 4 and vals[17] == 8          # passes, partitions
+    assert vals[18] == 62 and vals[19] == 1         # bits/kmer, nb_banks
+    assert vals[20] == 8388608                      # cached items
+
+    back = load_gatb_config(str(tmp_path))
+    assert back.kmer_size == 31 and back.nb_partitions == 8
+    assert back.seq_number == 123 and back.kmers_estimated == 41900
