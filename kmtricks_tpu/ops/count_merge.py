@@ -78,6 +78,17 @@ def _samp_bits(nsamp: int) -> int:
     return max(1, (nsamp - 1).bit_length())
 
 
+def _use_pallas_sort() -> bool:
+    """Single-word sort backend: KMTRICKS_TPU_SORT = pallas | xla | auto
+    (auto currently resolves to lax.sort; flip when the Pallas merge
+    sort wins on hardware). Read at trace time."""
+    import os
+    mode = os.environ.get("KMTRICKS_TPU_SORT", "auto")
+    if mode == "pallas":
+        return jax.default_backend() == "tpu" or mode == "pallas"
+    return False
+
+
 def _use_pallas_segscan() -> bool:
     """Segment-stage backend: KMTRICKS_TPU_SEGSCAN = pallas | xla | auto
     (default auto = Pallas kernels on TPU, cumulative primitives
@@ -148,7 +159,11 @@ def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
         w = ((inv << U32(31)) | (keys[1] << U32(sb))
              | (samp.astype(U32) & U32((1 << sb) - 1)))
         w = jnp.where(valid, w, U32(0xFFFFFFFF))
-        (w_s,) = jax.lax.sort((w,), dimension=0, num_keys=1)
+        if _use_pallas_sort():
+            from kmtricks_tpu.ops.pallas_sort import sort_u32
+            w_s = sort_u32(w)
+        else:
+            (w_s,) = jax.lax.sort((w,), dimension=0, num_keys=1)
         valid_s = (w_s >> U32(31)) == 0
         samp_s = jnp.where(valid_s, w_s & U32((1 << sb) - 1), U32(0))
         klo = jnp.where(valid_s,
