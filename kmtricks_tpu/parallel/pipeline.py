@@ -176,11 +176,13 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
 
     sh = P(axis)
     rep = P()
+    # check_vma=False: the Pallas segment-scan kernels inside the step
+    # don't carry vma metadata; outputs are byte-validated in tests
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
         in_specs=(sh, sh, sh, rep, rep),
         out_specs=(sh, tuple(sh for _ in range(nw)), sh, sh, sh, sh, sh,
-                   sh, rep, rep)))
+                   sh, rep, rep), check_vma=False))
 
 
 def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
