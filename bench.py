@@ -151,6 +151,20 @@ def main() -> None:
     matrix_wall = time.perf_counter() - t0
     assert nrows > 0 and kk.shape[0] == nrows and mat.shape[0] == nrows
 
+    # --- BASELINE config 3: 50-sample vertical BF windows -> per-sample
+    # horizontal BFs (write_as_bft semantics: BitMatrix transpose,
+    # merge.hpp:631-644) — host-side blockwise bit transpose
+    from kmtricks_tpu.core.bitmatrix import transpose_bits
+    nsamp50, window = 50, WINDOW_BITS
+    rows50 = rng.integers(0, 256, (window, (nsamp50 + 7) // 8),
+                          dtype=np.uint8)
+    transpose_bits(rows50[:1024])     # warm numpy path
+    t0 = time.perf_counter()
+    out50 = transpose_bits(rows50)
+    bft_wall = time.perf_counter() - t0
+    assert out50.shape[0] >= nsamp50
+    bft_bits_per_sec = window * nsamp50 / bft_wall
+
     print(json.dumps({
         "metric": "kmers_counted_merged_per_sec_per_chip",
         "value": round(hash_rate, 1),
@@ -161,6 +175,7 @@ def main() -> None:
             "kmer_mode_kmers_per_sec": round(kmer_rate, 1),
             "mesh_backend_kmers_per_sec": round(mesh_rate, 1),
             "matrix_build_wall_s_10samp_2.5Mwin": round(matrix_wall, 4),
+            "bft_transpose_bits_per_sec_50samp": round(bft_bits_per_sec, 1),
         },
     }))
 
