@@ -102,6 +102,143 @@ def _use_pallas_segscan() -> bool:
     return jax.default_backend() == "tpu"
 
 
+
+# ---------------------------------------------------------------------------
+# Packed sort layouts. Each packs (valid, partition, key, sample) into the
+# fewest u32 sort operands (sort cost is operand-count-bound on TPU) with
+# all-ones sentinel for invalid entries — which is also the all_to_all
+# padding sentinel, so routed buffers need no separate validity channel.
+# ---------------------------------------------------------------------------
+
+def packed_layout(nsamp: int, nw: int, part_follows_keys: bool,
+                  key_bits: int | None) -> str | None:
+    """Choose a packed sort layout: "h1" (hash, 1 word), "h2" (hash,
+    2 words), "k3" (k-mer <= 32, 3 words), or None (generic path)."""
+    sb = _samp_bits(nsamp)
+    if part_follows_keys and key_bits is not None and nw == 2:
+        if 1 + key_bits + sb <= 32:
+            return "h1"
+        if 1 + key_bits + sb <= 64:
+            return "h2"
+    if not part_follows_keys and nw == 2 and sb <= 15:
+        return "k3"
+    return None
+
+
+def pack_words(layout: str, part, keys, samp, valid, nsamp: int):
+    """Pack occurrences into the layout's msb-first u32 sort words."""
+    sb = _samp_bits(nsamp)
+    s32 = samp.astype(U32) & U32((1 << sb) - 1)
+    ff = U32(0xFFFFFFFF)
+    if layout == "h1":
+        w = (keys[1] << U32(sb)) | s32
+        return (jnp.where(valid, w, ff),)
+    if layout == "h2":
+        from kmtricks_tpu.ops import u64 as U
+        packed = U.shl64((keys[0], keys[1]), sb)
+        return (jnp.where(valid, packed[0], ff),
+                jnp.where(valid, packed[1] | s32, ff))
+    if layout == "k3":
+        p32 = part.astype(U32)
+        w0 = (p32 << U32(15)) | (keys[0] >> U32(17))
+        w1 = (keys[0] << U32(15)) | (keys[1] >> U32(17))
+        w2 = (keys[1] << U32(15)) | s32
+        return (jnp.where(valid, w0, ff), jnp.where(valid, w1, ff),
+                jnp.where(valid, w2, ff))
+    raise ValueError(layout)
+
+
+def unpack_sorted(layout: str, ws, nsamp: int, key_bits, window_bits):
+    """Sorted packed words -> (part_s, keys_s, samp_s, valid_s, occ_d, kd)."""
+    sb = _samp_bits(nsamp)
+    if layout == "h1":
+        (w_s,) = ws
+        valid_s = (w_s >> U32(31)) == 0
+        samp_s = jnp.where(valid_s, w_s & U32((1 << sb) - 1), U32(0))
+        klo = jnp.where(valid_s,
+                        (w_s >> U32(sb)) & U32((1 << key_bits) - 1), U32(0))
+        keys_s = (jnp.zeros_like(klo), klo)
+        part_s = (klo // U32(window_bits)) if window_bits else \
+            jnp.zeros_like(klo)
+        occ_d = w_s[1:] != w_s[:-1]
+        kd = (w_s[1:] >> U32(sb)) != (w_s[:-1] >> U32(sb))
+        return part_s, keys_s, samp_s, valid_s, occ_d, kd
+    if layout == "h2":
+        from kmtricks_tpu.ops import u64 as U
+        w0_s, w1_s = ws
+        valid_s = (w0_s >> U32(31)) == 0
+        samp_s = jnp.where(valid_s, w1_s & U32((1 << sb) - 1), U32(0))
+        khi, klo = U.shr64((w0_s, w1_s), sb)
+        mask_hi = U32((1 << max(key_bits - 32, 0)) - 1) if key_bits > 32 \
+            else U32(0)
+        khi = jnp.where(valid_s, khi & mask_hi, U32(0))
+        klo = jnp.where(valid_s,
+                        klo & (U32((1 << min(key_bits, 32)) - 1)
+                               if key_bits < 32 else U32(0xFFFFFFFF)),
+                        U32(0))
+        keys_s = (khi, klo)
+        if window_bits:
+            q = U.mulhi64((khi, klo), U.const64(U.barrett_magic(
+                window_bits)))
+            r = U.sub64((khi, klo), U.mul64(q, U.const64(window_bits)))
+            for _ in range(2):
+                ge = ~U.lt64(r, U.const64(window_bits))
+                q = (q[0], q[1] + ge.astype(U32))
+                r = U.select64(ge, U.sub64(r, U.const64(window_bits)), r)
+            part_s = q[1]
+        else:
+            part_s = jnp.zeros_like(klo)
+        occ_d = (w0_s[1:] != w0_s[:-1]) | (w1_s[1:] != w1_s[:-1])
+        kd = ((khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1])
+              | (valid_s[1:] != valid_s[:-1]))
+        return part_s, keys_s, samp_s, valid_s, occ_d, kd
+    if layout == "k3":
+        w0_s, w1_s, w2_s = ws
+        valid_s = (w0_s >> U32(31)) == 0
+        m15 = U32(0x7FFF)
+        part_s = jnp.where(valid_s, (w0_s >> U32(15)) & U32(0xFFFF), U32(0))
+        k0 = ((w0_s & m15) << U32(17)) | (w1_s >> U32(15))
+        k1 = ((w1_s & m15) << U32(17)) | (w2_s >> U32(15))
+        keys_s = (jnp.where(valid_s, k0, U32(0)),
+                  jnp.where(valid_s, k1, U32(0)))
+        samp_s = jnp.where(valid_s, w2_s & U32((1 << sb) - 1), U32(0))
+        occ_d = ((w0_s[1:] != w0_s[:-1]) | (w1_s[1:] != w1_s[:-1])
+                 | (w2_s[1:] != w2_s[:-1]))
+        kd = ((w0_s[1:] != w0_s[:-1]) | (w1_s[1:] != w1_s[:-1])
+              | ((w2_s[1:] >> U32(15)) != (w2_s[:-1] >> U32(15))))
+        return part_s, keys_s, samp_s, valid_s, occ_d, kd
+    raise ValueError(layout)
+
+
+def sort_packed(layout: str, words):
+    """Sort packed words (all operands are keys)."""
+    if layout == "h1" and _use_pallas_sort():
+        from kmtricks_tpu.ops.pallas_sort import sort_u32
+        return (sort_u32(words[0]),)
+    return jax.lax.sort(words, dimension=0, num_keys=len(words))
+
+
+def part_of_sorted(layout: str, ws, nsamp: int, window_bits):
+    """Partition id of each sorted packed entry (cheap partial unpack,
+    used by the router to derive destinations)."""
+    sb = _samp_bits(nsamp)
+    if layout == "h1":
+        return ((ws[0] >> U32(sb)) // U32(window_bits)).astype(I32)
+    if layout == "h2":
+        from kmtricks_tpu.ops import u64 as U
+        khi, klo = U.shr64((ws[0] & U32(0x7FFFFFFF), ws[1]), sb)
+        q = U.mulhi64((khi, klo), U.const64(U.barrett_magic(window_bits)))
+        r = U.sub64((khi, klo), U.mul64(q, U.const64(window_bits)))
+        for _ in range(2):
+            ge = ~U.lt64(r, U.const64(window_bits))
+            q = (q[0], q[1] + ge.astype(U32))
+            r = U.select64(ge, U.sub64(r, U.const64(window_bits)), r)
+        return q[1].astype(I32)
+    if layout == "k3":
+        return ((ws[0] >> U32(15)) & U32(0xFFFF)).astype(I32)
+    raise ValueError(layout)
+
+
 @partial(jax.jit, static_argnames=("nsamp", "hard_min", "rmin", "save_if",
                                    "count_max", "with_stats",
                                    "part_follows_keys", "key_bits",
@@ -154,64 +291,12 @@ def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
     # v5e, 4.19M rows: 1 op 9.6ms / 2 ops 12.5ms / 4 ops 18.3ms), and the
     # partition is recomputed afterwards as hash // window_bits instead of
     # riding the sort.
-    if (part_follows_keys and key_bits is not None and nw == 2
-            and 1 + key_bits + sb <= 32):
-        w = ((inv << U32(31)) | (keys[1] << U32(sb))
-             | (samp.astype(U32) & U32((1 << sb) - 1)))
-        w = jnp.where(valid, w, U32(0xFFFFFFFF))
-        if _use_pallas_sort():
-            from kmtricks_tpu.ops.pallas_sort import sort_u32
-            w_s = sort_u32(w)
-        else:
-            (w_s,) = jax.lax.sort((w,), dimension=0, num_keys=1)
-        valid_s = (w_s >> U32(31)) == 0
-        samp_s = jnp.where(valid_s, w_s & U32((1 << sb) - 1), U32(0))
-        klo = jnp.where(valid_s,
-                        (w_s >> U32(sb)) & U32((1 << key_bits) - 1), U32(0))
-        keys_s = (jnp.zeros_like(klo), klo)
-        part_s = (klo // U32(window_bits)) if window_bits else \
-            jnp.zeros_like(klo)
-        occ_d = w_s[1:] != w_s[:-1]
-        kd = (w_s[1:] >> U32(sb)) != (w_s[:-1] >> U32(sb))
-        return _segment_stage(
-            part_s, keys_s, samp_s, valid_s, occ_d, kd, amin_vec,
-            nsamp=nsamp, hard_min=hard_min, rmin=rmin, save_if=save_if,
-            count_max=count_max, with_stats=with_stats,
-            hard_min_vec=hard_min_vec)
-    if (part_follows_keys and key_bits is not None and nw == 2
-            and 1 + key_bits + sb <= 64):
-        from kmtricks_tpu.ops import u64 as U
-        packed = U.shl64((keys[0], keys[1]), sb)
-        packed = (packed[0], packed[1] | (samp.astype(U32)
-                                          & U32((1 << sb) - 1)))
-        w0 = jnp.where(valid, packed[0], U32(0xFFFFFFFF))
-        w1 = jnp.where(valid, packed[1], U32(0xFFFFFFFF))
-        w0_s, w1_s = jax.lax.sort((w0, w1), dimension=0, num_keys=2)
-        valid_s = (w0_s >> U32(31)) == 0
-        samp_s = jnp.where(valid_s, w1_s & U32((1 << sb) - 1), U32(0))
-        khi, klo = U.shr64((w0_s, w1_s), sb)
-        mask_hi = U32((1 << max(key_bits - 32, 0)) - 1) if key_bits > 32 \
-            else U32(0)
-        khi = jnp.where(valid_s, khi & mask_hi, U32(0))
-        klo = jnp.where(valid_s,
-                        klo & (U32((1 << min(key_bits, 32)) - 1)
-                               if key_bits < 32 else U32(0xFFFFFFFF)),
-                        U32(0))
-        keys_s = (khi, klo)
-        if window_bits:
-            q = U.mulhi64((khi, klo), U.const64(U.barrett_magic(
-                window_bits)))
-            r = U.sub64((khi, klo), U.mul64(q, U.const64(window_bits)))
-            for _ in range(2):
-                ge = ~U.lt64(r, U.const64(window_bits))
-                q = (q[0], q[1] + ge.astype(U32))
-                r = U.select64(ge, U.sub64(r, U.const64(window_bits)), r)
-            part_s = q[1]
-        else:
-            part_s = jnp.zeros_like(klo)
-        occ_d = (w0_s[1:] != w0_s[:-1]) | (w1_s[1:] != w1_s[:-1])
-        kd = ((khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1])
-              | (valid_s[1:] != valid_s[:-1]))
+    layout = packed_layout(nsamp, nw, part_follows_keys, key_bits)
+    if layout in ("h1", "h2"):
+        words = pack_words(layout, part, keys, samp, valid, nsamp)
+        ws = sort_packed(layout, words)
+        part_s, keys_s, samp_s, valid_s, occ_d, kd = unpack_sorted(
+            layout, ws, nsamp, key_bits, window_bits)
         return _segment_stage(
             part_s, keys_s, samp_s, valid_s, occ_d, kd, amin_vec,
             nsamp=nsamp, hard_min=hard_min, rmin=rmin, save_if=save_if,
@@ -381,3 +466,26 @@ def _segment_stage(part_s, keys_s, samp_s, valid_s, occ_d, kd, amin_vec, *,
         stats = jnp.zeros((6, nsamp), dtype=U32)
     return (part_s.astype(I32), keys_s, samp_i, final, cnt,
             present, row_head, row_keep, row_of, stats)
+
+
+@partial(jax.jit, static_argnames=("layout", "nsamp", "hard_min", "rmin",
+                                   "save_if", "count_max", "with_stats",
+                                   "key_bits", "window_bits"))
+def count_merge_packed(words, amin_vec, *, layout: str, nsamp: int,
+                       hard_min: int, rmin: int, save_if: int,
+                       count_max: int = 0xFFFFFFFF,
+                       with_stats: bool = True,
+                       key_bits: int | None = None,
+                       window_bits: int | None = None,
+                       hard_min_vec=None):
+    """count_merge_keys over ALREADY-PACKED sort words (the mesh path
+    routes packed words through the all_to_all; sentinel-padded entries
+    are the packed invalid encoding, so they need no separate mask)."""
+    ws = sort_packed(layout, tuple(words))
+    part_s, keys_s, samp_s, valid_s, occ_d, kd = unpack_sorted(
+        layout, ws, nsamp, key_bits, window_bits)
+    return _segment_stage(
+        part_s, keys_s, samp_s, valid_s, occ_d, kd, amin_vec,
+        nsamp=nsamp, hard_min=hard_min, rmin=rmin, save_if=save_if,
+        count_max=count_max, with_stats=with_stats,
+        hard_min_vec=hard_min_vec)

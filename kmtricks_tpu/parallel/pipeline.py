@@ -27,7 +27,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from kmtricks_tpu.ops.count_merge import count_merge_keys
+from kmtricks_tpu.ops.count_merge import (count_merge_keys,
+                                          count_merge_packed,
+                                          pack_words, packed_layout,
+                                          part_of_sorted, sort_packed)
 from kmtricks_tpu.ops.encode import encode_batch, encode_batch_wide
 from kmtricks_tpu.ops.xxh64 import window_hash
 
@@ -83,6 +86,41 @@ def _bucket_and_route(keys, samp, part, valid, dest, ndev: int, cap: int,
     r_samp = jnp.where(r_valid, r_samp, U32(0)).astype(I32)
     return (tuple(recv[:, i] for i in range(nw)), r_samp, r_part, r_valid,
             dropped)
+
+
+def _route_sorted(layout: str, words, ndev: int, cap: int, axis: str,
+                  nsamp: int, window_bits, nb_parts: int):
+    """Sort-based shuffle: packed words sort by (valid | partition | key |
+    sample), so destination devices (contiguous partition blocks) are
+    contiguous runs of the LOCALLY SORTED array — routing is slicing, not
+    scattering (a 4M-row scatter costs ~27-110 ms on a v5e; the sort is
+    already paid by the count kernel's algebra). The all-ones sentinel
+    doubles as the packed invalid encoding, so receivers need no
+    separate validity channel. Returns received packed words
+    (ndev*cap each) + the local dropped count."""
+    ws = sort_packed(layout, words)
+    valid_s = (ws[0] >> U32(31)) == 0
+    part_s = part_of_sorted(layout, ws, nsamp, window_bits)
+    dest = jnp.where(valid_s, (part_s * ndev) // nb_parts, ndev)
+    counts = jnp.stack([jnp.sum((dest == d).astype(I32))
+                        for d in range(ndev)])
+    starts = jnp.cumsum(counts) - counts
+    dropped = jnp.sum(jnp.maximum(counts - cap, 0))
+    pos = jnp.arange(cap, dtype=I32)
+    sent = jnp.full((cap,), SENT, dtype=U32)
+    bufs = []
+    for i, w in enumerate(ws):
+        padded = jnp.concatenate([w, sent])
+        rows = []
+        for d in range(ndev):
+            seg = jax.lax.dynamic_slice(padded, (starts[d],), (cap,))
+            rows.append(jnp.where(pos < counts[d], seg, SENT))
+        bufs.append(jnp.stack(rows))                   # (ndev, cap)
+    buf = jnp.stack(bufs, axis=2)                      # (ndev, cap, nwords)
+    recv = jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0,
+                              tiled=False)
+    recv = recv.reshape(ndev * cap, len(ws))
+    return tuple(recv[:, i] for i in range(len(ws))), dropped
 
 
 def _use_pallas(encode_impl: str, batch_rows: int) -> bool:
@@ -151,24 +189,44 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     key_bits = ((window_bits * nb_parts - 1).bit_length()
                 if mode == "hash" else None)
 
+    layout = packed_layout(nsamp, nw, mode == "hash", key_bits)
+
     def step(batch, lengths, samp, repart_table, amin_vec):
         keys, sampw, parts, valid = _encode_flat(
             batch, lengths, samp, repart_table, k, m, mode, window_bits,
             encode_impl, nb_parts if static_repart else None)
-        # contiguous-block partition->device map, computed arithmetically
-        # (a 4M-wide table gather costs ~10x the whole encode on TPU)
-        dest = (parts * ndev) // nb_parts
-        rkeys, rsamp, rpart, rvalid, dropped = _bucket_and_route(
-            keys, sampw, parts, valid, dest, ndev, cap, axis)
-        (part_s, keys_s, samp_s, final, cnt, present, key_head,
-         row_keep, _row_of, stats) = count_merge_keys(
-            rpart, rkeys, rsamp, rvalid, amin_vec, nsamp=nsamp,
-            hard_min=hard_min, rmin=rmin, save_if=save_if,
-            count_max=count_max, with_stats=with_stats,
-            part_follows_keys=(mode == "hash"), key_bits=key_bits,
-            window_bits=window_bits if mode == "hash" else None,
-            hard_min_vec=None if hard_min_vec is None
-            else jnp.asarray(hard_min_vec, dtype=jnp.uint32))
+        hmv = (None if hard_min_vec is None
+               else jnp.asarray(hard_min_vec, dtype=jnp.uint32))
+        if layout is not None:
+            # sort-based route: no scatter, packed words through the
+            # all_to_all, receiver re-sorts its ndev sorted runs
+            words = pack_words(layout, parts, keys, sampw, valid, nsamp)
+            rwords, dropped = _route_sorted(
+                layout, words, ndev, cap, axis, nsamp,
+                window_bits if mode == "hash" else None, nb_parts)
+            (part_s, keys_s, samp_s, final, cnt, present, key_head,
+             row_keep, _row_of, stats) = count_merge_packed(
+                rwords, amin_vec, layout=layout, nsamp=nsamp,
+                hard_min=hard_min, rmin=rmin, save_if=save_if,
+                count_max=count_max, with_stats=with_stats,
+                key_bits=key_bits,
+                window_bits=window_bits if mode == "hash" else None,
+                hard_min_vec=hmv)
+        else:
+            # contiguous-block partition->device map, computed
+            # arithmetically (a 4M-wide table gather costs ~10x the whole
+            # encode on TPU)
+            dest = (parts * ndev) // nb_parts
+            rkeys, rsamp, rpart, rvalid, dropped = _bucket_and_route(
+                keys, sampw, parts, valid, dest, ndev, cap, axis)
+            (part_s, keys_s, samp_s, final, cnt, present, key_head,
+             row_keep, _row_of, stats) = count_merge_keys(
+                rpart, rkeys, rsamp, rvalid, amin_vec, nsamp=nsamp,
+                hard_min=hard_min, rmin=rmin, save_if=save_if,
+                count_max=count_max, with_stats=with_stats,
+                part_follows_keys=(mode == "hash"), key_bits=key_bits,
+                window_bits=window_bits if mode == "hash" else None,
+                hard_min_vec=hmv)
         stats = jax.lax.psum(stats, axis)
         dropped = jax.lax.psum(dropped, axis)
         return (part_s, keys_s, samp_s, final, cnt, present, key_head,
