@@ -79,7 +79,13 @@ def main() -> None:
                                                 make_mesh)
 
     rng = np.random.default_rng(42)
-    batch = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(B, L))
+    # reads sampled from a synthetic genome at ~10x coverage — realistic
+    # duplicate structure (uniform-random reads have no repeated k-mers,
+    # which zeroes every abundance-filtered metric)
+    G = B * L // 10
+    genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=G)
+    starts = rng.integers(0, G - L, B)
+    batch = genome[starts[:, None] + np.arange(L)]
     lengths = np.full(B, L, dtype=np.int32)
     samp = (np.arange(B, dtype=np.int32) * NSAMP) // B
     repart = Repartition.from_xxh(NB_PARTS, M)
@@ -120,8 +126,10 @@ def main() -> None:
     # --- matrix build wall time: 10-sample abundance matrix from 2.5M
     # windows (BASELINE config-2 shape), device chunks + host assembly
     nsamp10 = 10
-    b10 = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
-                     size=(2560, 1024))
+    g10 = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                     size=2560 * 1024 // 10)
+    s10s = rng.integers(0, len(g10) - 1024, 2560)
+    b10 = g10[s10s[:, None] + np.arange(1024)]
     s10 = (np.arange(2560, dtype=np.int32) * nsamp10) // 2560
     amin10 = np.full(nsamp10, 2, dtype=np.uint32)
     step10 = jax.jit(build_single_chip_step(

@@ -247,6 +247,10 @@ def segment_stage_pallas(occ_diff, key_diff, valid, amin_of, hmin_of, *,
     n = occ_diff.shape[0]
     pad = (-n) % TILE
     npad = n + pad
+    if npad == 0:
+        z = jnp.zeros((0,), jnp.int32)
+        zb = jnp.zeros((0,), bool)
+        return z, zb, zb, z, zb, zb, z
 
     occ = occ_diff.astype(I32)
     kd = key_diff.astype(I32)
