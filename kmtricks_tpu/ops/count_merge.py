@@ -111,18 +111,34 @@ def _use_pallas_segscan() -> bool:
 # ---------------------------------------------------------------------------
 
 def packed_layout(nsamp: int, nw: int, part_follows_keys: bool,
-                  key_bits: int | None) -> str | None:
+                  key_bits: int | None,
+                  part_bits: int | None = None) -> str | None:
     """Choose a packed sort layout: "h1" (hash, 1 word), "h2" (hash,
-    2 words), "k3" (k-mer <= 32, 3 words), or None (generic path)."""
+    2 words), "k2.<pb>.<kb>" (k-mer, 2 words — fits when
+    1 + part_bits + 2k + samp_bits <= 64, i.e. k <= ~27 at typical
+    partition/sample widths), "k3" (k-mer <= 32, 3 words), or None
+    (generic path)."""
     sb = _samp_bits(nsamp)
     if part_follows_keys and key_bits is not None and nw == 2:
         if 1 + key_bits + sb <= 32:
             return "h1"
         if 1 + key_bits + sb <= 64:
             return "h2"
-    if not part_follows_keys and nw == 2 and sb <= 15:
-        return "k3"
+    if not part_follows_keys and nw == 2:
+        if (part_bits is not None and key_bits is not None
+                and 1 + part_bits + key_bits + sb <= 64):
+            return f"k2.{part_bits}.{key_bits}"
+        if sb <= 15:
+            return "k3"
     return None
+
+
+def _k2_params(layout: str, nsamp: int):
+    """(part_bits, key_bits, left-shift) of a "k2.<pb>.<kb>" layout."""
+    _, pb, kb = layout.split(".")
+    pb, kb = int(pb), int(kb)
+    shift = 64 - (1 + pb + kb + _samp_bits(nsamp))
+    return pb, kb, shift
 
 
 def pack_words(layout: str, part, keys, samp, valid, nsamp: int):
@@ -138,6 +154,15 @@ def pack_words(layout: str, part, keys, samp, valid, nsamp: int):
         packed = U.shl64((keys[0], keys[1]), sb)
         return (jnp.where(valid, packed[0], ff),
                 jnp.where(valid, packed[1] | s32, ff))
+    if layout.startswith("k2."):
+        from kmtricks_tpu.ops import u64 as U
+        pb, kb, shift = _k2_params(layout, nsamp)
+        v = U.or64(U.shl64((keys[0], keys[1]), sb),
+                   (jnp.zeros_like(s32), s32))
+        v = U.or64(v, U.shl64((jnp.zeros_like(s32), part.astype(U32)),
+                              kb + sb))
+        v = U.shl64(v, shift)
+        return (jnp.where(valid, v[0], ff), jnp.where(valid, v[1], ff))
     if layout == "k3":
         p32 = part.astype(U32)
         w0 = (p32 << U32(15)) | (keys[0] >> U32(17))
@@ -192,6 +217,35 @@ def unpack_sorted(layout: str, ws, nsamp: int, key_bits, window_bits):
         kd = ((khi[1:] != khi[:-1]) | (klo[1:] != klo[:-1])
               | (valid_s[1:] != valid_s[:-1]))
         return part_s, keys_s, samp_s, valid_s, occ_d, kd
+    if layout.startswith("k2."):
+        from kmtricks_tpu.ops import u64 as U
+        pb, kb, shift = _k2_params(layout, nsamp)
+        w0_s, w1_s = ws
+        valid_s = (w0_s >> U32(31)) == 0
+        v = U.shr64((w0_s, w1_s), shift)
+        samp_s = jnp.where(valid_s, v[1] & U32((1 << sb) - 1), U32(0))
+        khi, klo = U.shr64(v, sb)
+        if kb > 32:
+            khi = khi & U32((1 << (kb - 32)) - 1)
+        else:
+            khi = jnp.zeros_like(khi)
+            klo = klo & U32((1 << kb) - 1)
+        keys_s = (jnp.where(valid_s, khi, U32(0)),
+                  jnp.where(valid_s, klo, U32(0)))
+        part_s = jnp.where(valid_s, (w0_s >> U32(31 - pb))
+                           & U32((1 << pb) - 1), U32(0))
+        occ_d = (w0_s[1:] != w0_s[:-1]) | (w1_s[1:] != w1_s[:-1])
+        # key granularity: ignore the sample bits (and the zero padding
+        # below them) — everything from bit sb+shift up
+        t = sb + shift
+        if t == 0:
+            kd = occ_d
+        elif t < 32:
+            kd = ((w0_s[1:] != w0_s[:-1])
+                  | ((w1_s[1:] >> U32(t)) != (w1_s[:-1] >> U32(t))))
+        else:
+            kd = (w0_s[1:] >> U32(t - 32)) != (w0_s[:-1] >> U32(t - 32))
+        return part_s, keys_s, samp_s, valid_s, occ_d, kd
     if layout == "k3":
         w0_s, w1_s, w2_s = ws
         valid_s = (w0_s >> U32(31)) == 0
@@ -234,6 +288,9 @@ def part_of_sorted(layout: str, ws, nsamp: int, window_bits):
             q = (q[0], q[1] + ge.astype(U32))
             r = U.select64(ge, U.sub64(r, U.const64(window_bits)), r)
         return q[1].astype(I32)
+    if layout.startswith("k2."):
+        pb, _, _ = _k2_params(layout, nsamp)
+        return ((ws[0] >> U32(31 - pb)) & U32((1 << pb) - 1)).astype(I32)
     if layout == "k3":
         return ((ws[0] >> U32(15)) & U32(0xFFFF)).astype(I32)
     raise ValueError(layout)
@@ -242,13 +299,14 @@ def part_of_sorted(layout: str, ws, nsamp: int, window_bits):
 @partial(jax.jit, static_argnames=("nsamp", "hard_min", "rmin", "save_if",
                                    "count_max", "with_stats",
                                    "part_follows_keys", "key_bits",
-                                   "window_bits"))
+                                   "window_bits", "part_bits"))
 def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
                      hard_min: int, rmin: int, save_if: int,
                      count_max: int = 0xFFFFFFFF, with_stats: bool = True,
                      part_follows_keys: bool = False,
                      key_bits: int | None = None,
                      window_bits: int | None = None,
+                     part_bits: int | None = None,
                      hard_min_vec=None):
     """Count and merge raw occurrences in one pass — variable key width.
 
@@ -291,8 +349,11 @@ def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
     # v5e, 4.19M rows: 1 op 9.6ms / 2 ops 12.5ms / 4 ops 18.3ms), and the
     # partition is recomputed afterwards as hash // window_bits instead of
     # riding the sort.
-    layout = packed_layout(nsamp, nw, part_follows_keys, key_bits)
-    if layout in ("h1", "h2"):
+    layout = packed_layout(nsamp, nw, part_follows_keys, key_bits,
+                           part_bits)
+    if layout is not None and layout != "k3":
+        # ("k3" packing is inlined below with its own diff extraction —
+        # kept separate because its part field is not width-parameterized)
         words = pack_words(layout, part, keys, samp, valid, nsamp)
         ws = sort_packed(layout, words)
         part_s, keys_s, samp_s, valid_s, occ_d, kd = unpack_sorted(

@@ -106,24 +106,25 @@ def _kernel(batch_ref, len_ref, hi_ref, lo_ref, minim_ref, valid_ref,
     valid_ref[:] = valid.astype(I32)
 
 
-@partial(jax.jit, static_argnames=("k", "m", "interpret"))
+@partial(jax.jit, static_argnames=("k", "m", "interpret", "tile_rows"))
 def encode_batch_pallas(batch, lengths, repart_table, k: int, m: int,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        tile_rows: int = TILE_ROWS):
     """Pallas twin of encode_batch: (B, L) u8 reads -> canonical k-mers,
-    partitions, validity. B must be a multiple of 8; W = L - k + 1."""
+    partitions, validity. B must be a multiple of tile_rows; W = L - k + 1."""
     B, L = batch.shape
-    assert B % TILE_ROWS == 0, "pad the batch to a multiple of 8 rows"
+    assert B % tile_rows == 0, "pad the batch to a multiple of tile_rows"
     W = L - k + 1
-    grid = (B // TILE_ROWS,)
-    row_spec = pl.BlockSpec((TILE_ROWS, L), lambda i: (i, 0),
+    grid = (B // tile_rows,)
+    row_spec = pl.BlockSpec((tile_rows, L), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_specs = [pl.BlockSpec((TILE_ROWS, L), lambda i: (i, 0),
+    out_specs = [pl.BlockSpec((tile_rows, L), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] * 4
     hi, lo, minim, valid = pl.pallas_call(
         partial(_kernel, k=k, m=m),
         grid=grid,
         in_specs=[row_spec,
-                  pl.BlockSpec((TILE_ROWS, 1), lambda i: (i, 0),
+                  pl.BlockSpec((tile_rows, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=out_specs,
         out_shape=[

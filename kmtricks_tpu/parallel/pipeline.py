@@ -189,7 +189,11 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     key_bits = ((window_bits * nb_parts - 1).bit_length()
                 if mode == "hash" else None)
 
-    layout = packed_layout(nsamp, nw, mode == "hash", key_bits)
+    part_bits = (nb_parts - 1).bit_length()
+    layout = packed_layout(
+        nsamp, nw, mode == "hash",
+        key_bits if mode == "hash" else (2 * k if nw == 2 else None),
+        part_bits if mode == "kmer" else None)
 
     def step(batch, lengths, samp, repart_table, amin_vec):
         keys, sampw, parts, valid = _encode_flat(
@@ -267,7 +271,11 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
             parts, keys, sampw, valid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,
             count_max=count_max, with_stats=with_stats,
-            part_follows_keys=(mode == "hash"), key_bits=key_bits,
-            window_bits=window_bits if mode == "hash" else None)
+            part_follows_keys=(mode == "hash"),
+            key_bits=(key_bits if mode == "hash"
+                      else (2 * k if k <= 32 else None)),
+            window_bits=window_bits if mode == "hash" else None,
+            part_bits=(((known_parts - 1).bit_length())
+                       if (mode == "kmer" and known_parts) else None))
 
     return step
