@@ -92,7 +92,9 @@ def main() -> None:
     amin = np.full(NSAMP, 2, dtype=np.uint32)
     kmers_per_step = B * (L - K + 1)
 
-    args = (jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(samp),
+    # production layout: batch transposed (L, B), sequence along sublanes
+    args = (jnp.asarray(np.ascontiguousarray(batch.T)), jnp.asarray(lengths),
+            jnp.asarray(samp),
             jnp.asarray(repart.table.astype(np.int32)), jnp.asarray(amin))
 
     # --- headline: hash-mode fused count+merge (static-repart partitions,
@@ -100,7 +102,8 @@ def main() -> None:
     hash_step = jax.jit(build_single_chip_step(
         k=K, m=M, nsamp=NSAMP, hard_min=2, rmin=1, save_if=2,
         mode="hash", window_bits=WINDOW_BITS,
-        static_repart_parts=NB_PARTS, with_stats=False))
+        static_repart_parts=NB_PARTS, with_stats=False,
+        batch_layout="lb"))
     hash_rate, hash_dt = _rate(hash_step, args, kmers_per_step)
 
     # --- BF bits: distinct present hashes per second from the same step
@@ -112,7 +115,8 @@ def main() -> None:
     # --- k-mer mode
     kmer_step = jax.jit(build_single_chip_step(
         k=K, m=M, nsamp=NSAMP, hard_min=2, rmin=1, save_if=2,
-        mode="kmer", static_repart_parts=NB_PARTS, with_stats=False))
+        mode="kmer", static_repart_parts=NB_PARTS, with_stats=False,
+        batch_layout="lb"))
     kmer_rate, _ = _rate(kmer_step, args, kmers_per_step)
 
     # --- mesh backend on a 1-device mesh (all_to_all included)
@@ -120,7 +124,8 @@ def main() -> None:
     mesh_step = build_sharded_pipeline(
         mesh, k=K, m=M, nb_parts=NB_PARTS, cap=kmers_per_step,
         nsamp=NSAMP, hard_min=2, rmin=1, save_if=2, mode="hash",
-        window_bits=WINDOW_BITS, static_repart=True, with_stats=False)
+        window_bits=WINDOW_BITS, static_repart=True, with_stats=False,
+        batch_layout="lb")
     mesh_rate, _ = _rate(mesh_step, args, kmers_per_step, iters=5)
 
     # --- matrix build wall time: 10-sample abundance matrix from 2.5M
@@ -134,8 +139,10 @@ def main() -> None:
     amin10 = np.full(nsamp10, 2, dtype=np.uint32)
     step10 = jax.jit(build_single_chip_step(
         k=K, m=M, nsamp=nsamp10, hard_min=1, rmin=1, save_if=0,
-        mode="kmer", static_repart_parts=NB_PARTS, with_stats=False))
-    args10 = (jnp.asarray(b10), jnp.asarray(np.full(2560, 1024, np.int32)),
+        mode="kmer", static_repart_parts=NB_PARTS, with_stats=False,
+        batch_layout="lb"))
+    args10 = (jnp.asarray(np.ascontiguousarray(b10.T)),
+              jnp.asarray(np.full(2560, 1024, np.int32)),
               jnp.asarray(s10), jnp.asarray(repart.table.astype(np.int32)),
               jnp.asarray(amin10))
     _fetch(step10(*args10))           # compile outside the wall clock

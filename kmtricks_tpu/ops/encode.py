@@ -80,76 +80,100 @@ def mmer_allowed(v, m: int):
     return a == 0
 
 
-def sliding_min(x, w: int):
-    """Windowed min of width w along the last axis (prefix-doubling:
+def _slice_seq(x, off: int, n: int, axis: int):
+    return jax.lax.dynamic_slice_in_dim(x, off, n, axis=axis)
+
+
+def sliding_min(x, w: int, seq_axis: int = -1):
+    """Windowed min of width w along ``seq_axis`` (prefix-doubling:
     O(log w) vector ops). Output length = n - w + 1."""
     c = 1
     y = x
     while c < w:
         s = min(c, w - c)
-        y = jnp.minimum(y[..., : y.shape[-1] - s], y[..., s:])
+        n = y.shape[seq_axis] - s
+        y = jnp.minimum(_slice_seq(y, 0, n, seq_axis),
+                        _slice_seq(y, s, n, seq_axis))
         c += s
     return y
 
 
-@partial(jax.jit, static_argnames=("k", "m", "static_parts"))
+def _window_validity(char_valid, lengths, k: int, seq_axis: int):
+    """(.., W, ..) bool — window has k valid chars and fits the read."""
+    bad = (~char_valid).astype(jnp.int32)
+    cs = jnp.cumsum(bad, axis=seq_axis)
+    pad = [(0, 0), (0, 0)]
+    pad[seq_axis] = (1, 0)
+    csz = jnp.pad(cs, pad)
+    W = char_valid.shape[seq_axis] - k + 1
+    win_clean = (_slice_seq(csz, k, W, seq_axis)
+                 - _slice_seq(csz, 0, W, seq_axis)) == 0
+    pos = jax.lax.broadcasted_iota(jnp.int32, win_clean.shape, seq_axis)
+    lb = lengths[:, None] if seq_axis == 1 else lengths[None, :]
+    return win_clean & (pos + k <= lb)
+
+
+def _minimizer_partitions(codes, repart_table, k: int, m: int,
+                          static_parts: int | None, seq_axis: int):
+    """Per-window minimizers -> partition ids (shared by both key widths)."""
+    Wm = codes.shape[seq_axis] - m + 1
+    mv = jnp.zeros_like(_slice_seq(codes, 0, Wm, seq_axis))
+    for j in range(m):
+        mv = (mv << U32(2)) | _slice_seq(codes, j, Wm, seq_axis)
+    mc = mmer_canonical(mv, m)
+    sentinel = U32((1 << (2 * m)) - 1)
+    masked = jnp.where(mmer_allowed(mc, m), mc, sentinel)
+    minim = sliding_min(masked, k - m + 1, seq_axis)
+    if static_parts is not None:
+        from kmtricks_tpu.ops.xxh64 import static_partitions
+        parts = static_partitions(minim, static_parts)
+    else:
+        parts = repart_table[minim.astype(jnp.int32)]
+    return parts.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "m", "static_parts", "seq_axis"))
 def encode_batch(batch, lengths, repart_table, k: int, m: int,
-                 static_parts: int | None = None):
+                 static_parts: int | None = None, seq_axis: int = 1):
     """Encode a read batch into routed canonical k-mers.
 
     Parameters
     ----------
-    batch : (B, L) uint8 ASCII (padded arbitrarily past ``lengths``)
+    batch : (B, L) uint8 ASCII (padded arbitrarily past ``lengths``), or
+        (L, B) with ``seq_axis=0`` — on TPU the sequence-along-sublanes
+        layout is ~20%% cheaper (lane-axis shifts are full permutes;
+        sublane shifts are cheap)
     lengths : (B,) int32 actual read lengths
     repart_table : (4^m,) int32 minimizer -> partition
     k, m : static sizes (k <= 32, m <= 15)
     static_parts : if set (= nb_partitions), compute the --static-repart
         partition XXH64(minimizer) %% P arithmetically instead of the table
         gather (a 4M-wide gather costs ~7x the whole encode on TPU)
+    seq_axis : which batch axis is the sequence (1 for (B, L), 0 for (L, B));
+        outputs use the same layout
 
     Returns
     -------
-    (hi, lo) : (B, W) uint32 canonical k-mer words, W = L - k + 1
-    parts : (B, W) int32 partition per window
-    valid : (B, W) bool — window contains only ACGT and fits the read
+    (hi, lo) : uint32 canonical k-mer words, W = L - k + 1 along seq_axis
+    parts : int32 partition per window
+    valid : bool — window contains only ACGT and fits the read
     """
-    B, L = batch.shape
+    L = batch.shape[seq_axis]
     W = L - k + 1
-    Wm = L - m + 1
     codes, char_valid = ascii_to_codes(batch)
-
-    # window validity: no invalid char among the k, and window inside read
-    bad = (~char_valid).astype(jnp.int32)
-    cs = jnp.cumsum(bad, axis=1)
-    csz = jnp.pad(cs, ((0, 0), (1, 0)))
-    win_clean = (csz[:, k:] - csz[:, :-k]) == 0
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-    inside = pos + k <= lengths[:, None]
-    valid = win_clean & inside
+    valid = _window_validity(char_valid, lengths, k, seq_axis)
 
     # packed forward k-mers, rolled in over k static slices
-    hi = jnp.zeros((B, W), dtype=U32)
-    lo = jnp.zeros((B, W), dtype=U32)
+    hi = jnp.zeros_like(_slice_seq(codes, 0, W, seq_axis))
+    lo = jnp.zeros_like(hi)
     for j in range(k):
         hi, lo = U.shl64((hi, lo), 2)
-        lo = lo | jax.lax.dynamic_slice_in_dim(codes, j, W, axis=1)
+        lo = lo | _slice_seq(codes, j, W, seq_axis)
     cano, _ = canonical64((hi, lo), k)
 
-    # masked canonical m-mers -> windowed min -> minimizer
-    mv = jnp.zeros((B, Wm), dtype=U32)
-    for j in range(m):
-        mv = (mv << U32(2)) | jax.lax.dynamic_slice_in_dim(codes, j, Wm, axis=1)
-    mc = mmer_canonical(mv, m)
-    sentinel = U32((1 << (2 * m)) - 1)
-    masked = jnp.where(mmer_allowed(mc, m), mc, sentinel)
-    minim = sliding_min(masked, k - m + 1)
-
-    if static_parts is not None:
-        from kmtricks_tpu.ops.xxh64 import static_partitions
-        parts = static_partitions(minim, static_parts)
-    else:
-        parts = repart_table[minim.astype(jnp.int32)]
-    return cano[0], cano[1], parts.astype(jnp.int32), valid
+    parts = _minimizer_partitions(codes, repart_table, k, m, static_parts,
+                                  seq_axis)
+    return cano[0], cano[1], parts, valid
 
 
 # ---------------------------------------------------------------------------
@@ -201,33 +225,27 @@ def device_key_words(k: int) -> int:
     return span // 16
 
 
-@partial(jax.jit, static_argnames=("k", "m", "static_parts"))
+@partial(jax.jit, static_argnames=("k", "m", "static_parts", "seq_axis"))
 def encode_batch_wide(batch, lengths, repart_table, k: int, m: int,
-                      static_parts: int | None = None):
+                      static_parts: int | None = None, seq_axis: int = 1):
     """Encode for 32 < k <= 128: canonical k-mers as lsb-first u32 word
     lists — 4 words for k <= 64 (the reference's Kmer<64> __uint128_t
     storage, kmer.hpp:909-1172), 6 for k <= 96 and 8 for k <= 128 (the
-    generic uint64_t[] backend, kmer.hpp:164-630). Same routing semantics
-    as :func:`encode_batch`."""
+    generic uint64_t[] backend, kmer.hpp:164-630). Same routing and
+    layout semantics as :func:`encode_batch`."""
     assert 32 < k <= 128
     nw = device_key_words(k)
     span_nt = 16 * nw
-    B, L = batch.shape
+    L = batch.shape[seq_axis]
     W = L - k + 1
-    Wm = L - m + 1
     codes, char_valid = ascii_to_codes(batch)
+    valid = _window_validity(char_valid, lengths, k, seq_axis)
 
-    bad = (~char_valid).astype(jnp.int32)
-    cs = jnp.cumsum(bad, axis=1)
-    csz = jnp.pad(cs, ((0, 0), (1, 0)))
-    win_clean = (csz[:, k:] - csz[:, :-k]) == 0
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-    valid = win_clean & (pos + k <= lengths[:, None])
-
-    fwd = [jnp.zeros((B, W), dtype=U32) for _ in range(nw)]
+    zero = jnp.zeros_like(_slice_seq(codes, 0, W, seq_axis))
+    fwd = [zero for _ in range(nw)]
     for j in range(k):
         fwd = _shl2_words(fwd)
-        fwd[0] = fwd[0] | jax.lax.dynamic_slice_in_dim(codes, j, W, axis=1)
+        fwd[0] = fwd[0] | _slice_seq(codes, j, W, seq_axis)
     # revcomp: reverse 2-bit groups of the span storage, complement,
     # realign right by 2*(span - k) (kmer.hpp rev_comp semantics)
     rc = [_rev2bit32(fwd[nw - 1 - i]) ^ U32(0xAAAAAAAA) for i in range(nw)]
@@ -235,20 +253,7 @@ def encode_batch_wide(batch, lengths, repart_table, k: int, m: int,
     take_rc = _lt_words(rc, fwd)
     cano = tuple(jnp.where(take_rc, r, f) for r, f in zip(rc, fwd))
 
-    mv = jnp.zeros((B, Wm), dtype=U32)
-    for j in range(m):
-        mv = (mv << U32(2)) | jax.lax.dynamic_slice_in_dim(codes, j, Wm,
-                                                           axis=1)
-    mc = mmer_canonical(mv, m)
-    sentinel = U32((1 << (2 * m)) - 1)
-    masked = jnp.where(mmer_allowed(mc, m), mc, sentinel)
-    minim = sliding_min(masked, k - m + 1)
-
-    if static_parts is not None:
-        from kmtricks_tpu.ops.xxh64 import static_partitions
-        parts = static_partitions(minim, static_parts)
-    else:
-        parts = repart_table[minim.astype(jnp.int32)]
+    parts = _minimizer_partitions(codes, repart_table, k, m, static_parts,
+                                  seq_axis)
     # msb-first word order for sorting (keys[0] most significant)
-    return (tuple(cano[nw - 1 - i] for i in range(nw)),
-            parts.astype(jnp.int32), valid)
+    return (tuple(cano[nw - 1 - i] for i in range(nw)), parts, valid)

@@ -69,12 +69,16 @@ def count_sample_device(
     if batch.shape[0] == 0:
         return out
 
-    bj, lj = jnp.asarray(batch), jnp.asarray(lengths)
+    # transposed (L, B) batch: sequence along sublanes (~20% cheaper encode)
+    bj = jnp.asarray(np.ascontiguousarray(batch.T))
+    lj = jnp.asarray(lengths)
     if k <= 32:
-        hi, lo, parts, valid = encode_batch(bj, lj, table_dev, k, m)
+        hi, lo, parts, valid = encode_batch(bj, lj, table_dev, k, m,
+                                            seq_axis=0)
         keys = (hi, lo)
     else:
-        keys, parts, valid = encode_batch_wide(bj, lj, table_dev, k, m)
+        keys, parts, valid = encode_batch_wide(bj, lj, table_dev, k, m,
+                                               seq_axis=0)
     keys = tuple(w.ravel() for w in keys)
     parts, valid = parts.ravel(), valid.ravel()
     if mode == "hash":

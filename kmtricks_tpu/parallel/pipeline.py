@@ -133,26 +133,37 @@ def _use_pallas(encode_impl: str, batch_rows: int) -> bool:
 
 def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
                  mode: str, window_bits, encode_impl: str = "auto",
-                 static_parts: int | None = None):
+                 static_parts: int | None = None,
+                 batch_layout: str = "bl"):
     """Shared encode stage -> flat (keys tuple, samp, part, valid)
     occurrences. Keys: 2 msb-first u32 words for k <= 32, 4 for k <= 64;
-    in hash mode always the 2-word window hash."""
+    in hash mode always the 2-word window hash.
+
+    ``batch_layout``: "bl" = batch is (B, L); "lb" = (L, B) transposed
+    (sequence along sublanes — ~20% cheaper encode on TPU; the flat
+    occurrence order differs but everything downstream sorts)."""
+    seq_axis = 1 if batch_layout == "bl" else 0
     if k > 32:
         keys, parts, valid = encode_batch_wide(
-            batch, lengths, repart_table, k, m, static_parts=static_parts)
+            batch, lengths, repart_table, k, m, static_parts=static_parts,
+            seq_axis=seq_axis)
     elif _use_pallas(encode_impl, batch.shape[0]):
+        assert batch_layout == "bl", \
+            "the Pallas encode kernel is (B, L)-only"
         from kmtricks_tpu.ops.pallas_encode import encode_batch_pallas
         hi, lo, parts, valid = encode_batch_pallas(
             batch, lengths, repart_table, k, m)
         keys = (hi, lo)
     else:
         hi, lo, parts, valid = encode_batch(batch, lengths, repart_table,
-                                            k, m, static_parts=static_parts)
+                                            k, m, static_parts=static_parts,
+                                            seq_axis=seq_axis)
         keys = (hi, lo)
-    B, W = parts.shape
     keys = tuple(w.ravel() for w in keys)
+    shape = parts.shape
     parts, valid = parts.ravel(), valid.ravel()
-    sampw = jnp.broadcast_to(samp[:, None], (B, W)).ravel()
+    samp_2d = samp[:, None] if seq_axis == 1 else samp[None, :]
+    sampw = jnp.broadcast_to(samp_2d, shape).ravel()
     if mode == "hash":
         # hash the packed k-mer: little-endian u64 words (hi, lo) pairs
         from kmtricks_tpu.ops.u64 import msb_words_to_u64_pairs
@@ -168,11 +179,13 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                            encode_impl: str = "auto",
                            static_repart: bool = False,
                            with_stats: bool = True,
-                           hard_min_vec=None):
+                           hard_min_vec=None,
+                           batch_layout: str = "bl"):
     """Build the jitted SPMD pipeline step over ``mesh``.
 
-    The returned function takes GLOBAL arrays (leading axis divisible by the
-    mesh size): ``step(batch (B,L) u8, lengths (B,) i32, samp (B,) i32,
+    The returned function takes GLOBAL arrays (batch axis divisible by the
+    mesh size): ``step(batch (B,L) u8 — or (L,B) with batch_layout="lb",
+    lengths (B,) i32, samp (B,) i32,
     repart_table (4^m,) i32, amin_vec (nsamp,) u32)`` and returns
     (part, hi, lo, samp, final, cnt, present, row_head, row_keep, stats, dropped)
     where the per-occurrence outputs are sharded by device (each device's
@@ -198,7 +211,8 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     def step(batch, lengths, samp, repart_table, amin_vec):
         keys, sampw, parts, valid = _encode_flat(
             batch, lengths, samp, repart_table, k, m, mode, window_bits,
-            encode_impl, nb_parts if static_repart else None)
+            encode_impl, nb_parts if static_repart else None,
+            batch_layout)
         hmv = (None if hard_min_vec is None
                else jnp.asarray(hard_min_vec, dtype=jnp.uint32))
         if layout is not None:
@@ -238,11 +252,12 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
 
     sh = P(axis)
     rep = P()
+    batch_spec = sh if batch_layout == "bl" else P(None, axis)
     # check_vma=False: the Pallas segment-scan kernels inside the step
     # don't carry vma metadata; outputs are byte-validated in tests
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
-        in_specs=(sh, sh, sh, rep, rep),
+        in_specs=(batch_spec, sh, sh, rep, rep),
         out_specs=(sh, tuple(sh for _ in range(nw)), sh, sh, sh, sh, sh,
                    sh, rep, rep), check_vma=False))
 
@@ -254,10 +269,11 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
                            encode_impl: str = "auto",
                            static_repart_parts: int | None = None,
                            nb_parts: int | None = None,
-                           with_stats: bool = True):
+                           with_stats: bool = True,
+                           batch_layout: str = "bl"):
     """Single-device fused forward step (no collectives): encode -> hash ->
     sort -> count+merge. Jittable; used by ``__graft_entry__.entry`` and the
-    benchmark."""
+    benchmark. ``batch_layout="lb"`` takes the batch transposed (L, B)."""
     assert mode in ("kmer", "hash")
     known_parts = nb_parts or static_repart_parts
     key_bits = ((window_bits * known_parts - 1).bit_length()
@@ -266,7 +282,7 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
     def step(batch, lengths, samp, repart_table, amin_vec):
         keys, sampw, parts, valid = _encode_flat(
             batch, lengths, samp, repart_table, k, m, mode, window_bits,
-            encode_impl, static_repart_parts)
+            encode_impl, static_repart_parts, batch_layout)
         return count_merge_keys(
             parts, keys, sampw, valid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,

@@ -93,6 +93,14 @@ def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
         yield buf, ln, sa
 
 
+def _transpose_chunks(gen):
+    """(rows, L) chunks -> (L, rows) for the transposed-batch device layout
+    (sequence along sublanes is ~20% cheaper encode on TPU). Runs on the
+    prefetch thread when wrapped before :func:`prefetched`."""
+    for buf, ln, sa in gen:
+        yield np.ascontiguousarray(buf.T), ln, sa
+
+
 def prefetched(gen, depth: int = 2):
     """Run a generator on a background thread with a bounded queue —
     double-buffered host decode overlapping device compute (the
@@ -249,9 +257,10 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
             save_if=opts.share_min, mode=cf, window_bits=window_bits,
             count_max=count_max, static_repart=opts.static_repart,
             with_stats=False,   # per-partition stats are rebuilt on host
-            hard_min_vec=hard_min_vec)
+            hard_min_vec=hard_min_vec, batch_layout="lb")
 
-    args = (jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(sarr),
+    args = (jnp.asarray(np.ascontiguousarray(batch.T)), jnp.asarray(lengths),
+            jnp.asarray(sarr),
             jnp.asarray(repart.table.astype(np.int32)),
             jnp.asarray(amin_vec, dtype=np.uint32))
     while True:
@@ -356,8 +365,8 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
         rows_per_chunk = max(rows_align,
                              (chunk_windows // W) // rows_align * rows_align)
         depth = max(1, int(round((opts.focus or 0.5) * 4)))
-        chunks = prefetched(
-            stream_row_chunks(kmdir, opts, k, L, rows_per_chunk), depth)
+        chunks = prefetched(_transpose_chunks(
+            stream_row_chunks(kmdir, opts, k, L, rows_per_chunk)), depth)
         log.info("mesh chunked (streaming): %d-row x %d chunks, prefetch "
                  "depth %d", rows_per_chunk, L, depth)
     else:
@@ -385,7 +394,7 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
                     cs = np.concatenate([cs, np.zeros(pad, np.int32)])
                 yield cb, cl, cs
 
-        chunks = _slice_chunks()
+        chunks = _transpose_chunks(_slice_chunks())
         log.info("mesh chunked: %d reads in %d chunk(s) of %d rows",
                  batch.shape[0], -(-batch.shape[0] // rows_per_chunk),
                  rows_per_chunk)
@@ -402,7 +411,7 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
             nb_parts=config.nb_partitions, cap=c, nsamp=nsamp,
             hard_min=1, rmin=1, save_if=0, mode=cf, window_bits=window_bits,
             count_max=0xFFFFFFFF, static_repart=opts.static_repart,
-            with_stats=False)
+            with_stats=False, batch_layout="lb")
 
     step = build(cap)
     table = jnp.asarray(repart.table.astype(np.int32))
