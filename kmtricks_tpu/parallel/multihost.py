@@ -46,8 +46,18 @@ def host_shard_bounds(total_rows: int, mesh: Mesh) -> tuple[int, int]:
     return i * per, (i + 1) * per if i + 1 < nproc else total_rows
 
 
-def make_global_batch(local_rows: np.ndarray, mesh: Mesh, axis: str = "d"):
+def make_global_batch(local_rows: np.ndarray, mesh: Mesh, axis: str = "d",
+                      spec: P | None = None):
     """Assemble a globally-sharded device array from per-host local rows
-    (jax.make_array_from_process_local_data)."""
-    sharding = NamedSharding(mesh, P(axis))
+    (jax.make_array_from_process_local_data). ``spec`` overrides the
+    default row sharding — pass ``P(None, axis)`` for transposed (L, B)
+    batches (batch_layout="lb")."""
+    sharding = NamedSharding(mesh, P(axis) if spec is None else spec)
     return jax.make_array_from_process_local_data(sharding, local_rows)
+
+
+def replicated(value: np.ndarray, mesh: Mesh):
+    """Fully-replicated global array (every process passes the same
+    value — repartition tables, threshold vectors)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.make_array_from_process_local_data(sharding, value)

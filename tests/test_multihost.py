@@ -1,0 +1,81 @@
+"""REAL multi-process mesh test: two OS processes, 4 CPU devices each,
+jax.distributed over localhost with gloo collectives (the DCN analogue),
+running the fused sharded pipeline step on an 8-device global mesh.
+Outputs must be bit-identical to a single-process 8-device run — the
+TPU-native counterpart of the reference's multi-machine module runs
+against a shared filesystem (SURVEY.md §2.5 multi-node)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_mesh_matches_single_process(tmp_path):
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=570)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-2000:]
+
+    loaded = [np.load(tmp_path / f"proc{pid}.npz") for pid in range(2)]
+
+    # single-process reference on the same 8 (forced) devices
+    import jax.numpy as jnp
+
+    from kmtricks_tpu.parallel.pipeline import (build_sharded_pipeline,
+                                                make_mesh)
+
+    K, M, NB, NSAMP, B, L = 31, 10, 16, 4, 64, 160
+    rng = np.random.default_rng(11)      # identical to the workers
+    genome = rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8),
+                        size=B * L // 4)
+    starts = rng.integers(0, len(genome) - L, B)
+    batch = genome[starts[:, None] + np.arange(L)]
+    lengths = rng.integers(K, L + 1, B).astype(np.int32)
+    samp = (np.arange(B, dtype=np.int32) * NSAMP) // B
+    step = build_sharded_pipeline(
+        make_mesh(8), k=K, m=M, nb_parts=NB, cap=B * (L - K + 1),
+        nsamp=NSAMP, hard_min=1, rmin=1, save_if=1, mode="kmer",
+        static_repart=True)
+    out = step(jnp.asarray(batch), jnp.asarray(lengths), jnp.asarray(samp),
+               jnp.asarray(np.zeros(4 ** M, np.int32)),
+               jnp.asarray(np.full(NSAMP, 2, np.uint32)))
+
+    names = ("part", "k0", "k1", "samp", "final", "cnt", "present", "head",
+             "keep")
+    refs = (out[0], out[1][0], out[1][1], out[2], out[3], out[4], out[5],
+            out[6], out[7])
+    for name, ref in zip(names, refs):
+        ref = np.asarray(ref)
+        got = np.empty_like(ref)
+        seen = 0
+        for d in loaded:
+            for key in d.files:
+                if key.rsplit("_", 1)[0] == name:
+                    start = int(key.rsplit("_", 1)[1])
+                    piece = d[key]
+                    got[start:start + len(piece)] = piece
+                    seen += len(piece)
+        assert seen == len(ref), name
+        assert np.array_equal(got, ref), name
+    for d in loaded:
+        assert np.array_equal(d["stats"], np.asarray(out[8]))
+        assert int(d["dropped"]) == int(np.asarray(out[9]))
