@@ -40,8 +40,9 @@ def pad_reads(sequences: list[bytes], k: int) -> tuple[np.ndarray, np.ndarray]:
     if not seqs:
         return np.zeros((0, k), dtype=np.uint8), np.zeros(0, dtype=np.int32)
     L = _round_up(max(len(s) for s in seqs))
-    batch = np.full((len(seqs), L), ord("N"), dtype=np.uint8)
-    lengths = np.zeros(len(seqs), dtype=np.int32)
+    B = _round_up(len(seqs))    # bucket rows too: bounded recompiles
+    batch = np.full((B, L), ord("N"), dtype=np.uint8)
+    lengths = np.zeros(B, dtype=np.int32)
     for i, s in enumerate(seqs):
         batch[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
         lengths[i] = len(s)
