@@ -89,6 +89,20 @@ def _use_pallas_sort() -> bool:
     return False
 
 
+def _use_routed_merge() -> bool:
+    """Mesh receiver backend for re-ordering the all_to_all's sorted runs:
+    KMTRICKS_TPU_ROUTED_MERGE = pallas | xla | auto (default auto =
+    Pallas log2(ndev)-level run merge on TPU, lax.sort elsewhere).
+    Read at trace time."""
+    import os
+    mode = os.environ.get("KMTRICKS_TPU_ROUTED_MERGE", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _use_pallas_segscan() -> bool:
     """Segment-stage backend: KMTRICKS_TPU_SEGSCAN = pallas | xla | auto
     (default auto = Pallas kernels on TPU, cumulative primitives
@@ -531,18 +545,34 @@ def _segment_stage(part_s, keys_s, samp_s, valid_s, occ_d, kd, amin_vec, *,
 
 @partial(jax.jit, static_argnames=("layout", "nsamp", "hard_min", "rmin",
                                    "save_if", "count_max", "with_stats",
-                                   "key_bits", "window_bits"))
+                                   "key_bits", "window_bits", "sorted_runs"))
 def count_merge_packed(words, amin_vec, *, layout: str, nsamp: int,
                        hard_min: int, rmin: int, save_if: int,
                        count_max: int = 0xFFFFFFFF,
                        with_stats: bool = True,
                        key_bits: int | None = None,
                        window_bits: int | None = None,
-                       hard_min_vec=None):
+                       hard_min_vec=None,
+                       sorted_runs: int | None = None):
     """count_merge_keys over ALREADY-PACKED sort words (the mesh path
     routes packed words through the all_to_all; sentinel-padded entries
-    are the packed invalid encoding, so they need no separate mask)."""
-    ws = sort_packed(layout, tuple(words))
+    are the packed invalid encoding, so they need no separate mask).
+
+    ``sorted_runs``: the words are a concatenation of this many ascending
+    equal-length runs (the all_to_all delivers one sorted run per peer,
+    sentinel-tail-padded). One run needs no re-ordering at all; for the
+    single-word "h1" layout a log2(runs)-level Pallas merge replaces the
+    full re-sort (~3 merge levels vs ~242 lax.sort stages at 8 peers)."""
+    if sorted_runs == 1:
+        ws = tuple(words)
+    elif (sorted_runs is not None and layout == "h1"
+            and words[0].shape[0] % sorted_runs == 0
+            and _use_routed_merge()):
+        from kmtricks_tpu.ops.pallas_sort import merge_sorted_runs_u32
+        ws = (merge_sorted_runs_u32(
+            words[0].reshape(sorted_runs, -1)),)
+    else:
+        ws = sort_packed(layout, tuple(words))
     part_s, keys_s, samp_s, valid_s, occ_d, kd = unpack_sorted(
         layout, ws, nsamp, key_bits, window_bits)
     return _segment_stage(

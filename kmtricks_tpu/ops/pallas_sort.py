@@ -299,3 +299,70 @@ def sort_u32(x, interpret: bool = False):
             [x, jnp.full((npad - n,), 0xFFFFFFFF, dtype=U32)])
     s = sort_u32_pow2(x, interpret=interpret)
     return s[:n]
+
+
+@partial(jax.jit, static_argnames=("run_len", "interpret"))
+def _merge_runs_pow2(x, run_len: int, interpret: bool = False):
+    """Merge ``n // run_len`` ascending runs (everything a power of two,
+    run_len >= TILE) into one ascending array: just the top
+    log2(n / run_len) merge-path levels of :func:`sort_u32_pow2` — the
+    tile-sort phase and the lower levels are already paid."""
+    n = x.shape[0]
+    assert n & (n - 1) == 0 and run_len & (run_len - 1) == 0
+    assert run_len >= TILE and n > run_len and n % run_len == 0
+    cur = jax.lax.bitcast_convert_type(x ^ SIGN, jnp.int32)
+    tiles = n // TILE
+    shape2 = (n // LANES, LANES)
+    big_tile = jnp.full((TILE,), BIG, dtype=jnp.int32)
+    log2r = run_len.bit_length() - 1
+    while (1 << log2r) < n:
+        splits = _merge_splits(cur, log2r)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((TILE + 1024,), jnp.int32),
+                            pltpu.VMEM((TILE + 1024,), jnp.int32),
+                            pltpu.SemaphoreType.DMA((2,))],
+        )
+        cur = pl.pallas_call(
+            partial(_merge_kernel, log2r),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(shape2, jnp.int32),
+            interpret=interpret,
+        )(splits, jnp.concatenate([cur, big_tile, big_tile])).reshape(n)
+        log2r += 1
+    return jax.lax.bitcast_convert_type(cur, jnp.uint32) ^ SIGN
+
+
+def merge_sorted_runs_u32(x2d, interpret: bool | None = None):
+    """Merge the rows of an (nruns, run_len) u32 array — each row
+    ascending (0xFFFFFFFF sentinel padding at row tails keeps a row
+    sorted) — into one ascending (nruns * run_len,) array.
+
+    This is the mesh receiver's case: the all_to_all delivers one
+    ascending run per peer, so a log2(nruns)-level merge replaces a full
+    re-sort (~3 merge levels vs ~242 lax.sort stages at ndev = 8). Rows
+    are sentinel-padded to a power-of-two run length; non-power-of-two
+    run counts or sub-TILE runs fall back to lax.sort.
+
+    ``interpret`` defaults to True off-TPU (the Mosaic kernels only
+    compile for TPU; interpret mode keeps CPU tests honest)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nruns, cap = x2d.shape
+    pad_runs = 1 << max(0, (nruns - 1)).bit_length()
+    r = 1 << (cap - 1).bit_length()
+    if nruns < 2 or pad_runs != nruns or r < TILE:
+        (s,) = jax.lax.sort((x2d.reshape(-1),), dimension=0, num_keys=1)
+        return s
+    if r != cap:
+        x2d = jnp.concatenate(
+            [x2d, jnp.full((nruns, r - cap), 0xFFFFFFFF, dtype=U32)],
+            axis=1)
+    s = _merge_runs_pow2(x2d.reshape(-1), r, interpret=interpret)
+    # the added sentinels sort to the tail (a valid packed word is never
+    # all-ones: its top validity bit is 0) — slice back to the true size
+    return s[:nruns * cap]

@@ -229,7 +229,7 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                 count_max=count_max, with_stats=with_stats,
                 key_bits=key_bits,
                 window_bits=window_bits if mode == "hash" else None,
-                hard_min_vec=hmv)
+                hard_min_vec=hmv, sorted_runs=ndev)
         else:
             # contiguous-block partition->device map, computed
             # arithmetically (a 4M-wide table gather costs ~10x the whole
