@@ -150,13 +150,13 @@ def main() -> None:
     outp = step10(*args10)
     (part_s, keys_s, samp_s, final, cnt, present10, row_head, row_keep,
      _row_of, _stats) = outp
-    part_s = np.asarray(part_s)
-    row_head = np.asarray(row_head).astype(bool)
-    present10 = np.asarray(present10).astype(bool)
-    final = np.asarray(final)
-    samp_np = np.asarray(samp_s)
-    keys0 = np.asarray(keys_s[0])
-    keys1 = np.asarray(keys_s[1])
+    # ONE batched device_get: sequential np.asarray round-trips serialize
+    # on the device link
+    (part_s, row_head, present10, final, samp_np, keys0,
+     keys1) = jax.device_get(
+        (part_s, row_head, present10, final, samp_s, keys_s[0], keys_s[1]))
+    row_head = row_head.astype(bool)
+    present10 = present10.astype(bool)
     row_of = np.cumsum(row_head) - 1
     nrows = int(row_of[-1]) + 1 if row_head.any() else 0
     mat = np.zeros((nrows, nsamp10), dtype=np.uint32)

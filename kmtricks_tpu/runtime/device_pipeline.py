@@ -219,6 +219,7 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
                            amin_vec: np.ndarray,
                            batch=None, lengths=None, sarr=None,
                            n_devices: int | None = None) -> None:
+    import jax
     import jax.numpy as jnp
 
     from kmtricks_tpu.parallel.pipeline import (
@@ -274,9 +275,11 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
                     "cap %d", ndropped, cap)
     (part_s, keys_s, samp_s, final, cnt, present, row_head, row_keep,
      stats, dropped) = outp
-    part_s, samp_s, final, cnt, present, row_head, row_keep = map(
-        np.asarray, (part_s, samp_s, final, cnt, present, row_head,
-                     row_keep))
+    # ONE batched device_get (sequential np.asarray round-trips serialize
+    # on the device link)
+    (part_s, samp_s, final, cnt, present, row_head, row_keep,
+     keys_s) = jax.device_get((part_s, samp_s, final, cnt, present,
+                               row_head, row_keep, keys_s))
 
     keys = _keys_to_u64(keys_s)
     present = present.astype(bool)
@@ -345,6 +348,7 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
     whole collection is NEVER materialized: host RSS stays bounded by a
     few chunks regardless of collection size.
     """
+    import jax
     import jax.numpy as jnp
 
     from kmtricks_tpu.parallel.pipeline import (
@@ -433,12 +437,13 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
             step = build(cap)
         (part_s, keys_s, samp_s, _final, cnt, present, _rh, _rk,
          _stats, dropped) = outp
-        present = np.asarray(present).astype(bool)
-        keys = _keys_to_u64([np.asarray(w)[present] for w in keys_s])
+        part_s, keys_s, samp_s, cnt, present = jax.device_get(
+            (part_s, keys_s, samp_s, cnt, present))
+        present = present.astype(bool)
+        keys = _keys_to_u64([w[present] for w in keys_s])
         keys = keys.reshape(len(keys), -1)
-        partials.append((np.asarray(part_s)[present],
-                         keys, np.asarray(samp_s)[present],
-                         np.asarray(cnt)[present].astype(np.uint64)))
+        partials.append((part_s[present], keys, samp_s[present],
+                         cnt[present].astype(np.uint64)))
 
     # host aggregation: sum counts of (part, key, sample) across chunks,
     # then (optionally) histograms, per-sample hard-min, soft-min
