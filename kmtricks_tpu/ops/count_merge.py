@@ -365,9 +365,7 @@ def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
     # riding the sort.
     layout = packed_layout(nsamp, nw, part_follows_keys, key_bits,
                            part_bits)
-    if layout is not None and layout != "k3":
-        # ("k3" packing is inlined below with its own diff extraction —
-        # kept separate because its part field is not width-parameterized)
+    if layout is not None:
         words = pack_words(layout, part, keys, samp, valid, nsamp)
         ws = sort_packed(layout, words)
         part_s, keys_s, samp_s, valid_s, occ_d, kd = unpack_sorted(
@@ -392,40 +390,6 @@ def count_merge_keys(part, keys, samp, valid, amin_vec, *, nsamp: int,
         samp_s = sorted_ops[nw]
         part_s = sorted_ops[1 + nw]
         valid_s = (k0_s & top) == 0
-    elif nw == 2 and sb <= 15:
-        # k-mer mode, k <= 32: pack (valid | part(16) | kmer(64) |
-        # samp(15)) into THREE u32 sort words — 3 operands instead of the
-        # 4-operand (p0, k0, k1, samp) layout (measured v5e: 15.0 vs
-        # 18.3 ms at 4.19M). Bit layout (96-bit value, msb first):
-        # [95] valid, [94:79] part, [78:15] kmer, [14:0] samp.
-        p32 = part.astype(U32)
-        s32 = samp.astype(U32) & U32((1 << sb) - 1)
-        w0 = (p32 << U32(15)) | (keys[0] >> U32(17))
-        w1 = (keys[0] << U32(15)) | (keys[1] >> U32(17))
-        w2 = (keys[1] << U32(15)) | s32
-        ff = U32(0xFFFFFFFF)
-        w0 = jnp.where(valid, w0, ff)
-        w1 = jnp.where(valid, w1, ff)
-        w2 = jnp.where(valid, w2, ff)
-        w0_s, w1_s, w2_s = jax.lax.sort((w0, w1, w2), dimension=0,
-                                        num_keys=3)
-        valid_s = (w0_s >> U32(31)) == 0
-        m15 = U32(0x7FFF)
-        part_s = jnp.where(valid_s, (w0_s >> U32(15)) & U32(0xFFFF), U32(0))
-        k0 = ((w0_s & m15) << U32(17)) | (w1_s >> U32(15))
-        k1 = ((w1_s & m15) << U32(17)) | (w2_s >> U32(15))
-        keys_s = (jnp.where(valid_s, k0, U32(0)),
-                  jnp.where(valid_s, k1, U32(0)))
-        samp_s = jnp.where(valid_s, w2_s & U32((1 << sb) - 1), U32(0))
-        occ_d = ((w0_s[1:] != w0_s[:-1]) | (w1_s[1:] != w1_s[:-1])
-                 | (w2_s[1:] != w2_s[:-1]))
-        kd = ((w0_s[1:] != w0_s[:-1]) | (w1_s[1:] != w1_s[:-1])
-              | ((w2_s[1:] >> U32(15)) != (w2_s[:-1] >> U32(15))))
-        return _segment_stage(
-            part_s, keys_s, samp_s, valid_s, occ_d, kd, amin_vec,
-            nsamp=nsamp, hard_min=hard_min, rmin=rmin, save_if=save_if,
-            count_max=count_max, with_stats=with_stats,
-            hard_min_vec=hard_min_vec)
     else:
         # partition ids are u16 — fold the validity bit into the partition
         # operand (one fewer sort key)
