@@ -10,9 +10,13 @@ Extra metrics (same JSON line, "extra"):
   vertical BF window (write_as_bf semantics; file write excluded).
 - kmer_mode_kmers_per_sec: same fused step in k-mer mode (packed 62-bit
   canonical k-mers ride the sort instead of window hashes).
-- mesh_backend_kmers_per_sec: the sharded pipeline (all_to_all shuffle
-  included) on a 1-device mesh — shows the routing overhead that
-  multi-chip runs pay.
+- kmer_mode_k21_kmers_per_sec: k-mer mode at k=21, where the 2-word
+  "k2" packed layout applies (1 + part + 2k + sample bits <= 64).
+- mesh_backend_kmers_per_sec: the sharded pipeline (sort-based
+  all_to_all routing included) on a 1-device mesh. A single peer's
+  received buffer is already sorted so the receiver re-sort is
+  skipped; 2^k-peer meshes pay a log2(ndev)-level Pallas run-merge
+  instead (measured 6.0 ms vs 9.6 ms re-sort for 8 x 512k on a v5e).
 - matrix_build_wall_s_10samp: wall time to build a 10-sample count matrix
   from 2.5M read-windows, device steps + host matrix assembly included.
 
@@ -38,6 +42,8 @@ NB_PARTS = 64
 WINDOW_BITS = 250048
 NSAMP = 8
 B, L = 4096, 1024          # ~4.07M k-mer windows per step
+BH = 8192                  # headline batch: amortizes per-step overhead
+                           # (~8.1M windows; +15% within-run vs B=4096)
 
 
 def _fetch(out):
@@ -79,37 +85,41 @@ def main() -> None:
                                                 make_mesh)
 
     rng = np.random.default_rng(42)
+
     # reads sampled from a synthetic genome at ~10x coverage — realistic
     # duplicate structure (uniform-random reads have no repeated k-mers,
-    # which zeroes every abundance-filtered metric)
-    G = B * L // 10
-    genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=G)
-    starts = rng.integers(0, G - L, B)
-    batch = genome[starts[:, None] + np.arange(L)]
-    lengths = np.full(B, L, dtype=np.int32)
-    samp = (np.arange(B, dtype=np.int32) * NSAMP) // B
+    # which zeroes every abundance-filtered metric); production layout:
+    # batch transposed (L, B), sequence along sublanes
+    def make_args(nreads, nsamp):
+        G = nreads * L // 10
+        genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=G)
+        starts = rng.integers(0, G - L, nreads)
+        b = genome[starts[:, None] + np.arange(L)]
+        return (jnp.asarray(np.ascontiguousarray(b.T)),
+                jnp.asarray(np.full(nreads, L, np.int32)),
+                jnp.asarray((np.arange(nreads, dtype=np.int32) * nsamp)
+                            // nreads),
+                jnp.asarray(repart.table.astype(np.int32)),
+                jnp.asarray(np.full(nsamp, 2, np.uint32)))
+
     repart = Repartition.from_xxh(NB_PARTS, M)
-    amin = np.full(NSAMP, 2, dtype=np.uint32)
+    args = make_args(B, NSAMP)
+    argsh = make_args(BH, NSAMP)
     kmers_per_step = B * (L - K + 1)
 
-    # production layout: batch transposed (L, B), sequence along sublanes
-    args = (jnp.asarray(np.ascontiguousarray(batch.T)), jnp.asarray(lengths),
-            jnp.asarray(samp),
-            jnp.asarray(repart.table.astype(np.int32)), jnp.asarray(amin))
-
-    # --- headline: hash-mode fused count+merge (static-repart partitions,
-    # stats rebuilt host-side in production -> with_stats=False)
-    hash_step = jax.jit(build_single_chip_step(
+    # --- headline: hash-mode fused count+merge at B=8192 (static-repart
+    # partitions, stats rebuilt host-side in production -> with_stats=False)
+    hash_step_h = jax.jit(build_single_chip_step(
         k=K, m=M, nsamp=NSAMP, hard_min=2, rmin=1, save_if=2,
         mode="hash", window_bits=WINDOW_BITS,
         static_repart_parts=NB_PARTS, with_stats=False,
         batch_layout="lb"))
-    hash_rate, hash_dt = _rate(hash_step, args, kmers_per_step)
+    hash_rate, hash_dt = _rate(hash_step_h, argsh, BH * (L - K + 1))
 
     # --- BF bits: distinct present hashes per second from the same step
     # (each present head = one bit in the vertical BF, write_as_bf
     # semantics merge.hpp:575-600)
-    present = np.asarray(hash_step(*args)[5])
+    present = np.asarray(hash_step_h(*argsh)[5])
     bf_bits_per_sec = float(present.sum()) / hash_dt
 
     # --- k-mer mode
@@ -118,6 +128,14 @@ def main() -> None:
         mode="kmer", static_repart_parts=NB_PARTS, with_stats=False,
         batch_layout="lb"))
     kmer_rate, _ = _rate(kmer_step, args, kmers_per_step)
+
+    # --- k-mer mode at k=21: the 2-word "k2" packed layout
+    # (1 + part_bits + 2k + samp_bits <= 64)
+    kmer21_step = jax.jit(build_single_chip_step(
+        k=21, m=M, nsamp=NSAMP, hard_min=2, rmin=1, save_if=2,
+        mode="kmer", static_repart_parts=NB_PARTS, with_stats=False,
+        batch_layout="lb"))
+    kmer21_rate, _ = _rate(kmer21_step, args, B * (L - 21 + 1))
 
     # --- mesh backend on a 1-device mesh (all_to_all included)
     mesh = make_mesh(1)
@@ -188,6 +206,7 @@ def main() -> None:
         "extra": {
             "bf_bits_inserted_per_sec": round(bf_bits_per_sec, 1),
             "kmer_mode_kmers_per_sec": round(kmer_rate, 1),
+            "kmer_mode_k21_kmers_per_sec": round(kmer21_rate, 1),
             "mesh_backend_kmers_per_sec": round(mesh_rate, 1),
             "matrix_build_wall_s_10samp_2.5Mwin": round(matrix_wall, 4),
             "bft_transpose_bits_per_sec_50samp": round(bft_bits_per_sec, 1),
