@@ -100,6 +100,7 @@ def sliding_min(x, w: int, seq_axis: int = -1):
 
 def _window_validity(char_valid, lengths, k: int, seq_axis: int):
     """(.., W, ..) bool — window has k valid chars and fits the read."""
+    assert seq_axis in (0, 1), "seq_axis must be 0 (L, B) or 1 (B, L)"
     bad = (~char_valid).astype(jnp.int32)
     cs = jnp.cumsum(bad, axis=seq_axis)
     pad = [(0, 0), (0, 0)]

@@ -238,6 +238,40 @@ def _merge_splits(x, log2r: int):
     return lo.astype(I32)
 
 
+def _merge_levels(cur, log2r: int, interpret: bool):
+    """Run the merge-path levels from run length 2^log2r up to the full
+    array (shared by the full sort and the routed-run merge).
+
+    Windows overfetch up to one tile + ALIGN past a run's end;
+    out-of-bounds DMA starts are clamped (shifting the window!), so the
+    input of each level carries two sentinel tiles of padding."""
+    n = cur.shape[0]
+    tiles = n // TILE
+    shape2 = (n // LANES, LANES)
+    big_tile = jnp.full((TILE,), BIG, dtype=jnp.int32)
+    while (1 << log2r) < n:
+        splits = _merge_splits(cur, log2r)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((TILE + 1024,), jnp.int32),
+                            pltpu.VMEM((TILE + 1024,), jnp.int32),
+                            pltpu.SemaphoreType.DMA((2,))],
+        )
+        cur = pl.pallas_call(
+            partial(_merge_kernel, log2r),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(shape2, jnp.int32),
+            interpret=interpret,
+        )(splits, jnp.concatenate([cur, big_tile, big_tile])).reshape(n)
+        log2r += 1
+    return cur
+
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def sort_u32_pow2(x, interpret: bool = False):
     """Ascending sort of a power-of-two-length u32 array (>= TILE)."""
@@ -258,31 +292,9 @@ def sort_u32_pow2(x, interpret: bool = False):
         interpret=interpret,
     )(xs.reshape(shape2)).reshape(n)
 
-    # windows overfetch up to one tile + ALIGN past a run's end;
-    # out-of-bounds DMA starts are clamped (shifting the window!), so the
-    # input of each merge level carries two sentinel tiles of padding
-    big_tile = jnp.full((TILE,), BIG, dtype=jnp.int32)
-    log2r = TILE.bit_length() - 1
-    while (1 << log2r) < n:
-        splits = _merge_splits(cur, log2r)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((TILE + 1024,), jnp.int32),
-                            pltpu.VMEM((TILE + 1024,), jnp.int32),
-                            pltpu.SemaphoreType.DMA((2,))],
-        )
-        cur = pl.pallas_call(
-            partial(_merge_kernel, log2r),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(shape2, jnp.int32),
-            interpret=interpret,
-        )(splits, jnp.concatenate([cur, big_tile, big_tile])).reshape(n)
-        log2r += 1
-    return jax.lax.bitcast_convert_type(cur, jnp.uint32) ^ SIGN
+    return jax.lax.bitcast_convert_type(
+        _merge_levels(cur, TILE.bit_length() - 1, interpret),
+        jnp.uint32) ^ SIGN
 
 
 def sort_u32(x, interpret: bool = False):
@@ -311,30 +323,9 @@ def _merge_runs_pow2(x, run_len: int, interpret: bool = False):
     assert n & (n - 1) == 0 and run_len & (run_len - 1) == 0
     assert run_len >= TILE and n > run_len and n % run_len == 0
     cur = jax.lax.bitcast_convert_type(x ^ SIGN, jnp.int32)
-    tiles = n // TILE
-    shape2 = (n // LANES, LANES)
-    big_tile = jnp.full((TILE,), BIG, dtype=jnp.int32)
-    log2r = run_len.bit_length() - 1
-    while (1 << log2r) < n:
-        splits = _merge_splits(cur, log2r)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((TILE + 1024,), jnp.int32),
-                            pltpu.VMEM((TILE + 1024,), jnp.int32),
-                            pltpu.SemaphoreType.DMA((2,))],
-        )
-        cur = pl.pallas_call(
-            partial(_merge_kernel, log2r),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(shape2, jnp.int32),
-            interpret=interpret,
-        )(splits, jnp.concatenate([cur, big_tile, big_tile])).reshape(n)
-        log2r += 1
-    return jax.lax.bitcast_convert_type(cur, jnp.uint32) ^ SIGN
+    return jax.lax.bitcast_convert_type(
+        _merge_levels(cur, run_len.bit_length() - 1, interpret),
+        jnp.uint32) ^ SIGN
 
 
 def merge_sorted_runs_u32(x2d, interpret: bool | None = None):

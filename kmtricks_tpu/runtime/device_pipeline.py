@@ -398,7 +398,9 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
                     cs = np.concatenate([cs, np.zeros(pad, np.int32)])
                 yield cb, cl, cs
 
-        chunks = _transpose_chunks(_slice_chunks())
+        # prefetched: the per-chunk host transpose runs on the worker
+        # thread, overlapped with device steps (like the streaming path)
+        chunks = prefetched(_transpose_chunks(_slice_chunks()), 2)
         log.info("mesh chunked: %d reads in %d chunk(s) of %d rows",
                  batch.shape[0], -(-batch.shape[0] // rows_per_chunk),
                  rows_per_chunk)

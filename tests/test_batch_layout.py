@@ -53,11 +53,12 @@ def test_single_chip_lb_equals_bl(data, mode, k):
     _assert_trees_equal(a, b)
 
 
-@pytest.mark.parametrize("mode", ["hash", "kmer"])
-def test_mesh_lb_equals_bl(data, mode):
+@pytest.mark.parametrize("mode,k", [("hash", 31), ("kmer", 31),
+                                    ("kmer", 21)])   # k=21: k2 layout
+def test_mesh_lb_equals_bl(data, mode, k):
     batch, lengths = data
     mesh = make_mesh(8)
-    kw = dict(k=31, m=10, nb_parts=16, cap=batch.size, nsamp=4, hard_min=1,
+    kw = dict(k=k, m=10, nb_parts=16, cap=batch.size, nsamp=4, hard_min=1,
               rmin=1, save_if=1, mode=mode,
               window_bits=4096 if mode == "hash" else None,
               static_repart=True)
