@@ -68,8 +68,32 @@ def _rate(step, args, kmers_per_step, iters=10):
 
 def main() -> None:
     import os
+    import threading
 
     import jax
+
+    # Watchdog: the remote-device link can wedge mid-run (observed on the
+    # bench harness); rather than hang the driver, emit whatever metrics
+    # completed by the deadline and exit.
+    result = {
+        "metric": "kmers_counted_merged_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "kmers/s",
+        "vs_baseline": 0.0,
+        "extra": {},
+    }
+    done = threading.Event()
+    deadline = float(os.environ.get("KMTRICKS_BENCH_DEADLINE_S", "1500"))
+
+    def _watchdog():
+        if not done.wait(deadline):
+            result["extra"]["note"] = (
+                f"watchdog: device link stalled after {deadline:.0f}s; "
+                "partial metrics")
+            print(json.dumps(result), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
@@ -115,12 +139,15 @@ def main() -> None:
         static_repart_parts=NB_PARTS, with_stats=False,
         batch_layout="lb"))
     hash_rate, hash_dt = _rate(hash_step_h, argsh, BH * (L - K + 1))
+    result["value"] = round(hash_rate, 1)
+    result["vs_baseline"] = round(hash_rate / BASELINE_KMERS_PER_SEC, 3)
 
     # --- BF bits: distinct present hashes per second from the same step
     # (each present head = one bit in the vertical BF, write_as_bf
     # semantics merge.hpp:575-600)
     present = np.asarray(hash_step_h(*argsh)[5])
     bf_bits_per_sec = float(present.sum()) / hash_dt
+    result["extra"]["bf_bits_inserted_per_sec"] = round(bf_bits_per_sec, 1)
 
     # --- k-mer mode
     kmer_step = jax.jit(build_single_chip_step(
@@ -128,6 +155,7 @@ def main() -> None:
         mode="kmer", static_repart_parts=NB_PARTS, with_stats=False,
         batch_layout="lb"))
     kmer_rate, _ = _rate(kmer_step, args, kmers_per_step)
+    result["extra"]["kmer_mode_kmers_per_sec"] = round(kmer_rate, 1)
 
     # --- k-mer mode at k=21: the 2-word "k2" packed layout
     # (1 + part_bits + 2k + samp_bits <= 64)
@@ -136,6 +164,7 @@ def main() -> None:
         mode="kmer", static_repart_parts=NB_PARTS, with_stats=False,
         batch_layout="lb"))
     kmer21_rate, _ = _rate(kmer21_step, args, B * (L - 21 + 1))
+    result["extra"]["kmer_mode_k21_kmers_per_sec"] = round(kmer21_rate, 1)
 
     # --- mesh backend on a 1-device mesh (all_to_all included)
     mesh = make_mesh(1)
@@ -145,6 +174,7 @@ def main() -> None:
         window_bits=WINDOW_BITS, static_repart=True, with_stats=False,
         batch_layout="lb")
     mesh_rate, _ = _rate(mesh_step, args, kmers_per_step, iters=5)
+    result["extra"]["mesh_backend_kmers_per_sec"] = round(mesh_rate, 1)
 
     # --- matrix build wall time: 10-sample abundance matrix from 2.5M
     # windows (BASELINE config-2 shape), device chunks + host assembly
@@ -183,6 +213,8 @@ def main() -> None:
         | keys1[row_head]
     matrix_wall = time.perf_counter() - t0
     assert nrows > 0 and kk.shape[0] == nrows and mat.shape[0] == nrows
+    result["extra"]["matrix_build_wall_s_10samp_2.5Mwin"] = \
+        round(matrix_wall, 4)
 
     # --- BASELINE config 3: 50-sample vertical BF windows -> per-sample
     # horizontal BFs (write_as_bft semantics: BitMatrix transpose,
@@ -197,21 +229,11 @@ def main() -> None:
     bft_wall = time.perf_counter() - t0
     assert out50.shape[0] >= nsamp50
     bft_bits_per_sec = window * nsamp50 / bft_wall
+    result["extra"]["bft_transpose_bits_per_sec_50samp"] = \
+        round(bft_bits_per_sec, 1)
 
-    print(json.dumps({
-        "metric": "kmers_counted_merged_per_sec_per_chip",
-        "value": round(hash_rate, 1),
-        "unit": "kmers/s",
-        "vs_baseline": round(hash_rate / BASELINE_KMERS_PER_SEC, 3),
-        "extra": {
-            "bf_bits_inserted_per_sec": round(bf_bits_per_sec, 1),
-            "kmer_mode_kmers_per_sec": round(kmer_rate, 1),
-            "kmer_mode_k21_kmers_per_sec": round(kmer21_rate, 1),
-            "mesh_backend_kmers_per_sec": round(mesh_rate, 1),
-            "matrix_build_wall_s_10samp_2.5Mwin": round(matrix_wall, 4),
-            "bft_transpose_bits_per_sec_50samp": round(bft_bits_per_sec, 1),
-        },
-    }))
+    done.set()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
