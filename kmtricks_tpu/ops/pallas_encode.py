@@ -10,6 +10,12 @@ tile once and the four output tiles once.
 Semantics identical to :func:`kmtricks_tpu.ops.encode.encode_batch`
 (same reference contract, kmer.hpp / Model.hpp): windows are full-width L
 with positions >= W masked invalid, so all rolls may wrap harmlessly.
+
+Status: recorded experiment, not the production path. On (B, L) tiles
+the lane-axis rolls dominate and the kernel only ties the jnp encode;
+production moved to the transposed (L, B) layout (encode.py seq_axis=0),
+where the fully fused variant (pallas_encode_pack.py) ALSO ties — XLA's
+fusion on this dataflow is already at VPU issue limits. See NOTES.md.
 """
 
 from __future__ import annotations
