@@ -241,13 +241,14 @@ def decompress(data: bytes) -> bytes:
                     raise ValueError("LZ4 block checksum mismatch")
             bmax = _BD_BLOCK_MAX.get((bd >> 4) & 7, 4 << 20)
             out += block if uncompressed else decompress_block(block, bmax)
-        frame_content = bytes(out[frame_out_start:])
-        if content_size is not None and len(frame_content) != content_size:
+        if content_size is not None \
+                and len(out) - frame_out_start != content_size:
             raise ValueError("LZ4 frame content size mismatch")
         if has_content_checksum:
+            # materialize the frame's bytes only when a checksum needs them
             csum = struct.unpack_from("<I", data, i)[0]
             i += 4
-            got = xxhash.xxh32(frame_content).intdigest()
+            got = xxhash.xxh32(bytes(out[frame_out_start:])).intdigest()
             if csum != got:
                 raise ValueError("LZ4 content checksum mismatch")
     return bytes(out)

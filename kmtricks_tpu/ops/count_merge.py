@@ -84,9 +84,8 @@ def _use_pallas_sort() -> bool:
     sort wins on hardware). Read at trace time."""
     import os
     mode = os.environ.get("KMTRICKS_TPU_SORT", "auto")
-    if mode == "pallas":
-        return jax.default_backend() == "tpu" or mode == "pallas"
-    return False
+    # the Mosaic kernel only lowers for TPU, so "pallas" is still gated
+    return mode == "pallas" and jax.default_backend() == "tpu"
 
 
 def _use_routed_merge() -> bool:
@@ -142,7 +141,9 @@ def packed_layout(nsamp: int, nw: int, part_follows_keys: bool,
         if (part_bits is not None and key_bits is not None
                 and 1 + part_bits + key_bits + sb <= 64):
             return f"k2.{part_bits}.{key_bits}"
-        if sb <= 15:
+        # k3's partition field is 16 bits — wider partition counts (or an
+        # unknown width) must take the generic multi-operand path
+        if sb <= 15 and part_bits is not None and part_bits <= 16:
             return "k3"
     return None
 

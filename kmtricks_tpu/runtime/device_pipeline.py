@@ -110,11 +110,14 @@ def prefetched(gen, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     END = object()
+    err: list[BaseException] = []
 
     def worker():
         try:
             for item in gen:
                 q.put(item)
+        except BaseException as e:   # re-raised in the consumer below
+            err.append(e)
         finally:
             q.put(END)
 
@@ -123,6 +126,10 @@ def prefetched(gen, depth: int = 2):
     while True:
         item = q.get()
         if item is END:
+            if err:
+                # a decode failure must fail the run, not silently
+                # truncate the input stream
+                raise err[0]
             return
         yield item
 
@@ -332,7 +339,8 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
                        chunk_windows: int,
                        batch=None, lengths=None, sarr=None,
                        n_devices: int | None = None,
-                       use_stream: bool = False) -> None:
+                       use_stream: bool = False,
+                       ests=None) -> None:
     """Chunked mesh pipeline for collections larger than one device step.
 
     Each chunk runs the sharded step as a PURE COUNTER (hard_min=1, no
@@ -362,13 +370,15 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
     rows_align = math.lcm(ndev, 8)
     k = config.kmer_size
     if use_stream:
-        ests = [seqio.estimate(e.paths) for e in kmdir.fof]
+        if ests is None:
+            ests = [seqio.estimate(e.paths) for e in kmdir.fof]
         L = max(_round128(k), min(_round128(max(e.max_size for e in ests)),
                                   4096))
         W = L - k + 1
         rows_per_chunk = max(rows_align,
                              (chunk_windows // W) // rows_align * rows_align)
-        depth = max(1, int(round((opts.focus or 0.5) * 4)))
+        focus = opts.focus if opts.focus is not None else 0.5
+        depth = max(1, int(round(focus * 4)))   # --focus 0 -> depth 1
         chunks = prefetched(_transpose_chunks(
             stream_row_chunks(kmdir, opts, k, L, rows_per_chunk)), depth)
         log.info("mesh chunked (streaming): %d-row x %d chunks, prefetch "
@@ -564,7 +574,8 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
                       for e in ests)
     if est_windows > 4 * budget_windows:
         stage_mesh_chunked(kmdir, config, opts, repart, None,
-                           chunk_windows=budget_windows, use_stream=True)
+                           chunk_windows=budget_windows, use_stream=True,
+                           ests=ests)
         cf, mode, _ = parse_mode(opts.mode)
         if mode == "bft":
             from kmtricks_tpu.runtime.pipeline import stage_format

@@ -111,6 +111,10 @@ def count_kff_sk(kmdir: KmDir, config: Config, rep, sample_id: str,
     per-k-mer counts, grouped by literal minimizer substring."""
     from kmtricks_tpu.core import kmer as kops
     from kmtricks_tpu.io.kff import write_kff_sk_file
+    # lex_view's byte order matches sort_rows' most-significant-word-first
+    # row order (the former structured-dtype view compared the LEAST
+    # significant word first, mis-assigning counts for k > 32)
+    from kmtricks_tpu.runtime.filter import lex_view
 
     k, m = config.kmer_size, config.minim_size
     if not os.path.isdir(kmdir.get_superk_path(sample_id)) or not any(
@@ -134,25 +138,18 @@ def count_kff_sk(kmdir: KmDir, config: Config, rep, sample_id: str,
         else:
             uniq = np.zeros((0, config.kmer_slots), dtype=np.uint64)
             cnt = np.zeros(0, dtype=np.uint64)
-        vkeys = _lex_view(uniq)
+        vkeys = lex_view(uniq)
         blocks = []
         for codes, kk in zip(sks, all_kmers):
             masked = kops.masked_mmers(codes, m)
             pos = int(np.argmin(masked))
-            idx = np.searchsorted(vkeys, _lex_view(kk))
+            idx = np.searchsorted(vkeys, lex_view(kk))
             counts = cnt[np.minimum(idx, max(len(cnt) - 1, 0))] \
                 if len(cnt) else np.zeros(len(kk), dtype=np.uint64)
             blocks.append((codes, pos, counts))
         write_kff_sk_file(
             kmdir.get_count_part_path(sample_id, p, False, "kff"),
             blocks, k, m)
-
-
-def _lex_view(rows: np.ndarray) -> np.ndarray:
-    """(N, s) u64 rows -> structured view comparing lexicographically
-    (for row-wise searchsorted)."""
-    rows = np.ascontiguousarray(rows)
-    return rows.view([("", rows.dtype)] * rows.shape[1]).ravel()
 
 
 def module_count(run_dir: str, sample_id: str, opts: PipelineOptions,

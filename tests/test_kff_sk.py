@@ -100,3 +100,49 @@ def test_count_module_kff_sk(tmp_path):
         exp = {gk[i].tobytes(): int(min(gc[i], 255))
                for i in range(len(gc))}
         assert got == exp
+
+
+def test_count_module_kff_sk_wide_k(tmp_path):
+    """k > 32 (multi-word rows): the searchsorted view must use the same
+    row order as sort_rows (regression: the old structured-dtype view
+    compared the least-significant word first, mis-assigning counts)."""
+    from kmtricks_tpu.core import kmer as kops
+    from kmtricks_tpu.runtime.modules import (module_count, module_repart,
+                                              module_superk)
+    from kmtricks_tpu.io import formats as F
+    from kmtricks_tpu.runtime.pipeline import PipelineOptions
+
+    rng = np.random.default_rng(8)
+    genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=3000)
+    fa = tmp_path / "w.fasta"
+    with open(fa, "w") as f:
+        for r in range(60):
+            start = int(rng.integers(0, len(genome) - 120))
+            f.write(f">r{r}\n{bytes(genome[start:start+120]).decode()}\n")
+    fof = tmp_path / "w.fof"
+    fof.write_text(f"W : {fa}\n")
+    k = 47
+    opts = PipelineOptions(fof=str(fof), run_dir=str(tmp_path / "run"),
+                           kmer_size=k, hard_min=1, soft_min="1",
+                           static_repart=True, nb_partitions=4,
+                           mode="kmer:count:bin")
+    module_repart(opts)
+    module_superk(opts.run_dir, "W", opts)
+    module_count(opts.run_dir, "W", opts, count_mode="kff-sk")
+    module_count(opts.run_dir, "W", opts, count_mode="kmer")
+
+    for p in range(4):
+        _, gk, gc = F.read_kmer_file(
+            str(tmp_path / "run" / "counts" / f"partition_{p}" / "W.kmer"))
+        gvars, blocks = read_kff_sk_file(
+            str(tmp_path / "run" / "counts" / f"partition_{p}" / "W.kff"))
+        got = {}
+        for codes, pos, counts in blocks:
+            kk = kops.canonical(kops.kmers_from_codes(codes, k), k)
+            for row, c in zip(kk, counts):
+                key = row.tobytes()
+                assert got.get(key, int(c)) == int(c), "inconsistent count"
+                got[key] = int(c)
+        exp = {gk[i].tobytes(): int(min(gc[i], 255))
+               for i in range(len(gc))}
+        assert got == exp

@@ -55,7 +55,9 @@ def test_k2_matches_k3(key_bits, nb_parts, nsamp):
     part_bits = (nb_parts - 1).bit_length()
     assert packed_layout(nsamp, 2, False, key_bits, part_bits) == \
         f"k2.{part_bits}.{key_bits}"
-    assert packed_layout(nsamp, 2, False, None, None) == "k3"
+    # unknown partition width -> generic multi-operand path (k3's part
+    # field is 16 bits, so it needs a known width)
+    assert packed_layout(nsamp, 2, False, None, None) is None
     rng = np.random.default_rng(key_bits * 7 + nsamp)
     part, keys, samp, valid = _random_occurrences(
         rng, 4096, nb_parts, key_bits, nsamp)
@@ -71,3 +73,5 @@ def test_k2_overflow_falls_back():
     assert packed_layout(1 << 16, 2, False, 45, 4) is None
     # wide sample counts alone don't disqualify k2
     assert packed_layout(1 << 16, 2, False, 20, 4) == "k2.4.20"
+    # partition id wider than k3's 16-bit field -> generic
+    assert packed_layout(8, 2, False, 62, 17) is None

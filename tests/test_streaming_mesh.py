@@ -137,3 +137,21 @@ def test_per_sample_hard_min_in_fused_kernel(tmp_path):
     mesh = run_pipeline(_opts(str(fof), tmp_path / "mesh", backend="mesh",
                               soft_min="1"))
     assert _matrices(mesh) == _matrices(host)
+
+
+def test_prefetched_propagates_generator_errors():
+    """A decode failure on the prefetch thread must fail the run, not
+    silently truncate the stream (regression: the worker's finally put
+    the END sentinel and the consumer saw a clean end-of-stream)."""
+    from kmtricks_tpu.runtime.device_pipeline import prefetched
+
+    def boom():
+        yield 1
+        yield 2
+        raise OSError("truncated gzip")
+
+    got = []
+    with pytest.raises(OSError, match="truncated gzip"):
+        for x in prefetched(boom(), depth=1):
+            got.append(x)
+    assert got == [1, 2]
