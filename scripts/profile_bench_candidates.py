@@ -55,7 +55,7 @@ def main():
     rng = np.random.default_rng(42)
     M, NB_PARTS, WINDOW_BITS, NSAMP, L = 10, 64, 250048, 8, 1024
 
-    for B in (4096, 8192):
+    for B in (8192, 16384):
         args = make_args(rng, B, L, NSAMP, M, NB_PARTS)
         kps = B * (L - 31 + 1)
         s = jax.jit(build_single_chip_step(
