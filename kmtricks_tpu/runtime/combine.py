@@ -99,7 +99,8 @@ def module_combine(run_dirs: list[str], output: str) -> None:
                 else:
                     info, kk, rows = F.read_pa_hash_matrix_file(path)
                 cc = F.unpack_pa_bits(rows, info.bits)
-            kk = kk.reshape(len(kk), -1)
+            if kk.ndim == 1:      # hash keys -> one row slot (works for
+                kk = kk.reshape(-1, 1)   # empty partitions too)
             per_run.append((kk, cc))
             all_keys.append(kk)
         if not all_keys:
