@@ -115,6 +115,9 @@ def run_case(i, case, rng):
         return len(host)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        # every case compiles fresh unique-shape programs; without this
+        # the accumulated LLVM JIT memory eventually fails allocation
+        jax.clear_caches()
 
 
 def main():

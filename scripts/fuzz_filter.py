@@ -134,6 +134,9 @@ def one_case(i, rng):
         return case
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        # every case compiles fresh unique-shape programs; without this
+        # the accumulated LLVM JIT memory eventually fails allocation
+        jax.clear_caches()
 
 
 def main():
