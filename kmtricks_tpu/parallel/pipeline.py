@@ -102,9 +102,12 @@ def _route_sorted(layout: str, words, ndev: int, cap: int, axis: str,
     valid_s = (ws[0] >> U32(31)) == 0
     part_s = part_of_sorted(layout, ws, nsamp, window_bits)
     dest = jnp.where(valid_s, (part_s * ndev) // nb_parts, ndev)
-    counts = jnp.stack([jnp.sum((dest == d).astype(I32))
-                        for d in range(ndev)])
-    starts = jnp.cumsum(counts) - counts
+    # dest is non-decreasing (the sort is partition-major, invalid last):
+    # block boundaries via binary search instead of ndev full reductions
+    bounds = jnp.searchsorted(dest, jnp.arange(ndev + 1, dtype=dest.dtype),
+                              side="left").astype(I32)
+    counts = bounds[1:] - bounds[:-1]
+    starts = bounds[:-1]
     dropped = jnp.sum(jnp.maximum(counts - cap, 0))
     pos = jnp.arange(cap, dtype=I32)
     sent = jnp.full((cap,), SENT, dtype=U32)
