@@ -166,15 +166,22 @@ def main() -> None:
     kmer21_rate, _ = _rate(kmer21_step, args, B * (L - 21 + 1))
     result["extra"]["kmer_mode_k21_kmers_per_sec"] = round(kmer21_rate, 1)
 
-    # --- mesh backend on a 1-device mesh (all_to_all included)
-    mesh = make_mesh(1)
-    mesh_step = build_sharded_pipeline(
-        mesh, k=K, m=M, nb_parts=NB_PARTS, cap=kmers_per_step,
-        nsamp=NSAMP, hard_min=2, rmin=1, save_if=2, mode="hash",
-        window_bits=WINDOW_BITS, static_repart=True, with_stats=False,
-        batch_layout="lb")
-    mesh_rate, _ = _rate(mesh_step, args, kmers_per_step, iters=5)
-    result["extra"]["mesh_backend_kmers_per_sec"] = round(mesh_rate, 1)
+    # --- BASELINE config 3: 50-sample vertical BF windows -> per-sample
+    # horizontal BFs (write_as_bft semantics: BitMatrix transpose,
+    # merge.hpp:631-644) — host-side blockwise bit transpose; runs early
+    # because it needs no device (a wedged tunnel can't lose it)
+    from kmtricks_tpu.core.bitmatrix import transpose_bits
+    nsamp50, window = 50, WINDOW_BITS
+    rows50 = rng.integers(0, 256, (window, (nsamp50 + 7) // 8),
+                          dtype=np.uint8)
+    transpose_bits(rows50[:1024])     # warm numpy path
+    t0 = time.perf_counter()
+    out50 = transpose_bits(rows50)
+    bft_wall = time.perf_counter() - t0
+    assert out50.shape[0] >= nsamp50
+    bft_bits_per_sec = window * nsamp50 / bft_wall
+    result["extra"]["bft_transpose_bits_per_sec_50samp"] = \
+        round(bft_bits_per_sec, 1)
 
     # --- matrix build wall time: 10-sample abundance matrix from 2.5M
     # windows (BASELINE config-2 shape), device chunks + host assembly
@@ -216,21 +223,17 @@ def main() -> None:
     result["extra"]["matrix_build_wall_s_10samp_2.5Mwin"] = \
         round(matrix_wall, 4)
 
-    # --- BASELINE config 3: 50-sample vertical BF windows -> per-sample
-    # horizontal BFs (write_as_bft semantics: BitMatrix transpose,
-    # merge.hpp:631-644) — host-side blockwise bit transpose
-    from kmtricks_tpu.core.bitmatrix import transpose_bits
-    nsamp50, window = 50, WINDOW_BITS
-    rows50 = rng.integers(0, 256, (window, (nsamp50 + 7) // 8),
-                          dtype=np.uint8)
-    transpose_bits(rows50[:1024])     # warm numpy path
-    t0 = time.perf_counter()
-    out50 = transpose_bits(rows50)
-    bft_wall = time.perf_counter() - t0
-    assert out50.shape[0] >= nsamp50
-    bft_bits_per_sec = window * nsamp50 / bft_wall
-    result["extra"]["bft_transpose_bits_per_sec_50samp"] = \
-        round(bft_bits_per_sec, 1)
+    # --- mesh backend on a 1-device mesh (all_to_all included); LAST:
+    # the shard_map program is the slowest compile and the likeliest to
+    # hit a tunnel stall — everything above is already in `result`
+    mesh = make_mesh(1)
+    mesh_step = build_sharded_pipeline(
+        mesh, k=K, m=M, nb_parts=NB_PARTS, cap=kmers_per_step,
+        nsamp=NSAMP, hard_min=2, rmin=1, save_if=2, mode="hash",
+        window_bits=WINDOW_BITS, static_repart=True, with_stats=False,
+        batch_layout="lb")
+    mesh_rate, _ = _rate(mesh_step, args, kmers_per_step, iters=5)
+    result["extra"]["mesh_backend_kmers_per_sec"] = round(mesh_rate, 1)
 
     done.set()
     print(json.dumps(result))
