@@ -129,22 +129,33 @@ def packed_layout(nsamp: int, nw: int, part_follows_keys: bool,
     """Choose a packed sort layout: "h1" (hash, 1 word), "h2" (hash,
     2 words), "k2.<pb>.<kb>" (k-mer, 2 words — fits when
     1 + part_bits + 2k + samp_bits <= 64, i.e. k <= ~27 at typical
-    partition/sample widths), "k3" (k-mer <= 32, 3 words), or None
-    (generic path)."""
+    partition/sample widths), "k3" (k-mer <= 32, 3 words),
+    "kw.<pb>.<kb>.<nw>" (k-mer, wide keys — (valid|part|key|sample)
+    left-justified in the fewest u32 words, e.g. 3 words for k <= 40
+    vs the generic path's 6 operands), or None (generic path)."""
     sb = _samp_bits(nsamp)
     if part_follows_keys and key_bits is not None and nw == 2:
         if 1 + key_bits + sb <= 32:
             return "h1"
         if 1 + key_bits + sb <= 64:
             return "h2"
-    if not part_follows_keys and nw == 2:
+    if not part_follows_keys:
+        if nw == 2:
+            if (part_bits is not None and key_bits is not None
+                    and 1 + part_bits + key_bits + sb <= 64):
+                return f"k2.{part_bits}.{key_bits}"
+            # k3's partition field is 16 bits — wider partition counts (or
+            # an unknown width) must take the generic multi-operand path
+            if sb <= 15 and part_bits is not None and part_bits <= 16:
+                return "k3"
+        # wide keys: beat the generic (part, keys..., sample) operand list
+        # whenever the packed word count is smaller (sort cost scales with
+        # operand count); part must sit entirely in word0 for the router
         if (part_bits is not None and key_bits is not None
-                and 1 + part_bits + key_bits + sb <= 64):
-            return f"k2.{part_bits}.{key_bits}"
-        # k3's partition field is 16 bits — wider partition counts (or an
-        # unknown width) must take the generic multi-operand path
-        if sb <= 15 and part_bits is not None and part_bits <= 16:
-            return "k3"
+                and part_bits <= 31):
+            nwords = -(-(1 + part_bits + key_bits + sb) // 32)
+            if nwords < 2 + nw:
+                return f"kw.{part_bits}.{key_bits}.{nw}"
     return None
 
 
@@ -154,6 +165,58 @@ def _k2_params(layout: str, nsamp: int):
     pb, kb = int(pb), int(kb)
     shift = 64 - (1 + pb + kb + _samp_bits(nsamp))
     return pb, kb, shift
+
+
+def _kw_params(layout: str, nsamp: int):
+    """(part_bits, key_bits, key_words, packed_words, lsb_pad) of a
+    "kw.<pb>.<kb>.<nw>" layout."""
+    _, pb, kb, nw = layout.split(".")
+    pb, kb, nw = int(pb), int(kb), int(nw)
+    total = 1 + pb + kb + _samp_bits(nsamp)
+    nwords = -(-total // 32)
+    return pb, kb, nw, nwords, 32 * nwords - total
+
+
+def _mw_fit(words, nwords: int):
+    """Fit an msb-first u32 word tuple to exactly ``nwords`` words:
+    zero-extend at the top, or drop top words (the caller guarantees any
+    dropped words are zero — the packed value is bounded by the layout's
+    field widths)."""
+    if len(words) >= nwords:
+        return tuple(words[len(words) - nwords:])
+    z = jnp.zeros_like(words[0])
+    return (z,) * (nwords - len(words)) + tuple(words)
+
+
+def _mw_shl(words, s: int):
+    """Constant left shift of an msb-first u32 word tuple (top overflow
+    dropped, zeros shifted in)."""
+    nwords = len(words)
+    q, r = divmod(s, 32)
+    z = jnp.zeros_like(words[0])
+
+    def get(j):
+        return words[j] if 0 <= j < nwords else z
+
+    if r == 0:
+        return tuple(get(i + q) for i in range(nwords))
+    return tuple((get(i + q) << U32(r)) | (get(i + q + 1) >> U32(32 - r))
+                 for i in range(nwords))
+
+
+def _mw_shr(words, s: int):
+    """Constant logical right shift of an msb-first u32 word tuple."""
+    nwords = len(words)
+    q, r = divmod(s, 32)
+    z = jnp.zeros_like(words[0])
+
+    def get(j):
+        return words[j] if 0 <= j < nwords else z
+
+    if r == 0:
+        return tuple(get(i - q) for i in range(nwords))
+    return tuple((get(i - q) >> U32(r)) | (get(i - q - 1) << U32(32 - r))
+                 for i in range(nwords))
 
 
 def pack_words(layout: str, part, keys, samp, valid, nsamp: int):
@@ -185,6 +248,14 @@ def pack_words(layout: str, part, keys, samp, valid, nsamp: int):
         w2 = (keys[1] << U32(15)) | s32
         return (jnp.where(valid, w0, ff), jnp.where(valid, w1, ff),
                 jnp.where(valid, w2, ff))
+    if layout.startswith("kw."):
+        pb, kb, _nw, nwords, pad = _kw_params(layout, nsamp)
+        key_w = _mw_shl(_mw_fit(keys, nwords), sb + pad)
+        part_w = _mw_shl(_mw_fit((part.astype(U32),), nwords),
+                         kb + sb + pad)
+        samp_w = _mw_shl(_mw_fit((s32,), nwords), pad)
+        return tuple(jnp.where(valid, kw | pw | sw, ff)
+                     for kw, pw, sw in zip(key_w, part_w, samp_w))
     raise ValueError(layout)
 
 
@@ -276,6 +347,30 @@ def unpack_sorted(layout: str, ws, nsamp: int, key_bits, window_bits):
         kd = ((w0_s[1:] != w0_s[:-1]) | (w1_s[1:] != w1_s[:-1])
               | ((w2_s[1:] >> U32(15)) != (w2_s[:-1] >> U32(15))))
         return part_s, keys_s, samp_s, valid_s, occ_d, kd
+    if layout.startswith("kw."):
+        pb, kb, nw, nwords, pad = _kw_params(layout, nsamp)
+        valid_s = (ws[0] >> U32(31)) == 0
+        part_s = jnp.where(valid_s, (ws[0] >> U32(31 - pb))
+                           & U32((1 << pb) - 1), U32(0))
+        # bits above the sample field: valid|part|key, key at the LSB end
+        hi = _mw_shr(ws, sb + pad)
+        kws = list(_mw_fit(hi, nw))
+        for j in range(nw):
+            b = kb - 32 * (nw - 1 - j)   # key bits available in word j
+            if b <= 0:
+                kws[j] = jnp.zeros_like(kws[j])
+            elif b < 32:
+                kws[j] = kws[j] & U32((1 << b) - 1)
+        keys_s = tuple(jnp.where(valid_s, w, U32(0)) for w in kws)
+        sv = _mw_shr(ws, pad)[-1] if pad else ws[-1]
+        samp_s = jnp.where(valid_s, sv & U32((1 << sb) - 1), U32(0))
+        occ_d = ws[0][1:] != ws[0][:-1]
+        for w in ws[1:]:
+            occ_d = occ_d | (w[1:] != w[:-1])
+        kd = hi[0][1:] != hi[0][:-1]
+        for w in hi[1:]:
+            kd = kd | (w[1:] != w[:-1])
+        return part_s, keys_s, samp_s, valid_s, occ_d, kd
     raise ValueError(layout)
 
 
@@ -308,6 +403,9 @@ def part_of_sorted(layout: str, ws, nsamp: int, window_bits):
         return ((ws[0] >> U32(31 - pb)) & U32((1 << pb) - 1)).astype(I32)
     if layout == "k3":
         return ((ws[0] >> U32(15)) & U32(0xFFFF)).astype(I32)
+    if layout.startswith("kw."):
+        pb = _kw_params(layout, nsamp)[0]
+        return ((ws[0] >> U32(31 - pb)) & U32((1 << pb) - 1)).astype(I32)
     raise ValueError(layout)
 
 

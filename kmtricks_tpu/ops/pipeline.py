@@ -95,8 +95,7 @@ def count_sample_device(
         parts, keys, zeros, valid, jnp.ones(1, dtype=jnp.uint32),
         nsamp=1, hard_min=1, rmin=1, save_if=0,
         part_follows_keys=(mode == "hash"),
-        key_bits=(key_bits if mode == "hash"
-                  else (2 * k if k <= 32 else None)),
+        key_bits=key_bits if mode == "hash" else 2 * k,
         window_bits=window_bits if mode == "hash" else None,
         part_bits=(((nb_parts - 1).bit_length())
                    if mode == "kmer" else None))

@@ -208,7 +208,7 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     part_bits = (nb_parts - 1).bit_length()
     layout = packed_layout(
         nsamp, nw, mode == "hash",
-        key_bits if mode == "hash" else (2 * k if nw == 2 else None),
+        key_bits if mode == "hash" else 2 * k,
         part_bits if mode == "kmer" else None)
 
     def step(batch, lengths, samp, repart_table, amin_vec):
@@ -291,8 +291,7 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
             hard_min=hard_min, rmin=rmin, save_if=save_if,
             count_max=count_max, with_stats=with_stats,
             part_follows_keys=(mode == "hash"),
-            key_bits=(key_bits if mode == "hash"
-                      else (2 * k if k <= 32 else None)),
+            key_bits=key_bits if mode == "hash" else 2 * k,
             window_bits=window_bits if mode == "hash" else None,
             part_bits=(((known_parts - 1).bit_length())
                        if (mode == "kmer" and known_parts) else None))

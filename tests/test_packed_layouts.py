@@ -69,9 +69,52 @@ def test_k2_matches_k3(key_bits, nb_parts, nsamp):
 def test_k2_overflow_falls_back():
     # 1 + pb + kb + sb > 64 must not pick k2
     assert packed_layout(8, 2, False, 62, 6) == "k3"
-    # sample bits too wide for k3 and budget too wide for k2 -> generic
-    assert packed_layout(1 << 16, 2, False, 45, 4) is None
+    # sample bits too wide for k3 and budget too wide for k2 -> the
+    # generalized 3-word pack (still beats the 4-operand generic path)
+    assert packed_layout(1 << 16, 2, False, 45, 4) == "kw.4.45.2"
     # wide sample counts alone don't disqualify k2
     assert packed_layout(1 << 16, 2, False, 20, 4) == "k2.4.20"
-    # partition id wider than k3's 16-bit field -> generic
-    assert packed_layout(8, 2, False, 62, 17) is None
+    # partition id wider than k3's 16-bit field -> kw
+    assert packed_layout(8, 2, False, 62, 17) == "kw.17.62.2"
+    # wide keys of unknown width -> generic
+    assert packed_layout(8, 4, False, None, 6) is None
+
+
+def _random_wide(rng, n, nb_parts, key_bits, nw, nsamp, pool=512):
+    # draw keys from a small pool so (key, sample) runs with count > 1
+    # actually occur (random wide keys never collide)
+    part = rng.integers(0, nb_parts, n).astype(np.int32)
+    pick = rng.integers(0, pool, n)
+    words = []
+    for j in range(nw):          # msb-first; word j holds key bits
+        b = key_bits - 32 * (nw - 1 - j)
+        if b <= 0:
+            words.append(np.zeros(n, np.uint32))
+        else:
+            vals = rng.integers(0, 1 << min(b, 32), pool, dtype=np.uint64)
+            words.append(vals[pick].astype(np.uint32))
+    samp = rng.integers(0, nsamp, n).astype(np.int32)
+    valid = rng.random(n) < 0.9
+    return part, tuple(words), samp, valid
+
+
+@pytest.mark.parametrize("key_bits,nw,nb_parts,nsamp", [
+    (66, 4, 16, 3),      # k=33: 3 packed words vs 6 generic operands
+    (94, 4, 64, 8),      # k=47: 4 words
+    (128, 4, 4, 4),      # k=64: 5 words
+    (192, 6, 16, 2),     # k=96: 7 words
+    (254, 8, 8, 5),      # k=127: 9 words
+])
+def test_kw_matches_generic(key_bits, nw, nb_parts, nsamp):
+    """The generalized wide-key pack must reproduce the generic
+    multi-operand sort path bit-for-bit (same merge semantics, fewer
+    sort operands)."""
+    part_bits = (nb_parts - 1).bit_length()
+    layout = packed_layout(nsamp, nw, False, key_bits, part_bits)
+    assert layout == f"kw.{part_bits}.{key_bits}.{nw}", layout
+    rng = np.random.default_rng(key_bits * 5 + nw + nsamp)
+    part, keys, samp, valid = _random_wide(
+        rng, 4096, nb_parts, key_bits, nw, nsamp)
+    kw = _run(part, keys, samp, valid, nsamp, part_bits, key_bits)
+    gen = _run(part, keys, samp, valid, nsamp, None, None)
+    _assert_same(kw, gen)
