@@ -122,6 +122,39 @@ def test_merge_plugin(tmp_path, fof_path, repart_src):
     assert total_plug == expected    # veto applied row-exactly
 
 
+def test_example_plugins(tmp_path, fof_path, repart_src):
+    """The shipped examples/plugins/ load and apply their documented
+    semantics (basic: all counts >= threshold; template: only rows whose
+    k-mer starts with 'A' are filtered)."""
+    import pathlib
+
+    from kmtricks_tpu.core.kmer import kmers_to_strings
+
+    ex = pathlib.Path(__file__).resolve().parents[1] / "examples" / "plugins"
+    base = dict(fof=fof_path, kmer_size=31, hard_min=1, soft_min="1",
+                repart_from=repart_src, mode="kmer:count:bin")
+    ref = run_pipeline(PipelineOptions(run_dir=str(tmp_path / "ref"), **base))
+    basic = run_pipeline(PipelineOptions(
+        run_dir=str(tmp_path / "basic"),
+        plugin=f"{ex / 'basic_ex.py'}:BasicEx", plugin_config="2", **base))
+    tmpl = run_pipeline(PipelineOptions(
+        run_dir=str(tmp_path / "tmpl"),
+        plugin=str(ex / "template_ex.py"), plugin_config="2", **base))
+    for p in range(4):
+        _, mk, mc = F.read_matrix_file(
+            ref.get_matrix_path(p, "count", "bin", "kmer", False))
+        _, bk, bc = F.read_matrix_file(
+            basic.get_matrix_path(p, "count", "bin", "kmer", False))
+        _, tk, tc = F.read_matrix_file(
+            tmpl.get_matrix_path(p, "count", "bin", "kmer", False))
+        keep_basic = (mc >= 2).all(axis=1)
+        assert len(bk) == int(keep_basic.sum())
+        starts_a = np.array([s[0] == "A"
+                             for s in kmers_to_strings(mk, 31)])
+        keep_tmpl = ~starts_a | keep_basic
+        assert len(tk) == int(keep_tmpl.sum())
+
+
 # ---------------------------------------------------------------------------
 # KFF
 # ---------------------------------------------------------------------------
