@@ -17,6 +17,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ("fuzz_modules.py", ["2", "9"]),
     ("fuzz_combine.py", ["2", "9"]),
     ("fuzz_filter.py", ["2", "9"]),
+    ("fuzz_formats.py", ["6", "9"]),
 ])
 def test_fuzz_smoke(script, args):
     env = dict(os.environ)
