@@ -171,9 +171,21 @@ def _load_global_batch(kmdir: KmDir, opts: PipelineOptions, k: int,
                        ndev: int):
     import math
 
-    per_sample = []
-    for entry in kmdir.fof:
-        per_sample.append(seqio.load_batch(entry.paths, opts.bam_filter()))
+    entries = list(kmdir.fof)
+    nthreads = min(getattr(opts, "threads", 1) or 1, len(entries))
+    if nthreads > 1:
+        # decode samples concurrently: gzip inflate and the native batch
+        # parser both release the GIL (the reference decodes banks on its
+        # TaskPool the same way, task_scheduler.hpp:164-249)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+            per_sample = list(ex.map(
+                lambda e: seqio.load_batch(e.paths, opts.bam_filter()),
+                entries))
+    else:
+        per_sample = [seqio.load_batch(e.paths, opts.bam_filter())
+                      for e in entries]
     n_reads = sum(b.shape[0] for b, _ in per_sample)
     if not n_reads:
         raise ValueError("no sequences")
