@@ -237,6 +237,82 @@ def iter_sequences(uri: str | list[str],
         yield seq
 
 
+def _record_cut(data: bytes, fmt: str) -> int:
+    """Largest prefix of ``data`` ending at a record boundary, given the
+    invariant that ``data`` STARTS at one. 0 means "no complete record yet"
+    (the caller grows the segment)."""
+    if fmt == "fasta":
+        i = data.rfind(b"\n>")
+        return i + 1 if i >= 0 else 0
+    # fastq: 4 lines per record, so cut after the (4*q)-th newline
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nl = np.flatnonzero(arr == 10)
+    q = (len(nl) // 4) * 4
+    return int(nl[q - 1]) + 1 if q else 0
+
+
+def _rows_to_batch(block: list[bytes], pad: int):
+    L = max((len(s) for s in block), default=1)
+    batch = np.full((len(block), L), pad, dtype=np.uint8)
+    lengths = np.zeros(len(block), dtype=np.int32)
+    for i, s in enumerate(block):
+        batch[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+        lengths[i] = len(s)
+    return batch, lengths
+
+
+def iter_batches(uri: str | list[str], bam_filter: BamFilter | None = None,
+                 pad: int = ord("N"), segment_bytes: int = 16 << 20,
+                 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Stream a bank as ((B, L) uint8, (B,) int32) blocks.
+
+    Plain/gz FASTA and FASTQ are read in large segments, cut at record
+    boundaries on the host, and parsed by the native C batch parser —
+    the streaming equivalent of :func:`load_batch` with RSS bounded by
+    one segment (the reference streams banks through 256KB gzread
+    buffers the same way, BankFasta.cpp:42). BAM and album banks fall
+    back to the record iterators in fixed-size groups.
+    """
+    from kmtricks_tpu import native
+
+    paths = uri if isinstance(uri, list) else uri.split(",")
+    for p in paths:
+        p = p.strip()
+        fmt = sniff_format(p)
+        if fmt in ("fasta", "fastq") and native.lib() is not None:
+            with _open_maybe_gz(p) as f:
+                carry = b""
+                while True:
+                    data = f.read(segment_bytes)
+                    at_eof = not data
+                    data = carry + data if carry else data
+                    if at_eof:
+                        seg, carry = data, b""
+                    else:
+                        cut = _record_cut(data, fmt)
+                        if cut == 0:
+                            carry = data
+                            continue
+                        seg, carry = data[:cut], data[cut:]
+                    if seg.strip():
+                        got = native.parse_batch(seg, fmt, pad)
+                        if got is None:      # native parse failed mid-file
+                            raise IOError(f"{p}: native parse failed")
+                        if len(got[1]):
+                            yield got
+                    if at_eof:
+                        break
+            continue
+        block: list[bytes] = []
+        for _, s in iter_bank(p, bam_filter):
+            block.append(s)
+            if len(block) >= 4096:
+                yield _rows_to_batch(block, pad)
+                block = []
+        if block:
+            yield _rows_to_batch(block, pad)
+
+
 def load_batch(uri: str | list[str], bam_filter: BamFilter | None = None,
                pad: int = ord("N")):
     """Load a bank directly into a fixed-shape row batch:

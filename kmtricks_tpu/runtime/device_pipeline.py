@@ -65,32 +65,63 @@ def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
     collection (the reference streams banks the same way,
     BankFasta.cpp 256KB buffers)."""
     step_over = L - k + 1
-    buf = np.full((rows, L), pad, np.uint8)
-    ln = np.zeros(rows, np.int32)
-    sa = np.zeros(rows, np.int32)
-    fill = 0
+    state = {"buf": np.full((rows, L), pad, np.uint8),
+             "ln": np.zeros(rows, np.int32),
+             "sa": np.zeros(rows, np.int32), "fill": 0}
+
+    def flush_full():
+        out = (state["buf"], state["ln"], state["sa"])
+        state["buf"] = np.full((rows, L), pad, np.uint8)
+        state["ln"] = np.zeros(rows, np.int32)
+        state["sa"] = np.zeros(rows, np.int32)
+        state["fill"] = 0
+        return out
+
+    def place(block, lengths, si):
+        """Bulk-copy (B, Lb<=L) rows into the chunk buffer."""
+        i = 0
+        while i < len(lengths):
+            take = min(rows - state["fill"], len(lengths) - i)
+            f0 = state["fill"]
+            state["buf"][f0:f0 + take, :block.shape[1]] = block[i:i + take]
+            state["ln"][f0:f0 + take] = lengths[i:i + take]
+            state["sa"][f0:f0 + take] = si
+            state["fill"] += take
+            i += take
+            if state["fill"] == rows:
+                yield flush_full()
+
     for si, entry in enumerate(kmdir.fof):
-        for seq in seqio.iter_sequences(entry.paths, opts.bam_filter()):
-            n = len(seq)
-            if n < k:
+        for batch, lengths in seqio.iter_batches(entry.paths,
+                                                 opts.bam_filter()):
+            keep = lengths >= k
+            if not keep.all():
+                batch, lengths = batch[keep], lengths[keep]
+            if not len(lengths):
                 continue
-            for off in range(0, n - k + 1, step_over):
-                seg = seq[off:off + L]
-                if len(seg) < k:
-                    break
-                arr = np.frombuffer(seg, np.uint8)
-                buf[fill, :len(arr)] = arr
-                ln[fill] = len(arr)
-                sa[fill] = si
-                fill += 1
-                if fill == rows:
-                    yield buf, ln, sa
-                    buf = np.full((rows, L), pad, np.uint8)
-                    ln = np.zeros(rows, np.int32)
-                    sa = np.zeros(rows, np.int32)
-                    fill = 0
-    if fill:
-        yield buf, ln, sa
+            if batch.shape[1] <= L:
+                yield from place(batch, lengths, si)
+                continue
+            # mixed block: bulk-place the short reads, split the long ones
+            # into overlapping segments (overlap k - 1) so every k-mer
+            # window appears exactly once
+            short = lengths <= L
+            if short.any():
+                yield from place(batch[short][:, :L], lengths[short], si)
+            for row, n in zip(batch[~short], lengths[~short]):
+                segs, slens = [], []
+                for off in range(0, int(n) - k + 1, step_over):
+                    m = min(L, int(n) - off)
+                    if m < k:
+                        break
+                    seg = np.full(L, pad, np.uint8)
+                    seg[:m] = row[off:off + m]
+                    segs.append(seg)
+                    slens.append(m)
+                yield from place(np.asarray(segs),
+                                 np.asarray(slens, np.int32), si)
+    if state["fill"]:
+        yield state["buf"], state["ln"], state["sa"]
 
 
 def _transpose_chunks(gen):

@@ -250,3 +250,45 @@ def test_sdsl_bf_format(tmp_path):
     words = np.frombuffer(raw[8:], dtype=np.uint64)
     assert (words == bits_to_sdsl_words(bits, bloom)).all()
     assert words.view(np.uint8).tobytes() == bits.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Segment-streamed native batch parsing (io.sequences.iter_batches)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fmt,gz", [("fasta", False), ("fasta", True),
+                                    ("fastq", False), ("fastq", True)])
+def test_iter_batches_matches_iter_bank(tmp_path, fmt, gz):
+    """Segment-streamed parsing (tiny segments forcing many record-boundary
+    cuts) must reconstruct exactly the record iterator's sequences —
+    including multi-line FASTA and a missing trailing newline."""
+    import gzip as _gzip
+
+    from kmtricks_tpu.io import sequences as seqio
+
+    rng = np.random.default_rng(42 + gz)
+    seqs = []
+    text = bytearray()
+    for i in range(200):
+        s = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8),
+                             int(rng.integers(1, 300))))
+        seqs.append(s)
+        if fmt == "fasta":
+            text += b">r%d desc\n" % i
+            # multi-line records with random wrap width
+            w = int(rng.integers(10, 120))
+            for off in range(0, len(s), w):
+                text += s[off:off + w] + b"\n"
+        else:
+            text += b"@r%d\n" % i + s + b"\n+\n" + b"I" * len(s) + b"\n"
+    if fmt == "fasta":
+        text = text[:-1]                       # no trailing newline
+    path = tmp_path / ("r." + fmt + (".gz" if gz else ""))
+    data = bytes(text)
+    path.write_bytes(_gzip.compress(data) if gz else data)
+
+    got = []
+    for batch, lengths in seqio.iter_batches(str(path), segment_bytes=700):
+        for row, n in zip(batch, lengths):
+            got.append(row[:n].tobytes())
+    assert got == seqs
