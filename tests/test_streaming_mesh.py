@@ -62,6 +62,16 @@ def test_streaming_chunked_equals_host(small_fof, tmp_path):
                        chunk_windows=3000, use_stream=True)
     assert _matrices(kmdir) == _matrices(host)
 
+    # sample-parallel decode (-t > 1): samples interleave across chunks
+    # in nondeterministic order, but the aggregated matrices are
+    # order-free — byte-equal to the serial run
+    opts_t = _opts(small_fof, tmp_path / "stream_t", threads=4)
+    kmdir_t, config_t = stage_config(opts_t)
+    repart_t = stage_repart(kmdir_t, config_t, opts_t)
+    stage_mesh_chunked(kmdir_t, config_t, opts_t, repart_t, amin,
+                       chunk_windows=3000, use_stream=True)
+    assert _matrices(kmdir_t) == _matrices(host)
+
 
 def test_streaming_splits_long_reads(tmp_path):
     """Reads longer than the streaming segment length L are split with
