@@ -27,7 +27,8 @@ class TemplateEx(MergePlugin):
     def process_batch(self, keys, counts) -> np.ndarray:
         rows = np.atleast_2d(np.asarray(keys))
         starts_a = np.array(
-            [s[0] == "A" for s in kmers_to_strings(rows, self.kmer_size)])
+            [s[0] == "A" for s in kmers_to_strings(rows, self.kmer_size)],
+            dtype=bool)          # dtype matters for the empty partition
         clears = (np.asarray(counts) >= self.threshold).all(axis=1)
         # rows not starting with 'A' are kept unconditionally
         return ~starts_a | clears

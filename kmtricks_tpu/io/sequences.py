@@ -237,18 +237,29 @@ def iter_sequences(uri: str | list[str],
         yield seq
 
 
-def _record_cut(data: bytes, fmt: str) -> int:
-    """Largest prefix of ``data`` ending at a record boundary, given the
-    invariant that ``data`` STARTS at one. 0 means "no complete record yet"
-    (the caller grows the segment)."""
+def _record_cut(data: bytes, fmt: str, carry_last: bytes = b"",
+                carry_nl: int = 0) -> int:
+    """Largest prefix of ``data`` ending at a record boundary, given that
+    the (unscanned) carry before it starts at one. Returns -1 for "no
+    complete record yet" (the caller grows the carry without rescanning
+    it — only ``data`` is ever scanned, so a record larger than the
+    segment size stays linear). ``carry_last`` is the carry's final byte,
+    ``carry_nl`` its newline count (< 4 by the cut invariant)."""
     if fmt == "fasta":
         i = data.rfind(b"\n>")
-        return i + 1 if i >= 0 else 0
-    # fastq: 4 lines per record, so cut after the (4*q)-th newline
+        if i >= 0:
+            return i + 1
+        # boundary case: the carry ends exactly at the '\n' of '\n>'
+        if carry_last == b"\n" and data[:1] == b">":
+            return 0
+        return -1
+    # fastq: 4 lines per record, so cut after the (4q)-th newline overall
     arr = np.frombuffer(data, dtype=np.uint8)
     nl = np.flatnonzero(arr == 10)
-    q = (len(nl) // 4) * 4
-    return int(nl[q - 1]) + 1 if q else 0
+    q = ((carry_nl + len(nl)) // 4) * 4
+    if q == 0:
+        return -1
+    return int(nl[q - carry_nl - 1]) + 1
 
 
 def _rows_to_batch(block: list[bytes], pad: int):
@@ -281,19 +292,28 @@ def iter_batches(uri: str | list[str], bam_filter: BamFilter | None = None,
         fmt = sniff_format(p)
         if fmt in ("fasta", "fastq") and native.lib() is not None:
             with _open_maybe_gz(p) as f:
-                carry = b""
+                # the carry (partial record) accumulates as a list so a
+                # record larger than the segment size is never re-copied
+                # or re-scanned — each read only scans the new segment
+                carry: list[bytes] = []
+                carry_nl = 0
                 while True:
                     data = f.read(segment_bytes)
                     at_eof = not data
-                    data = carry + data if carry else data
                     if at_eof:
-                        seg, carry = data, b""
+                        seg = b"".join(carry)
+                        carry = []
                     else:
-                        cut = _record_cut(data, fmt)
-                        if cut == 0:
-                            carry = data
+                        last = carry[-1][-1:] if carry else b""
+                        cut = _record_cut(data, fmt, last, carry_nl)
+                        if cut < 0:
+                            carry.append(data)
+                            if fmt == "fastq":
+                                carry_nl += data.count(b"\n")
                             continue
-                        seg, carry = data[:cut], data[cut:]
+                        seg = b"".join(carry) + data[:cut]
+                        carry = [data[cut:]] if cut < len(data) else []
+                        carry_nl = data.count(b"\n", cut)
                     if seg.strip():
                         got = native.parse_batch(seg, fmt, pad)
                         if got is None:      # native parse failed mid-file

@@ -54,7 +54,8 @@ def _round128(x: int) -> int:
     return max(128, ((x + 127) // 128) * 128)
 
 
-def _stream_sample_blocks(kmdir: KmDir, opts: PipelineOptions):
+def _stream_sample_blocks(kmdir: KmDir, opts: PipelineOptions,
+                          pad: int = ord("N")):
     """Yield (sample_idx, batch, lengths) blocks across the collection,
     decoding up to ``opts.threads`` samples concurrently (gz inflate and
     the native parser release the GIL; a single gz stream inflates at
@@ -65,7 +66,8 @@ def _stream_sample_blocks(kmdir: KmDir, opts: PipelineOptions):
     threads = min(getattr(opts, "threads", 1) or 1, len(entries))
     if threads <= 1:
         for si, entry in entries:
-            for got in seqio.iter_batches(entry.paths, opts.bam_filter()):
+            for got in seqio.iter_batches(entry.paths, opts.bam_filter(),
+                                          pad=pad):
                 yield (si,) + got
         return
 
@@ -77,36 +79,60 @@ def _stream_sample_blocks(kmdir: KmDir, opts: PipelineOptions):
     err: list[BaseException] = []
     it = iter(entries)
     lock = threading.Lock()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """put() that gives up when the consumer is gone (stop set)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
-            while True:
+            while not stop.is_set():
                 with lock:
                     nxt = next(it, None)
                 if nxt is None:
                     return
                 si, entry = nxt
                 for got in seqio.iter_batches(entry.paths,
-                                              opts.bam_filter()):
-                    q.put((si,) + got)
+                                              opts.bam_filter(), pad=pad):
+                    if not _put((si,) + got):
+                        return
         except BaseException as e:  # noqa: BLE001 - relayed to consumer
             err.append(e)
         finally:
-            q.put(DONE)
+            _put(DONE)
 
     ts = [threading.Thread(target=worker, daemon=True)
           for _ in range(threads)]
     for t in ts:
         t.start()
-    done = 0
-    while done < threads:
-        item = q.get()
-        if item is DONE:
-            done += 1
-            continue
-        yield item
-    if err:
-        raise err[0]
+    try:
+        done = 0
+        while done < threads:
+            if err:                 # fail fast, don't drain other samples
+                raise err[0]
+            item = q.get()
+            if item is DONE:
+                done += 1
+                continue
+            yield item
+        if err:
+            raise err[0]
+    finally:
+        # unblock any producer stuck on a full queue (consumer abandoned
+        # mid-stream, e.g. a device error downstream)
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
@@ -146,7 +172,7 @@ def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
             if state["fill"] == rows:
                 yield flush_full()
 
-    for si, batch, lengths in _stream_sample_blocks(kmdir, opts):
+    for si, batch, lengths in _stream_sample_blocks(kmdir, opts, pad):
         keep = lengths >= k
         if not keep.all():
             batch, lengths = batch[keep], lengths[keep]

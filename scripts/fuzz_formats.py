@@ -46,10 +46,11 @@ def case(seed: int) -> None:
     sid, part = int(rng.integers(0, 100)), int(rng.integers(0, 64))
 
     kmers = rng.integers(0, 1 << 63, (n, slots), dtype=np.uint64)
-    # keep only the key's 2k bits in the leading word (writer contract)
+    # keep only the key's 2k bits in the HIGH word — rows are
+    # little-endian, high word last (writer contract)
     top = 2 * k - 64 * (slots - 1)
     if top < 64:
-        kmers[:, 0] &= np.uint64((1 << top) - 1) if top else np.uint64(0)
+        kmers[:, -1] &= np.uint64((1 << top) - 1) if top else np.uint64(0)
     counts = rng.integers(1, cmax + 1, n).astype(cdt)
     hashes = np.sort(rng.integers(0, 1 << 62, n, dtype=np.uint64))
 

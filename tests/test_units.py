@@ -292,3 +292,27 @@ def test_iter_batches_matches_iter_bank(tmp_path, fmt, gz):
         for row, n in zip(batch, lengths):
             got.append(row[:n].tobytes())
     assert got == seqs
+
+
+def test_iter_batches_record_larger_than_segment(tmp_path):
+    """A single record spanning many segments (e.g. an assembled
+    chromosome) parses correctly and in linear time (the carry is never
+    re-scanned)."""
+    from kmtricks_tpu.io import sequences as seqio
+
+    rng = np.random.default_rng(7)
+    big = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), 3_000_000))
+    small = b"ACGTACGTAC"
+    path = tmp_path / "r.fasta"
+    with open(path, "wb") as f:
+        f.write(b">big\n")
+        for off in range(0, len(big), 80):
+            f.write(big[off:off + 80] + b"\n")
+        f.write(b">small\n" + small + b"\n")
+
+    got = []
+    for batch, lengths in seqio.iter_batches(str(path),
+                                             segment_bytes=65536):
+        for row, n in zip(batch, lengths):
+            got.append(row[:n].tobytes())
+    assert got == [big, small]
