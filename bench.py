@@ -166,6 +166,15 @@ def main() -> None:
     kmer21_rate, _ = _rate(kmer21_step, args, B * (L - 21 + 1))
     result["extra"]["kmer_mode_k21_kmers_per_sec"] = round(kmer21_rate, 1)
 
+    # --- k-mer mode at k=45 (4-word device keys): the generalized "kw"
+    # packed layout — 4 sort operands vs the generic path's 6
+    kmer45_step = jax.jit(build_single_chip_step(
+        k=45, m=M, nsamp=NSAMP, hard_min=2, rmin=1, save_if=2,
+        mode="kmer", static_repart_parts=NB_PARTS, with_stats=False,
+        batch_layout="lb"))
+    kmer45_rate, _ = _rate(kmer45_step, args, B * (L - 45 + 1))
+    result["extra"]["kmer_mode_k45_kmers_per_sec"] = round(kmer45_rate, 1)
+
     # --- BASELINE config 3: 50-sample vertical BF windows -> per-sample
     # horizontal BFs (write_as_bft semantics: BitMatrix transpose,
     # merge.hpp:631-644) — host-side blockwise bit transpose; runs early
