@@ -61,6 +61,29 @@ def encode_ascii(seq: bytes | str) -> tuple[np.ndarray, np.ndarray]:
 # Packing / unpacking
 # ---------------------------------------------------------------------------
 
+def _pack_windows_u64(codes: np.ndarray, w: int) -> np.ndarray:
+    """Value of every width-``w`` window (w <= 32) as (L-w+1,) uint64 —
+    doubling ladder: log2(w) shift-or passes instead of w."""
+    ladder = {1: codes.astype(np.uint64)}
+    v, p = ladder[1], 1
+    while 2 * p <= w:
+        v = (v[:len(v) - p] << np.uint64(2 * p)) | v[p:]
+        p *= 2
+        ladder[p] = v
+    acc, wa = None, 0
+    for p in sorted(ladder, reverse=True):   # binary decomposition of w
+        if not (w & p):
+            continue
+        part = ladder[p]
+        if acc is None:
+            acc, wa = part, p
+        else:
+            need = len(codes) - (wa + p) + 1
+            acc = (acc[:need] << np.uint64(2 * p)) | part[wa:wa + need]
+            wa += p
+    return acc
+
+
 def kmers_from_codes(codes: np.ndarray, k: int) -> np.ndarray:
     """All k-mer windows of a code array, packed.
 
@@ -77,6 +100,8 @@ def kmers_from_codes(codes: np.ndarray, k: int) -> np.ndarray:
     slots = slots_for_k(k)
     if n <= 0:
         return np.zeros((0, slots), dtype=np.uint64)
+    if slots == 1:
+        return _pack_windows_u64(codes, k).reshape(n, 1)
     win = np.lib.stride_tricks.sliding_window_view(codes, k)  # (n, k)
     out = np.zeros((n, slots), dtype=np.uint64)
     for j in range(k):
@@ -191,13 +216,19 @@ def is_allowed_minimizer(values: np.ndarray, m: int) -> np.ndarray:
 
 
 def mmer_revcomp_values(values: np.ndarray, m: int) -> np.ndarray:
-    """Reverse complement of m-mer integer values (m <= 16)."""
-    v = values.astype(np.uint64)
-    out = np.zeros_like(v)
-    for j in range(m):
-        code = (v >> np.uint64(2 * j)) & np.uint64(3)
-        out |= (code ^ np.uint64(2)) << np.uint64(2 * (m - 1 - j))
-    return out
+    """Reverse complement of m-mer integer values (m <= 16) — SWAR:
+    complement every 2-bit group (XOR 0b10), reverse group order with
+    four masked swaps, right-align."""
+    assert m <= 16
+    v = values.astype(np.uint32) ^ np.uint32(0xAAAAAAAA)
+    v = ((v >> np.uint32(2)) & np.uint32(0x33333333)) | \
+        ((v & np.uint32(0x33333333)) << np.uint32(2))
+    v = ((v >> np.uint32(4)) & np.uint32(0x0F0F0F0F)) | \
+        ((v & np.uint32(0x0F0F0F0F)) << np.uint32(4))
+    v = ((v >> np.uint32(8)) & np.uint32(0x00FF00FF)) | \
+        ((v & np.uint32(0x00FF00FF)) << np.uint32(8))
+    v = (v >> np.uint32(16)) | (v << np.uint32(16))
+    return (v >> np.uint32(32 - 2 * m)).astype(np.uint64)
 
 
 def mmers_from_codes(codes: np.ndarray, m: int) -> np.ndarray:
@@ -205,11 +236,18 @@ def mmers_from_codes(codes: np.ndarray, m: int) -> np.ndarray:
     n = len(codes) - m + 1
     if n <= 0:
         return np.zeros((0,), dtype=np.uint64)
-    win = np.lib.stride_tricks.sliding_window_view(codes, m)
-    out = np.zeros(n, dtype=np.uint64)
-    for j in range(m):
-        out = (out << np.uint64(2)) | win[:, j].astype(np.uint64)
-    return out
+    return _pack_windows_u64(codes, m)
+
+
+def _sliding_min(a: np.ndarray, w: int) -> np.ndarray:
+    """Minimum of every width-``w`` window -> (len(a)-w+1,) — sparse-table
+    doubling (idempotent overlap): log2(w) passes instead of w."""
+    g, p = a, 1
+    while 2 * p <= w:
+        g = np.minimum(g[:len(g) - p], g[p:])
+        p *= 2
+    n = len(a) - w + 1
+    return np.minimum(g[:n], g[w - p:w - p + n])
 
 
 def masked_mmers(codes: np.ndarray, m: int,
@@ -244,13 +282,11 @@ def window_minimizers(codes: np.ndarray, k: int, m: int,
         return np.zeros((0,), dtype=np.uint64)
     per_window = k - m + 1
     if freq_order is None:
-        win = np.lib.stride_tricks.sliding_window_view(masked, per_window)[:nk]
-        return win.min(axis=1)
+        return _sliding_min(masked, per_window)[:nk]
     shift = np.uint64(2 * m)
     ranked = (freq_order[masked.astype(np.int64)].astype(np.uint64)
               << shift) | masked
-    win = np.lib.stride_tricks.sliding_window_view(ranked, per_window)[:nk]
-    return win.min(axis=1) & np.uint64((1 << (2 * m)) - 1)
+    return _sliding_min(ranked, per_window)[:nk] & np.uint64((1 << (2 * m)) - 1)
 
 
 def minimizer_canonical_value(words: np.ndarray, k: int, m: int) -> np.ndarray:
@@ -280,10 +316,13 @@ def minimizer_canonical_value(words: np.ndarray, k: int, m: int) -> np.ndarray:
 
 
 def window_validity(valid: np.ndarray, k: int) -> np.ndarray:
-    """(L,) per-char validity -> (L-k+1,) per-window validity (all k valid)."""
+    """(L,) per-char validity -> (L-k+1,) per-window validity (all k valid).
+    Sliding-AND via sparse-table doubling: log2(k) passes."""
     nk = len(valid) - k + 1
     if nk <= 0:
         return np.zeros((0,), dtype=bool)
-    bad = (~valid).astype(np.int32)
-    cs = np.concatenate([[0], np.cumsum(bad)])
-    return (cs[k:] - cs[:-k]) == 0
+    g, p = np.asarray(valid, dtype=bool), 1
+    while 2 * p <= k:
+        g = g[:len(g) - p] & g[p:]
+        p *= 2
+    return g[:nk] & g[k - p:k - p + nk]

@@ -83,10 +83,24 @@ def count_sequences(
     nb_parts = int(repart_table.max()) + 1 if len(repart_table) else 1
     slots = kops.slots_for_k(k)
 
-    all_keys = []   # per-seq packed canonical kmers
+    all_keys = []   # per-chunk packed canonical kmers
     all_parts = []
-    for seq in sequences:
-        codes, valid = kops.encode_ascii(seq)
+    # Reads are concatenated with k-1 'N' separators and processed in
+    # ~2M-base chunks: every window spanning a separator (or read
+    # boundary) is invalid by construction, so the batch is semantically
+    # identical to per-read processing while amortizing the numpy call
+    # overhead (~20x on short-read collections).
+    sep = b"N" * (k - 1)
+    CHUNK_BASES = 1 << 21
+    i, nseq = 0, len(sequences)
+    while i < nseq:
+        j, total = i, 0
+        while j < nseq and total < CHUNK_BASES:
+            total += len(sequences[j]) + k - 1
+            j += 1
+        blob = sep.join(bytes(s) for s in sequences[i:j])
+        i = j
+        codes, valid = kops.encode_ascii(blob)
         if len(codes) < k:
             continue
         wvalid = kops.window_validity(valid, k)
