@@ -155,17 +155,21 @@ class Repartition:
 
     def write_minimizers(self, paths: list[str], m: int) -> None:
         """Dump the minimizer set of each partition as text (one per line),
-        matching Repartition::write_minimizers (repartition.hpp:120-129)."""
+        matching Repartition::write_minimizers (repartition.hpp:120-129).
+        Vectorized: decode all 4^m values into one (N, m+1) char matrix,
+        then slice rows per partition."""
         from kmtricks_tpu.core.kmer import CODE_TO_BASE
-        outs = [open(p, "w") for p in paths]
-        try:
-            for v, part in enumerate(self.table):
-                s = "".join(CODE_TO_BASE[(v >> (2 * (m - 1 - j))) & 3]
-                            for j in range(m))
-                outs[part].write(s + "\n")
-        finally:
-            for o in outs:
-                o.close()
+        base = np.frombuffer("".join(CODE_TO_BASE).encode(), dtype=np.uint8)
+        vals = np.arange(len(self.table), dtype=np.uint64)
+        chars = np.empty((len(vals), m + 1), dtype=np.uint8)
+        for j in range(m):
+            chars[:, j] = base[
+                ((vals >> np.uint64(2 * (m - 1 - j))) & np.uint64(3))
+                .astype(np.intp)]
+        chars[:, m] = ord("\n")
+        for part, path in enumerate(paths):
+            with open(path, "wb") as f:
+                f.write(chars[self.table == part].tobytes())
 
     def compatible_with(self, other: "Repartition") -> bool:
         return (self.nb_partitions == other.nb_partitions
