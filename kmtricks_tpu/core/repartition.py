@@ -27,6 +27,18 @@ from kmtricks_tpu.constants import MAGIC_GATB_REPART
 from kmtricks_tpu.core.hashers import xxh64_u32
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _xxh_table(nb_partitions: int, minim_size: int) -> np.ndarray:
+    """Static-repartition table XXH64(m) % P (repartition.hpp:45-56) —
+    cached: 4^m hashes (~1s at m=10) are rebuilt constantly by tests and
+    static-repart runs. Callers receive a copy."""
+    vals = np.arange(4 ** minim_size, dtype=np.uint32)
+    return (xxh64_u32(vals) % np.uint64(nb_partitions)).astype(np.uint16)
+
+
 class Repartition:
     def __init__(self, table: np.ndarray, nb_partitions: int,
                  nb_pass: int = 1, freq: np.ndarray | None = None):
@@ -80,10 +92,8 @@ class Repartition:
 
     @classmethod
     def from_xxh(cls, nb_partitions: int, minim_size: int) -> "Repartition":
-        nb_minims = 4 ** minim_size
-        vals = np.arange(nb_minims, dtype=np.uint32)
-        table = (xxh64_u32(vals) % np.uint64(nb_partitions)).astype(np.uint16)
-        return cls(table, nb_partitions)
+        return cls(_xxh_table(nb_partitions, minim_size).copy(),
+                   nb_partitions)
 
     @classmethod
     def from_bin_sizes(cls, bin_sizes: np.ndarray,
