@@ -129,6 +129,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="kmtricks_tpu",
         description="TPU-native k-mer matrix and Bloom filter engine "
                     "(kmtricks-compatible)")
+    from kmtricks_tpu import __version__
+    ap.add_argument("--version", action="version",
+                    version=f"kmtricks_tpu {__version__}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("pipeline", help="count + merge in one GO")
