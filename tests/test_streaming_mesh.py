@@ -165,3 +165,30 @@ def test_prefetched_propagates_generator_errors():
         for x in prefetched(boom(), depth=1):
             got.append(x)
     assert got == [1, 2]
+
+
+def test_streaming_bam_input(tmp_path):
+    """BAM banks take the record-iterator fallback in iter_batches; the
+    streaming chunked path over a BAM sample equals the host backend."""
+    import pathlib
+
+    from kmtricks_tpu.runtime.device_pipeline import stage_mesh_chunked
+    from kmtricks_tpu.runtime.pipeline import (
+        resolve_soft_min, stage_config, stage_repart)
+
+    bam = pathlib.Path("/root/reference/test.bam")
+    if not bam.exists():
+        pytest.skip("test.bam not available")
+    fof = tmp_path / "t.fof"
+    fof.write_text(f"S0 : {bam}\n")
+
+    host = run_pipeline(_opts(str(fof), tmp_path / "host", backend="host",
+                              soft_min="1", share_min=0))
+
+    opts = _opts(str(fof), tmp_path / "stream", soft_min="1", share_min=0)
+    kmdir, config = stage_config(opts)
+    repart = stage_repart(kmdir, config, opts)
+    amin = resolve_soft_min(opts.soft_min, kmdir, 1)
+    stage_mesh_chunked(kmdir, config, opts, repart, amin,
+                       chunk_windows=2000, use_stream=True)
+    assert _matrices(kmdir) == _matrices(host)
