@@ -54,10 +54,11 @@ def _add_common_pipeline(p: argparse.ArgumentParser, merge_opts: bool = True):
     p.add_argument("--static-repart", action="store_true",
                    help="partition = XXH64(minimizer) %% P")
     p.add_argument("--focus", type=float, default=0.5)
-    p.add_argument("--backend", choices=["host", "device", "mesh"],
-                   default="host",
-                   help="compute backend: host numpy, per-stage jax device, "
-                        "or the fused sharded mesh step")
+    p.add_argument("--backend", choices=["auto", "host", "device", "mesh"],
+                   default="auto",
+                   help="compute backend: auto (mesh on TPU, host on CPU), "
+                        "host numpy, per-stage jax device, or the fused "
+                        "sharded mesh step")
     p.add_argument("--threads", "-t", type=int, default=1,
                    help="host thread pool size for count/merge stages")
     p.add_argument("--verbose", "-v", default="info")
@@ -109,7 +110,7 @@ def _options_from_args(args) -> "PipelineOptions":
         repart_from=getattr(args, "repart_from", None),
         static_repart=getattr(args, "static_repart", False),
         focus=getattr(args, "focus", 0.5),
-        backend=getattr(args, "backend", "host"),
+        backend=getattr(args, "backend", "auto"),
         verbose=getattr(args, "verbose", "info"),
         bam_require_flags=getattr(args, "bam_require_flags", 0),
         bam_exclude_flags=getattr(args, "bam_exclude_flags", 0),
@@ -212,6 +213,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     import logging
+    import os
+
+    # honor an explicit JAX_PLATFORMS env var: some site configurations
+    # force-register an accelerator backend via jax.config at interpreter
+    # start, which would otherwise override the user's choice (and the
+    # "auto" backend resolution would initialize it)
+    envp = os.environ.get("JAX_PLATFORMS")
+    if envp:
+        import jax
+        jax.config.update("jax_platforms", envp)
 
     args = build_parser().parse_args(argv)
     level = getattr(args, "verbose", "info")

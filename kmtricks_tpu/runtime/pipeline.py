@@ -80,7 +80,10 @@ class PipelineOptions:
     minim_type: int = 0
     repart_type: int = 0
     max_memory_mb: int = 8192
-    backend: str = "host"         # host | device
+    backend: str = "host"         # auto | host | device | mesh
+                                  # (library default stays "host" — the
+                                  # exact golden path; the CLI passes
+                                  # "auto": mesh on TPU, host on CPU)
     bf_format: str = "howdesbt"
     focus: float = 0.5   # host-decode prefetch depth knob (mesh streaming)
     verbose: str = "info"
@@ -251,6 +254,10 @@ def stage_repart(kmdir: KmDir, config: Config,
 
 def _count_backend(opts: PipelineOptions, config: Config,
                    has_freq: bool = False):
+    if opts.backend == "auto":    # module commands skip run_pipeline
+        opts.backend = _resolve_backend(opts)
+        if opts.backend == "mesh":
+            opts.backend = "device"   # stages run per sample/partition
     if opts.backend == "device" and config.kmer_size <= 128 and not has_freq:
         from kmtricks_tpu.ops.pipeline import count_sample_device
         return count_sample_device
@@ -367,6 +374,10 @@ def resolve_soft_min(spec: str, kmdir: KmDir, nsamp: int) -> np.ndarray:
 
 
 def _merge_backend(opts: PipelineOptions, config: Config, cf: str):
+    if opts.backend == "auto":
+        opts.backend = _resolve_backend(opts)
+        if opts.backend == "mesh":
+            opts.backend = "device"
     if opts.backend == "device" and (cf == "hash"
                                      or config.kmer_size <= 64):
         from kmtricks_tpu.ops.merge import merge_partition_device
@@ -537,7 +548,28 @@ def build_bf_from_vectors(kmdir: KmDir, config: Config, sample_id: str,
 # Full pipeline
 # ---------------------------------------------------------------------------
 
+def _resolve_backend(opts: PipelineOptions) -> str:
+    """``auto``: the fused mesh step on accelerators (the TPU-native
+    default), per-stage device kernels when the mesh path's constraints
+    don't hold, the numpy golden path on CPU-only hosts."""
+    if opts.backend != "auto":
+        return opts.backend
+    import jax
+    try:
+        plat = jax.default_backend()
+    except Exception:  # noqa: BLE001 - no usable backend -> host numpy
+        return "host"
+    if plat == "cpu":
+        return "host"
+    if (opts.until in ("merge", "all") and opts.minim_type != 1
+            and opts.restrict_to >= 1.0 and not opts.restrict_to_list
+            and not opts.kff):
+        return "mesh"
+    return "device"
+
+
 def run_pipeline(opts: PipelineOptions) -> KmDir:
+    opts.backend = _resolve_backend(opts)
     if opts.backend == "mesh":
         from kmtricks_tpu.runtime.device_pipeline import run_mesh_pipeline
         return run_mesh_pipeline(opts)
