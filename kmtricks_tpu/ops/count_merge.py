@@ -88,18 +88,21 @@ def _use_pallas_sort() -> bool:
     return mode == "pallas" and jax.default_backend() == "tpu"
 
 
-def _use_routed_merge() -> bool:
+def _use_routed_merge(nw: int = 1) -> bool:
     """Mesh receiver backend for re-ordering the all_to_all's sorted runs:
-    KMTRICKS_TPU_ROUTED_MERGE = pallas | xla | auto (default auto =
-    Pallas log2(ndev)-level run merge on TPU, lax.sort elsewhere).
-    Read at trace time."""
+    KMTRICKS_TPU_ROUTED_MERGE = pallas | xla | auto. Default auto = the
+    Pallas log2(ndev)-level run merge on TPU for 1- and 2-word packed
+    layouts (h1/h2/k2 — measured/estimated wins over the lax.sort
+    re-sort), lax.sort elsewhere (3+ words estimated a wash: per-stage
+    cost grows with the word count as fast as the re-sort's operand
+    cost). "pallas" forces every layout. Read at trace time."""
     import os
     mode = os.environ.get("KMTRICKS_TPU_ROUTED_MERGE", "auto")
     if mode == "pallas":
         return True
     if mode == "xla":
         return False
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and nw <= 2
 
 
 def _use_pallas_segscan() -> bool:
@@ -628,12 +631,12 @@ def count_merge_packed(words, amin_vec, *, layout: str, nsamp: int,
     full re-sort (~3 merge levels vs ~242 lax.sort stages at 8 peers)."""
     if sorted_runs == 1:
         ws = tuple(words)
-    elif (sorted_runs is not None and layout == "h1"
+    elif (sorted_runs is not None
             and words[0].shape[0] % sorted_runs == 0
-            and _use_routed_merge()):
-        from kmtricks_tpu.ops.pallas_sort import merge_sorted_runs_u32
-        ws = (merge_sorted_runs_u32(
-            words[0].reshape(sorted_runs, -1)),)
+            and _use_routed_merge(len(words))):
+        from kmtricks_tpu.ops.pallas_sort import merge_sorted_runs_words
+        ws = merge_sorted_runs_words(
+            tuple(w.reshape(sorted_runs, -1) for w in words))
     else:
         ws = sort_packed(layout, tuple(words))
     part_s, keys_s, samp_s, valid_s, occ_d, kd = unpack_sorted(

@@ -328,6 +328,222 @@ def _merge_runs_pow2(x, run_len: int, interpret: bool = False):
         jnp.uint32) ^ SIGN
 
 
+# ---------------------------------------------------------------------------
+# Multi-word routed-run merge: the mesh receiver's case for the 2/3-word
+# packed layouts (h2, k2, k3, kw) — identical merge-path structure, but each
+# element is a TUPLE of u32 words compared lexicographically (msb-first).
+# Every compare-exchange becomes: butterfly each word, one lexicographic
+# compare, then a single whole-tuple select per word. Cost grows ~linearly
+# with the word count (NOTES.md estimates: win at 2 words, wash at 3) while
+# the lax.sort re-sort it replaces grows with operand count too.
+# ---------------------------------------------------------------------------
+
+
+def _lt_words(a, b):
+    """Lexicographic a < b over msb-first word tuples (sign-flipped i32:
+    per-word signed compares implement the unsigned order)."""
+    lt = a[0] < b[0]
+    eq = a[0] == b[0]
+    for aw, bw in zip(a[1:], b[1:]):
+        lt = lt | (eq & (aw < bw))
+        eq = eq & (aw == bw)
+    return lt
+
+
+def _stage_mw(ws, idx, k: int, d: int):
+    """Multi-word compare-exchange stage of the bitonic network."""
+    parts = tuple(_butterfly(w, d) for w in ws)
+    x_lt_p = _lt_words(ws, parts)
+    upper = (idx & d) != 0
+    desc = ((idx & k) != 0) if k else jnp.zeros_like(upper)
+    want_max = upper ^ desc
+    # max keeps the partner iff self < partner; min iff self >= partner
+    # (ties: either side is the same tuple)
+    take_partner = jnp.where(want_max, x_lt_p, ~x_lt_p)
+    return tuple(jnp.where(take_partner, p, w) for w, p in zip(ws, parts))
+
+
+def _oem_merge_halves_mw(ws):
+    """Multi-word Batcher odd-even merge (see _oem_merge_halves)."""
+    idx = _flat_idx(ws[0].shape)
+    n2 = ws[0].shape[0] * ws[0].shape[1]
+    E = n2 // 2
+    ws = _stage_mw(ws, idx, 0, E)
+    r = E // 2
+    while r >= 1:
+        ups = tuple(_flat_shift_up(w, r) for w in ws)
+        dns = tuple(_flat_shift_down(w, r) for w in ws)
+        act_lo = ((idx & r) != 0) & (idx < n2 - r)
+        act_hi = ((idx & r) == 0) & (idx >= 2 * r)
+        # y = min(x, up) where act_lo (take up iff up <= x)
+        take_up = act_lo & ~_lt_words(ws, ups)
+        ys = tuple(jnp.where(take_up, u, w) for w, u in zip(ws, ups))
+        # x = max(y, dn) where act_hi (dn comes from pre-update x: act_lo
+        # and act_hi are disjoint, so ys == ws at act_hi positions)
+        take_dn = act_hi & _lt_words(ys, dns)
+        ws = tuple(jnp.where(take_dn, dnw, yw) for yw, dnw in zip(ys, dns))
+        r //= 2
+    return ws
+
+
+def _merge_kernel_mw(nw: int, log2r: int, splits_ref, *refs):
+    """Multi-word merge-path block merge: per-word DMAs (same offsets),
+    per-word in-VMEM normalization, one multi-word OEM merge."""
+    x_refs = refs[:nw]
+    o_refs = refs[nw:2 * nw]
+    awins = refs[2 * nw:3 * nw]
+    bwins = refs[3 * nw:4 * nw]
+    sems = refs[4 * nw]
+    o = pl.program_id(0)
+    R = 1 << log2r
+    g = o * TILE
+    pair = g >> (log2r + 1)
+    d0 = g - (pair << (log2r + 1))
+    a0 = splits_ref[o]
+    a1 = splits_ref[o + 1]
+    last_of_pair = (d0 + TILE) >= (2 * R)
+    a1 = jnp.where(last_of_pair, R, a1)
+    na = a1 - a0
+    nb = TILE - na
+    b0 = d0 - a0
+    abase = pair << (log2r + 1)
+    bbase = abase + R
+
+    astart = abase + a0
+    bstart = bbase + b0
+    astart_al = (astart // ALIGN) * ALIGN
+    bstart_al = (bstart // ALIGN) * ALIGN
+    cps = []
+    for w in range(nw):
+        cps.append(pltpu.make_async_copy(
+            x_refs[w].at[pl.ds(astart_al, TILE + ALIGN)], awins[w],
+            sems.at[0, w]))
+        cps.append(pltpu.make_async_copy(
+            x_refs[w].at[pl.ds(bstart_al, TILE + ALIGN)], bwins[w],
+            sems.at[1, w]))
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    rows = (TILE + ALIGN) // LANES
+    idx = _flat_idx((SUB, LANES))
+    halves = []
+    for w in range(nw):
+        a2 = _dyn_normalize(awins[w][...].reshape(rows, LANES),
+                            astart - astart_al)[:SUB]
+        b2 = _dyn_normalize(bwins[w][...].reshape(rows, LANES),
+                            bstart - bstart_al)[:SUB]
+        # run-exhausted slots become +inf in EVERY word so the
+        # lexicographic compare sends them to the tail
+        a2 = jnp.where(idx < na, a2, BIG)
+        b2 = jnp.where(idx < nb, b2, BIG)
+        halves.append(jnp.concatenate([a2, b2], axis=0))
+    merged = _oem_merge_halves_mw(tuple(halves))
+    for w in range(nw):
+        o_refs[w][...] = merged[w][:SUB]
+
+
+def _merge_splits_mw(ws, log2r: int):
+    """_merge_splits with a lexicographic multi-word compare."""
+    n = ws[0].shape[0]
+    R = 1 << log2r
+    nblocks = n // TILE
+    o = jnp.arange(nblocks + 1, dtype=I32)
+    g = o * TILE
+    pair = g >> (log2r + 1)
+    d0 = g - (pair << (log2r + 1))
+    abase = pair << (log2r + 1)
+    bbase = abase + R
+    lo = jnp.maximum(0, d0 - R)
+    hi = jnp.minimum(R, d0)
+    for _ in range(log2r + 1):
+        mid = (lo + hi + 1) >> 1
+        ai = jnp.clip(abase + mid - 1, 0, n - 1)
+        bi = jnp.clip(bbase + d0 - mid, 0, n - 1)
+        av = tuple(w[ai] for w in ws)
+        bv = tuple(w[bi] for w in ws)
+        guard_b = (d0 - mid) >= R          # B exhausted -> +inf
+        ok = (mid <= lo) | guard_b | ~_lt_words(bv, av)
+        take = ok & (mid <= hi)
+        lo = jnp.where(take, mid, lo)
+        hi = jnp.where(take, hi, jnp.minimum(hi, mid - 1))
+    return lo.astype(I32)
+
+
+def _merge_levels_mw(cur_ws, log2r: int, interpret: bool):
+    """Multi-word merge-path levels (see _merge_levels for the DMA
+    padding contract)."""
+    nw = len(cur_ws)
+    n = cur_ws[0].shape[0]
+    tiles = n // TILE
+    shape2 = (n // LANES, LANES)
+    big_tile = jnp.full((TILE,), BIG, dtype=jnp.int32)
+    ospec = pl.BlockSpec((SUB, LANES), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+    while (1 << log2r) < n:
+        splits = _merge_splits_mw(cur_ws, log2r)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nw,
+            out_specs=[ospec] * nw,
+            scratch_shapes=(
+                [pltpu.VMEM((TILE + 1024,), jnp.int32)] * (2 * nw)
+                + [pltpu.SemaphoreType.DMA((2, nw))]),
+        )
+        outs = pl.pallas_call(
+            partial(_merge_kernel_mw, nw, log2r),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct(shape2, jnp.int32)] * nw,
+            interpret=interpret,
+        )(splits, *(jnp.concatenate([w, big_tile, big_tile])
+                    for w in cur_ws))
+        cur_ws = tuple(o.reshape(n) for o in outs)
+        log2r += 1
+    return cur_ws
+
+
+@partial(jax.jit, static_argnames=("run_len", "interpret"))
+def _merge_runs_pow2_mw(ws, run_len: int, interpret: bool = False):
+    """Multi-word twin of _merge_runs_pow2."""
+    n = ws[0].shape[0]
+    assert n & (n - 1) == 0 and run_len & (run_len - 1) == 0
+    assert run_len >= TILE and n > run_len and n % run_len == 0
+    cur = tuple(jax.lax.bitcast_convert_type(w ^ SIGN, jnp.int32)
+                for w in ws)
+    out = _merge_levels_mw(cur, run_len.bit_length() - 1, interpret)
+    return tuple(jax.lax.bitcast_convert_type(w, jnp.uint32) ^ SIGN
+                 for w in out)
+
+
+def merge_sorted_runs_words(ws2d, interpret: bool | None = None):
+    """Multi-word :func:`merge_sorted_runs_u32`: ``ws2d`` is a tuple of
+    (nruns, run_len) u32 arrays forming msb-first packed sort words; each
+    run (row, read across all words) is ascending with all-ones sentinel
+    tail padding. Returns the merged flat word tuple (nruns * run_len
+    each). Fallbacks mirror the single-word entry."""
+    nw = len(ws2d)
+    if nw == 1:
+        return (merge_sorted_runs_u32(ws2d[0], interpret=interpret),)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nruns, cap = ws2d[0].shape
+    pad_runs = 1 << max(0, (nruns - 1)).bit_length()
+    r = 1 << (cap - 1).bit_length()
+    if nruns < 2 or pad_runs != nruns or r < TILE:
+        return jax.lax.sort(tuple(w.reshape(-1) for w in ws2d),
+                            dimension=0, num_keys=nw)
+    if r != cap:
+        pad = jnp.full((nruns, r - cap), 0xFFFFFFFF, dtype=U32)
+        ws2d = tuple(jnp.concatenate([w, pad], axis=1) for w in ws2d)
+    out = _merge_runs_pow2_mw(tuple(w.reshape(-1) for w in ws2d), r,
+                              interpret=interpret)
+    # the added sentinels (all-ones in every word — never a valid packed
+    # value: word0's top validity bit is 0) sort to the tail
+    return tuple(w[:nruns * cap] for w in out)
+
+
 def merge_sorted_runs_u32(x2d, interpret: bool | None = None):
     """Merge the rows of an (nruns, run_len) u32 array — each row
     ascending (0xFFFFFFFF sentinel padding at row tails keeps a row

@@ -21,7 +21,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp
 
 from kmtricks_tpu.core.repartition import Repartition
-from kmtricks_tpu.ops.pallas_sort import merge_sorted_runs_u32
+from kmtricks_tpu.ops.pallas_sort import (merge_sorted_runs_u32,
+                                          merge_sorted_runs_words)
 from kmtricks_tpu.parallel.pipeline import (build_sharded_pipeline,
                                             make_mesh)
 
@@ -63,6 +64,37 @@ def main():
     srt = jax.jit(lambda v: jax.lax.sort((v,), dimension=0, num_keys=1)[0])
     dt = rate(srt, (flat,))
     print(f"lax.sort   (4.19M):    {dt*1e3:8.2f} ms")
+
+    # multi-word routed-run merge (h2/k2 = 2 words, k3/kw = 3) vs the
+    # lax.sort multi-operand re-sort it replaces
+    for nw in (2, 3):
+        ws = [np.full((NRUNS, CAP), 0xFFFFFFFF, dtype=np.uint32)
+              for _ in range(nw)]
+        for i in range(NRUNS):
+            n = int(rng.integers(CAP // 2, CAP))
+            cols = [rng.integers(0, 1 << 31, n, dtype=np.uint64)
+                    .astype(np.uint32)] + \
+                   [rng.integers(0, 1 << 32, n, dtype=np.uint64)
+                    .astype(np.uint32) for _ in range(nw - 1)]
+            order = np.lexsort(tuple(reversed(cols)))
+            for w in range(nw):
+                ws[w][i, :n] = cols[w][order]
+        jws = tuple(jnp.asarray(w) for w in ws)
+
+        got = [np.asarray(g) for g in merge_sorted_runs_words(jws)]
+        flat_ws = [w.reshape(-1) for w in ws]
+        order = np.lexsort(tuple(reversed(flat_ws)))
+        for g, e in zip(got, (f[order] for f in flat_ws)):
+            np.testing.assert_array_equal(g, e)
+        print(f"on-chip {nw}-word merge parity OK")
+
+        mg = jax.jit(merge_sorted_runs_words)
+        dt = rate(mg, (jws,))
+        print(f"merge 8 runs x {nw}w:     {dt*1e3:8.2f} ms")
+        flats = tuple(jnp.asarray(f) for f in flat_ws)
+        srtn = jax.jit(partial(jax.lax.sort, dimension=0, num_keys=nw))
+        dt = rate(srtn, (flats,))
+        print(f"lax.sort {nw}-op:        {dt*1e3:8.2f} ms")
 
     # 1-device mesh step (receiver re-sort now skipped)
     K, M, NB_PARTS, WINDOW_BITS, NSAMP, B, L = 31, 10, 64, 250048, 8, 4096, 1024
