@@ -126,6 +126,24 @@ def main() -> None:
                 jnp.asarray(repart.table.astype(np.int32)),
                 jnp.asarray(np.full(nsamp, 2, np.uint32)))
 
+    # --- BASELINE config 3 FIRST: 50-sample vertical BF windows ->
+    # per-sample horizontal BFs (write_as_bft semantics: BitMatrix
+    # transpose, merge.hpp:631-644) — host-side blockwise bit transpose.
+    # Runs before ANY device contact (make_args transfers to the device),
+    # so a wedged tunnel can't lose it.
+    from kmtricks_tpu.core.bitmatrix import transpose_bits
+    nsamp50, window = 50, WINDOW_BITS
+    rows50 = rng.integers(0, 256, (window, (nsamp50 + 7) // 8),
+                          dtype=np.uint8)
+    transpose_bits(rows50[:1024])     # warm numpy path
+    t0 = time.perf_counter()
+    out50 = transpose_bits(rows50)
+    bft_wall = time.perf_counter() - t0
+    assert out50.shape[0] >= nsamp50
+    bft_bits_per_sec = window * nsamp50 / bft_wall
+    result["extra"]["bft_transpose_bits_per_sec_50samp"] = \
+        round(bft_bits_per_sec, 1)
+
     repart = Repartition.from_xxh(NB_PARTS, M)
     args = make_args(B, NSAMP)
     argsh = make_args(BH, NSAMP)
@@ -174,23 +192,6 @@ def main() -> None:
         batch_layout="lb"))
     kmer45_rate, _ = _rate(kmer45_step, args, B * (L - 45 + 1))
     result["extra"]["kmer_mode_k45_kmers_per_sec"] = round(kmer45_rate, 1)
-
-    # --- BASELINE config 3: 50-sample vertical BF windows -> per-sample
-    # horizontal BFs (write_as_bft semantics: BitMatrix transpose,
-    # merge.hpp:631-644) — host-side blockwise bit transpose; runs early
-    # because it needs no device (a wedged tunnel can't lose it)
-    from kmtricks_tpu.core.bitmatrix import transpose_bits
-    nsamp50, window = 50, WINDOW_BITS
-    rows50 = rng.integers(0, 256, (window, (nsamp50 + 7) // 8),
-                          dtype=np.uint8)
-    transpose_bits(rows50[:1024])     # warm numpy path
-    t0 = time.perf_counter()
-    out50 = transpose_bits(rows50)
-    bft_wall = time.perf_counter() - t0
-    assert out50.shape[0] >= nsamp50
-    bft_bits_per_sec = window * nsamp50 / bft_wall
-    result["extra"]["bft_transpose_bits_per_sec_50samp"] = \
-        round(bft_bits_per_sec, 1)
 
     # --- matrix build wall time: 10-sample abundance matrix from 2.5M
     # windows (BASELINE config-2 shape), device chunks + host assembly
