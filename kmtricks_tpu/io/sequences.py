@@ -146,6 +146,52 @@ class BamFilter:
     excluded_refs: frozenset[str] = frozenset()
 
 
+_BAM_LUT = np.frombuffer(BAM_NT_DECODE, dtype=np.uint8)
+
+
+def _read_bam_header(f, path: str) -> list[str]:
+    """Consume the BAM magic/header/reference directory from an inflated
+    stream; return the reference names (BankBam.cpp header walk)."""
+    def read(n):
+        b = f.read(n)
+        if len(b) != n:
+            raise EOFError(f"{path}: truncated BAM header")
+        return b
+
+    if read(4) != b"BAM\x01":
+        raise IOError(f"{path}: not a BAM file")
+    (l_text,) = struct.unpack("<i", read(4))
+    read(l_text)
+    (n_ref,) = struct.unpack("<i", read(4))
+    ref_names = []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack("<i", read(4))
+        ref_names.append(read(l_name)[:-1].decode())
+        read(4)  # l_ref
+    return ref_names
+
+
+def _bam_excluded_mask(ref_names: list[str], filt: BamFilter):
+    """uint8 mask over reference ids for the native parser (None when no
+    reference is excluded)."""
+    if not filt.excluded_refs:
+        return None
+    mask = np.zeros(max(len(ref_names), 1), dtype=np.uint8)
+    for i, n in enumerate(ref_names):
+        if n in filt.excluded_refs:
+            mask[i] = 1
+    return mask
+
+
+def _bam_decode_seq(packed: bytes, l_seq: int) -> np.ndarray:
+    """Vectorized 4-bit nibble decode (BAM_NT16 codes -> ASCII)."""
+    pk = np.frombuffer(packed, dtype=np.uint8)
+    nib = np.empty(l_seq, dtype=np.uint8)
+    nib[0::2] = pk[:(l_seq + 1) // 2] >> 4
+    nib[1::2] = pk[:l_seq // 2] & 0xF
+    return _BAM_LUT[nib]
+
+
 def iter_bam(path: str, filt: BamFilter | None = None
              ) -> Iterator[tuple[bytes, bytes]]:
     """Yield (name, sequence) from a BAM file.
@@ -164,16 +210,7 @@ def iter_bam(path: str, filt: BamFilter | None = None
                 raise EOFError
             return b
 
-        if read(4) != b"BAM\x01":
-            raise IOError(f"{path}: not a BAM file")
-        (l_text,) = struct.unpack("<i", read(4))
-        read(l_text)
-        (n_ref,) = struct.unpack("<i", read(4))
-        ref_names = []
-        for _ in range(n_ref):
-            (l_name,) = struct.unpack("<i", read(4))
-            ref_names.append(read(l_name)[:-1].decode())
-            read(4)  # l_ref
+        ref_names = _read_bam_header(f, path)
         excluded_ids = {i for i, n in enumerate(ref_names)
                         if n in filt.excluded_refs}
 
@@ -199,14 +236,10 @@ def iter_bam(path: str, filt: BamFilter | None = None
             name = block[32:32 + l_read_name].split(b"\x00", 1)[0]
             off = 32 + l_read_name + 4 * n_cigar_op
             packed = block[off:off + (l_seq + 1) // 2]
-            seq = bytearray(l_seq)
-            for i in range(l_seq):
-                b = packed[i >> 1]
-                seq[i] = BAM_NT_DECODE[(b >> 4) & 0xF if i % 2 == 0
-                                       else b & 0xF]
+            seq = _bam_decode_seq(packed, l_seq).tobytes()
             if flag & 0x10:
-                seq = bytes(seq)[::-1].translate(_BAM_COMP)
-            yield name, bytes(seq)
+                seq = seq[::-1].translate(_BAM_COMP)
+            yield name, seq
 
 
 # ---------------------------------------------------------------------------
@@ -281,8 +314,11 @@ def iter_batches(uri: str | list[str], bam_filter: BamFilter | None = None,
     boundaries on the host, and parsed by the native C batch parser —
     the streaming equivalent of :func:`load_batch` with RSS bounded by
     one segment (the reference streams banks through 256KB gzread
-    buffers the same way, BankFasta.cpp:42). BAM and album banks fall
-    back to the record iterators in fixed-size groups.
+    buffers the same way, BankFasta.cpp:42). BAM banks stream through
+    the native record-batch parser (BankBam equivalent): records are
+    length-prefixed, so the parser reports how many bytes of a segment
+    form complete records and the remainder is carried. Album banks and
+    missing-native fall back to the record iterators in fixed groups.
     """
     from kmtricks_tpu import native
 
@@ -290,6 +326,32 @@ def iter_batches(uri: str | list[str], bam_filter: BamFilter | None = None,
     for p in paths:
         p = p.strip()
         fmt = sniff_format(p)
+        if fmt == "bam" and native.lib() is not None:
+            filt = bam_filter or BamFilter()
+            with gzip.open(p, "rb") as f:
+                ref_names = _read_bam_header(f, p)
+                mask = _bam_excluded_mask(ref_names, filt)
+                carry = b""
+                while True:
+                    data = f.read(segment_bytes)
+                    at_eof = not data
+                    seg = carry + data
+                    if not seg:
+                        break
+                    got = native.parse_bam_batch(
+                        seg, len(ref_names), mask,
+                        filt.require_flags, filt.exclude_flags, pad)
+                    if got is None:
+                        raise IOError(f"{p}: native BAM parse failed")
+                    batch, lengths, consumed = got
+                    if at_eof and consumed < len(seg):
+                        raise EOFError(f"{p}: truncated BAM record")
+                    carry = seg[consumed:]
+                    if len(lengths):
+                        yield batch, lengths
+                    if at_eof:
+                        break
+            continue
         if fmt in ("fasta", "fastq") and native.lib() is not None:
             with _open_maybe_gz(p) as f:
                 # the carry (partial record) accumulates as a list so a
@@ -339,10 +401,11 @@ def load_batch(uri: str | list[str], bam_filter: BamFilter | None = None,
     ((B, L) uint8 padded with 'N', (B,) int32 lengths).
 
     Plain/gz FASTA and FASTQ go through the native C parser (one pass over
-    the raw text, ~10x the Python iterator); BAM and album banks fall back
-    to the record iterators. This is the host->device feed for the
-    device/mesh backends (the reference's superk stage reads the same banks
-    via its native gatb parsers).
+    the raw text, ~10x the Python iterator); BAM goes through the native
+    record-batch parser (zlib inflate stays in the gzip module's C layer);
+    album banks and missing-native fall back to the record iterators. This
+    is the host->device feed for the device/mesh backends (the reference's
+    superk stage reads the same banks via its native gatb parsers).
     """
     from kmtricks_tpu import native
 
@@ -356,6 +419,19 @@ def load_batch(uri: str | list[str], bam_filter: BamFilter | None = None,
             with _open_maybe_gz(p) as f:
                 data = f.read()
             got = native.parse_batch(data, fmt, pad)
+        elif fmt == "bam":
+            filt = bam_filter or BamFilter()
+            with gzip.open(p, "rb") as f:
+                ref_names = _read_bam_header(f, p)
+                records = f.read()
+            got = native.parse_bam_batch(
+                records, len(ref_names), _bam_excluded_mask(ref_names, filt),
+                filt.require_flags, filt.exclude_flags, pad)
+            if got is not None:
+                batch, lengths, consumed = got
+                if consumed < len(records):
+                    raise EOFError(f"{p}: truncated BAM record")
+                got = batch, lengths
         if got is None:
             seqs = [s for _, s in iter_bank(p, bam_filter)]
             L = max((len(s) for s in seqs), default=1)

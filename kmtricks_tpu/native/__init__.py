@@ -84,6 +84,13 @@ def lib():
             fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                            ctypes.c_void_p, ctypes.c_void_p]
+        L.km_bam_batch.restype = ctypes.c_int64
+        L.km_bam_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,            # data, len
+            ctypes.c_int64, ctypes.c_void_p,             # n_refs, excl mask
+            ctypes.c_uint32, ctypes.c_uint32,            # -f, -F flags
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # batch, rows, L
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _lib = L
         return _lib
 
@@ -165,6 +172,45 @@ def parse_batch(data: bytes, fmt: str, pad: int = ord("N"),
         if r != n:
             return None
     return batch[:n], lengths[:n]
+
+
+def parse_bam_batch(data: bytes, n_refs: int = 0,
+                    excluded_mask: np.ndarray | None = None,
+                    require_flags: int = 0, exclude_flags: int = 0,
+                    pad: int = ord("N"), min_width: int = 0):
+    """Inflated BAM alignment-record bytes (header already consumed) ->
+    ((n, L) uint8 batch, (n,) int32 lengths, consumed_bytes), entirely in
+    C (BankBam semantics: secondary/supplementary skipped, -f/-F flags,
+    excluded references, 0x10 reads reverse-complemented back).
+    ``consumed_bytes`` covers complete records only — streaming callers
+    carry the remainder. Returns None when the native lib is unavailable
+    or the records are malformed."""
+    L = lib()
+    if L is None:
+        return None
+    mask_ptr = None
+    if excluded_mask is not None:
+        excluded_mask = np.ascontiguousarray(excluded_mask, dtype=np.uint8)
+        mask_ptr = excluded_mask.ctypes.data
+        n_refs = len(excluded_mask)
+    mx = ctypes.c_int64(0)
+    consumed = ctypes.c_int64(0)
+    n = L.km_bam_batch(data, len(data), n_refs, mask_ptr,
+                       require_flags, exclude_flags, None, 0, 0, None,
+                       ctypes.byref(mx), ctypes.byref(consumed))
+    if n < 0:
+        return None
+    width = max(int(mx.value), min_width, 1)
+    batch = np.full((max(n, 1), width), pad, dtype=np.uint8)
+    lengths = np.zeros(max(n, 1), dtype=np.int32)
+    if n:
+        r = L.km_bam_batch(data, len(data), n_refs, mask_ptr,
+                           require_flags, exclude_flags,
+                           batch.ctypes.data, n, width,
+                           lengths.ctypes.data, None, None)
+        if r != n:
+            return None
+    return batch[:n], lengths[:n], int(consumed.value)
 
 
 def unpack_superkmer(data: bytes, k: int, nbk: int) -> np.ndarray | None:

@@ -412,4 +412,90 @@ int64_t km_fastq_batch(const uint8_t* data, size_t len,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// BAM record-batch parsing (the reference's BankBam is native too:
+// gatb-core-stripped/src/gatb/bank/impl/BankBam.cpp:440-550). Input is the
+// INFLATED BAM byte stream positioned after the header (alignment records
+// only — the caller parses magic/header/refs in Python, once per file).
+//
+// Two-pass API like km_fasta_batch:
+//   batch == nullptr: count records passing the filters, write the max
+//     sequence length to *max_len and the byte offset just past the last
+//     COMPLETE record to *consumed (streaming callers carry the tail);
+//   batch != nullptr: fill `rows` x `L` and per-row lengths.
+// Semantics: secondary (0x100) / supplementary (0x800) always skipped;
+// require_flags (-f: all bits set), exclude_flags (-F: no bit set);
+// excluded_mask[ref_id] != 0 skips reads mapped to that reference;
+// flag 0x10 reads are reverse-complemented back to original orientation
+// (only A/C/G/T complemented — ambiguity codes pass through, matching
+// BankBam). Returns the record count (or -1 on overflow/malformed).
+// ---------------------------------------------------------------------------
+static const char BAM_NT16[] = "=ACMGRSVTWYHKDBN";
+
+int64_t km_bam_batch(const uint8_t* data, size_t len,
+                     int64_t n_refs, const uint8_t* excluded_mask,
+                     uint32_t require_flags, uint32_t exclude_flags,
+                     uint8_t* batch, int64_t rows, int64_t L,
+                     int32_t* lengths, int64_t* max_len,
+                     int64_t* consumed) {
+  uint8_t comp[256];
+  for (int i = 0; i < 256; i++) comp[i] = (uint8_t)i;
+  comp['A'] = 'T'; comp['T'] = 'A'; comp['C'] = 'G'; comp['G'] = 'C';
+
+  int64_t n = 0;
+  int64_t mx = 0;
+  size_t pos = 0;
+  while (pos + 4 <= len) {
+    uint32_t block_size;
+    memcpy(&block_size, data + pos, 4);
+    if (block_size < 32 || pos + 4 + (size_t)block_size > len) break;
+    const uint8_t* b = data + pos + 4;
+    pos += 4 + block_size;
+
+    int32_t ref_id;
+    memcpy(&ref_id, b, 4);
+    uint32_t l_read_name = b[8];
+    uint16_t n_cigar_op, flag;
+    memcpy(&n_cigar_op, b + 12, 2);
+    memcpy(&flag, b + 14, 2);
+    int32_t l_seq;
+    memcpy(&l_seq, b + 16, 4);
+    if (l_seq < 0) return -1;
+    size_t off = 32 + l_read_name + 4 * (size_t)n_cigar_op;
+    if (off + ((size_t)l_seq + 1) / 2 > block_size) return -1;
+
+    if (flag & (0x100 | 0x800)) continue;
+    if (require_flags && (flag & require_flags) != require_flags) continue;
+    if (exclude_flags && (flag & exclude_flags)) continue;
+    if (excluded_mask && ref_id >= 0 && ref_id < n_refs &&
+        excluded_mask[ref_id]) continue;
+
+    if (batch) {
+      if (n >= rows || (int64_t)l_seq > L) return -1;
+      uint8_t* row = batch + n * L;
+      const uint8_t* packed = b + off;
+      if (flag & 0x10) {
+        // reverse-complement back: base i lands at l_seq-1-i
+        for (int32_t i = 0; i < l_seq; i++) {
+          uint8_t nib = (i & 1) ? (packed[i >> 1] & 0xF)
+                                : (packed[i >> 1] >> 4);
+          row[l_seq - 1 - i] = comp[(uint8_t)BAM_NT16[nib]];
+        }
+      } else {
+        for (int32_t i = 0; i < l_seq; i++) {
+          uint8_t nib = (i & 1) ? (packed[i >> 1] & 0xF)
+                                : (packed[i >> 1] >> 4);
+          row[i] = (uint8_t)BAM_NT16[nib];
+        }
+      }
+    }
+    if (lengths) lengths[n] = l_seq;
+    if (l_seq > mx) mx = l_seq;
+    n++;
+  }
+  if (max_len) *max_len = mx;
+  if (consumed) *consumed = (int64_t)pos;
+  return n;
+}
+
 }  // extern "C"

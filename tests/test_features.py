@@ -66,6 +66,107 @@ def test_bam_flag_filters(ref_data):
     assert req + exc == total
 
 
+def _bam_bytes(refs, records):
+    """Minimal in-memory BAM stream: (name, seq, flag, ref_id) records.
+    gzip-compressed (a valid single-member gzip stream; BGZF is a gzip
+    superset and our reader is member-transparent)."""
+    import struct
+
+    enc = {c: i for i, c in enumerate(b"=ACMGRSVTWYHKDBN")}
+    out = [b"BAM\x01", struct.pack("<i", 0), struct.pack("<i", len(refs))]
+    for r in refs:
+        nm = r.encode() + b"\x00"
+        out += [struct.pack("<i", len(nm)), nm, struct.pack("<i", 1000)]
+    for name, seq, flag, ref_id in records:
+        nm = name + b"\x00"
+        nibs = [enc[c] for c in seq]
+        if len(nibs) % 2:
+            nibs.append(0)
+        packed = bytes((nibs[i] << 4) | nibs[i + 1]
+                       for i in range(0, len(nibs), 2))
+        block = struct.pack("<iiBBHHHiiii", ref_id, 0, len(nm), 0, 0, 0,
+                            flag, len(seq), -1, -1, 0)
+        block += nm + packed + b"\xff" * len(seq)
+        out += [struct.pack("<i", len(block)), block]
+    return gzip.compress(b"".join(out))
+
+
+def test_bam_synthetic_semantics(tmp_path):
+    """Revcomp-back, secondary/supplementary skip, -f/-F, excluded refs —
+    on a hand-built BAM (BankBam.cpp:440-550 semantics)."""
+    bam = tmp_path / "s.bam"
+    bam.write_bytes(_bam_bytes(
+        ["chr1", "chr2"],
+        [(b"r1", b"ACGTN", 0, 0),
+         (b"r2", b"AACCGG", 0x10, 1),      # reverse strand: stored revcomp
+         (b"r3", b"TTTT", 0x100, 0),       # secondary: always skipped
+         (b"r4", b"GGGG", 0x800, 0),       # supplementary: always skipped
+         (b"r5", b"CCAA", 0x4, -1),        # unmapped
+         (b"r6", b"ACMGRSVTWYHKDBN=", 0, 0)]))   # every nibble code
+    assert seqio.sniff_format(str(bam)) == "bam"
+    got = list(seqio.iter_bam(str(bam)))
+    assert got == [(b"r1", b"ACGTN"),
+                   (b"r2", b"CCGGTT"),     # revcomp'd back
+                   (b"r5", b"CCAA"),
+                   (b"r6", b"ACMGRSVTWYHKDBN=")]
+    # -f / -F
+    assert [n for n, _ in seqio.iter_bam(
+        str(bam), seqio.BamFilter(require_flags=0x4))] == [b"r5"]
+    assert [n for n, _ in seqio.iter_bam(
+        str(bam), seqio.BamFilter(exclude_flags=0x4))] == [b"r1", b"r2",
+                                                           b"r6"]
+    # excluded references (unmapped ref_id=-1 never excluded)
+    assert [n for n, _ in seqio.iter_bam(
+        str(bam), seqio.BamFilter(excluded_refs=frozenset({"chr1"})))] \
+        == [b"r2", b"r5"]
+
+
+@pytest.mark.parametrize("filt", [
+    None,
+    dict(require_flags=0x10),
+    dict(exclude_flags=0x10),
+    dict(excluded_refs=frozenset({"chr2"})),
+])
+def test_bam_native_batch_matches_iterator(tmp_path, filt):
+    """load_batch (native km_bam_batch) == the Python record iterator,
+    rows and lengths, under every filter kind."""
+    from kmtricks_tpu import native
+
+    if native.lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    refs = ["chr1", "chr2"]
+    records = []
+    for i in range(200):
+        seq = bytes(rng.choice(np.frombuffer(b"ACGTN", dtype=np.uint8),
+                               size=int(rng.integers(1, 80))))
+        flag = int(rng.choice([0, 0x10, 0x100, 0x800, 0x4, 0x14]))
+        records.append((b"r%d" % i, seq, flag,
+                        int(rng.integers(-1, len(refs)))))
+    bam = tmp_path / "n.bam"
+    bam.write_bytes(_bam_bytes(refs, records))
+    bf = seqio.BamFilter(**filt) if filt else None
+
+    want = [s for _, s in seqio.iter_bam(str(bam), bf)]
+    batch, lengths = seqio.load_batch(str(bam), bam_filter=bf)
+    assert len(lengths) == len(want)
+    for i, s in enumerate(want):
+        assert lengths[i] == len(s)
+        assert batch[i, :len(s)].tobytes() == s
+        assert (batch[i, len(s):] == ord("N")).all()
+
+    # streaming path: tiny segments force multi-batch + record carry
+    rows = 0
+    for b2, l2 in seqio.iter_batches(str(bam), bam_filter=bf,
+                                     segment_bytes=256):
+        for j in range(len(l2)):
+            s = want[rows + j]
+            assert l2[j] == len(s)
+            assert b2[j, :len(s)].tobytes() == s
+        rows += len(l2)
+    assert rows == len(want)
+
+
 def test_sniff_formats(tmp_path):
     fa = tmp_path / "a.fa"
     fa.write_text(">r1\nACGT\n")

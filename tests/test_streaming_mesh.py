@@ -168,7 +168,8 @@ def test_prefetched_propagates_generator_errors():
 
 
 def test_streaming_bam_input(tmp_path):
-    """BAM banks take the record-iterator fallback in iter_batches; the
+    """BAM banks stream through the native record-batch parser in
+    iter_batches (record-iterator fallback without the native lib); the
     streaming chunked path over a BAM sample equals the host backend."""
     import pathlib
 
