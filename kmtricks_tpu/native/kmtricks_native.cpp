@@ -441,6 +441,11 @@ int64_t km_bam_batch(const uint8_t* data, size_t len,
   uint8_t comp[256];
   for (int i = 0; i < 256; i++) comp[i] = (uint8_t)i;
   comp['A'] = 'T'; comp['T'] = 'A'; comp['C'] = 'G'; comp['G'] = 'C';
+  // packed byte -> two ASCII bases at once (little-endian u16 store)
+  uint16_t pair[256];
+  for (int i = 0; i < 256; i++)
+    pair[i] = (uint16_t)((uint8_t)BAM_NT16[i >> 4]
+                         | ((uint8_t)BAM_NT16[i & 0xF] << 8));
 
   int64_t n = 0;
   int64_t mx = 0;
@@ -474,19 +479,19 @@ int64_t km_bam_batch(const uint8_t* data, size_t len,
       if (n >= rows || (int64_t)l_seq > L) return -1;
       uint8_t* row = batch + n * L;
       const uint8_t* packed = b + off;
+      // decode forward two bases per packed byte
+      int32_t half = l_seq >> 1;
+      for (int32_t j = 0; j < half; j++)
+        memcpy(row + 2 * j, &pair[packed[j]], 2);
+      if (l_seq & 1) row[l_seq - 1] = (uint8_t)BAM_NT16[packed[half] >> 4];
       if (flag & 0x10) {
-        // reverse-complement back: base i lands at l_seq-1-i
-        for (int32_t i = 0; i < l_seq; i++) {
-          uint8_t nib = (i & 1) ? (packed[i >> 1] & 0xF)
-                                : (packed[i >> 1] >> 4);
-          row[l_seq - 1 - i] = comp[(uint8_t)BAM_NT16[nib]];
+        // reverse-complement back, in place
+        for (int32_t i = 0, j = l_seq - 1; i < j; i++, j--) {
+          uint8_t a = row[i];
+          row[i] = comp[row[j]];
+          row[j] = comp[a];
         }
-      } else {
-        for (int32_t i = 0; i < l_seq; i++) {
-          uint8_t nib = (i & 1) ? (packed[i >> 1] & 0xF)
-                                : (packed[i >> 1] >> 4);
-          row[i] = (uint8_t)BAM_NT16[nib];
-        }
+        if (l_seq & 1) row[l_seq >> 1] = comp[row[l_seq >> 1]];
       }
     }
     if (lengths) lengths[n] = l_seq;

@@ -66,10 +66,34 @@ def test_bam_flag_filters(ref_data):
     assert req + exc == total
 
 
-def _bam_bytes(refs, records):
+def _bgzf_member(payload: bytes) -> bytes:
+    """One BGZF member: gzip header with the 'BC' total-size extra
+    subfield, raw-deflate payload, crc32+isize trailer."""
+    import struct
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = co.compress(payload) + co.flush()
+    bsize = 18 + len(comp) + 8
+    hdr = b"\x1f\x8b\x08\x04" + b"\x00" * 6 + struct.pack("<H", 6) \
+        + b"BC" + struct.pack("<HH", 2, bsize - 1)
+    return hdr + comp + struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF,
+                                    len(payload) & 0xFFFFFFFF)
+
+
+def _bgzf_compress(raw: bytes, member_payload: int = 1024) -> bytes:
+    """BGZF-frame ``raw`` into ~member_payload-byte members + EOF member."""
+    out = [_bgzf_member(raw[i:i + member_payload])
+           for i in range(0, len(raw), member_payload)]
+    out.append(_bgzf_member(b""))      # BGZF EOF marker
+    return b"".join(out)
+
+
+def _bam_bytes(refs, records, bgzf=False):
     """Minimal in-memory BAM stream: (name, seq, flag, ref_id) records.
-    gzip-compressed (a valid single-member gzip stream; BGZF is a gzip
-    superset and our reader is member-transparent)."""
+    gzip-compressed single member by default (our reader is
+    member-transparent); ``bgzf=True`` frames it as real BGZF members,
+    exercising the parallel member-inflate path."""
     import struct
 
     enc = {c: i for i, c in enumerate(b"=ACMGRSVTWYHKDBN")}
@@ -88,7 +112,8 @@ def _bam_bytes(refs, records):
                             flag, len(seq), -1, -1, 0)
         block += nm + packed + b"\xff" * len(seq)
         out += [struct.pack("<i", len(block)), block]
-    return gzip.compress(b"".join(out))
+    raw = b"".join(out)
+    return _bgzf_compress(raw) if bgzf else gzip.compress(raw)
 
 
 def test_bam_synthetic_semantics(tmp_path):
@@ -119,6 +144,54 @@ def test_bam_synthetic_semantics(tmp_path):
     assert [n for n, _ in seqio.iter_bam(
         str(bam), seqio.BamFilter(excluded_refs=frozenset({"chr1"})))] \
         == [b"r2", b"r5"]
+
+
+def test_bgzf_parallel_reader(tmp_path, monkeypatch):
+    """BGZF-framed BAM through the parallel member-inflate reader ==
+    plain-gzip BAM through the serial gzip module, on every path
+    (iterator, load_batch, tiny-segment streaming — tiny compressed
+    groups force member carry across _fill_once calls)."""
+    rng = np.random.default_rng(11)
+    refs = ["chr1"]
+    records = [(b"r%d" % i,
+                bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                                 size=int(rng.integers(30, 120)))),
+                int(rng.choice([0, 0x10])), 0) for i in range(300)]
+    gz = tmp_path / "a.bam"
+    bz = tmp_path / "b.bam"
+    gz.write_bytes(_bam_bytes(refs, records))
+    bz.write_bytes(_bam_bytes(refs, records, bgzf=True))
+
+    from kmtricks_tpu.io.sequences import (_BgzfParallelFile,
+                                           _open_bam_stream)
+    assert isinstance(_open_bam_stream(str(bz)), _BgzfParallelFile)
+    assert not isinstance(_open_bam_stream(str(gz)), _BgzfParallelFile)
+    assert seqio.sniff_format(str(bz)) == "bam"
+
+    assert list(seqio.iter_bam(str(bz))) == list(seqio.iter_bam(str(gz)))
+
+    b1, l1 = seqio.load_batch(str(gz))
+    b2, l2 = seqio.load_batch(str(bz))
+    assert np.array_equal(l1, l2) and np.array_equal(b1, b2)
+
+    # tiny compressed read groups: members split across fills
+    f = _BgzfParallelFile(str(bz), group_bytes=100)
+    whole = f.read()
+    f.close()
+    with gzip.open(gz) as g:
+        assert whole == g.read()
+
+    got = [r for r in seqio.iter_batches(str(bz), segment_bytes=512)]
+    want = [r for r in seqio.iter_batches(str(gz), segment_bytes=512)]
+    assert len(got) == len(want)
+    for (gb, gl), (wb, wl) in zip(got, want):
+        assert np.array_equal(gl, wl) and np.array_equal(gb, wb)
+
+    # truncated BGZF member -> error, not silent truncation
+    bad = tmp_path / "t.bam"
+    bad.write_bytes(bz.read_bytes()[:-40])
+    with pytest.raises(EOFError):
+        _BgzfParallelFile(str(bad)).read()
 
 
 @pytest.mark.parametrize("filt", [
