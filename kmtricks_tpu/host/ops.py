@@ -283,7 +283,13 @@ def bf_rows_from_merge(result: MergeResult, lower: int, upper: int,
 
 def pack_counting_bf(counts: np.ndarray, w: int) -> np.ndarray:
     """Counting-BF log2 packing (packc.hpp:16-43): value stored per sample is
-    min(ceil(log2(c+1)), 2^w - 1) in w bits, little-endian bit order."""
+    min(ceil(log2(c+1)), 2^w - 1) in w bits.
+
+    Bit order: bitpacker numbers bit 0 as the MSB of byte 0 and stores the
+    value big-endian within its field (bitpacker.hpp:191-229) — i.e.
+    MSB-first, UNLIKE the LSB-first BITSET order of the plain bf rows
+    (utils.hpp:52-55). Byte-verified against the reference's own pack_v
+    compiled from packc.hpp + the vendored bitpacker (test_units.py)."""
     c = counts.astype(np.uint64)
     lg = np.ceil(np.log2(c.astype(np.float64) + 1.0)).astype(np.uint64)
     maxv = (1 << w) - 1
@@ -291,5 +297,5 @@ def pack_counting_bf(counts: np.ndarray, w: int) -> np.ndarray:
     n, nsamp = vals.shape
     bits = np.zeros((n, nsamp * w), dtype=np.uint8)
     for j in range(w):
-        bits[:, j::w] = (vals >> j) & 1
-    return np.packbits(bits, axis=1, bitorder="little")
+        bits[:, j::w] = (vals >> (w - 1 - j)) & 1
+    return np.packbits(bits, axis=1, bitorder="big")

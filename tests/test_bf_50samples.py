@@ -68,8 +68,10 @@ def test_bfc_counting_rows(tmp_path, fof_path):
         info_b, rows_b = F.read_vector_matrix_file(
             kbf.get_matrix_path(p, "bf", "bin", "hash", False))
         assert info_c.bits == NSAMP * 2
-        # presence agreement: a counting cell > 0 iff the bf bit is set
-        cbits = np.unpackbits(rows_c, axis=1, bitorder="little")
+        # presence agreement: a counting cell > 0 iff the bf bit is set.
+        # bfc cells are MSB-first (bitpacker order); bf rows are LSB-first
+        # (BITSET order) — see host/ops.py:pack_counting_bf
+        cbits = np.unpackbits(rows_c, axis=1, bitorder="big")
         cells = (cbits[:, 0:2 * NSAMP:2] | cbits[:, 1:2 * NSAMP:2])
         bbits = np.unpackbits(rows_b, axis=1, bitorder="little")[:, :NSAMP]
         assert (cells == bbits).all()

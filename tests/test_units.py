@@ -51,11 +51,36 @@ def test_pack_counting_bf():
     counts = np.array([[0, 1, 2, 3, 4, 7, 8, 255]], dtype=np.uint32)
     w = 2
     rows = pack_counting_bf(counts, w)
-    bits = np.unpackbits(rows, axis=1, bitorder="little")[0]
-    # value stored = min(ceil(log2(c+1)), 2^w - 1)
+    bits = np.unpackbits(rows, axis=1, bitorder="big")[0]
+    # value stored = min(ceil(log2(c+1)), 2^w - 1), big-endian in-field
     exp = [0, 1, 2, 2, 3, 3, 3, 3]
-    got = [int(bits[2 * i] | (bits[2 * i + 1] << 1)) for i in range(8)]
+    got = [int((bits[2 * i] << 1) | bits[2 * i + 1]) for i in range(8)]
     assert got == exp
+
+
+def test_pack_counting_bf_reference_golden():
+    """Byte-equality against the reference's OWN pack_v, executed: golden
+    bytes produced by compiling packc.hpp with the vendored bitpacker
+
+        g++ -std=c++20 -I reference/include
+            -I reference/thirdparty/bitpacker/include
+            -I reference/thirdparty/span-lite/include
+
+    and packing the counts below at each width (bit 0 = MSB of byte 0,
+    values big-endian in-field — bitpacker.hpp:191-229)."""
+    counts = np.array([[0, 1, 2, 3, 4, 7, 8, 255, 256, 4294967295, 5, 9]],
+                      dtype=np.uint32)
+    golden = {
+        1: "7f f0",
+        2: "1a ff ff",
+        3: "05 26 e7 fd c0",
+        4: "01 22 33 48 9f 34",
+        5: "00 44 21 8c 88 4f c6 40",
+        8: "00 01 02 02 03 03 04 08 09 20 03 04",
+    }
+    for w, hexs in golden.items():
+        got = pack_counting_bf(counts, w)[0]
+        assert got.tobytes() == bytes.fromhex(hexs.replace(" ", "")), w
 
 
 # ---------------------------------------------------------------------------
