@@ -53,6 +53,12 @@ def _add_common_pipeline(p: argparse.ArgumentParser, merge_opts: bool = True):
                    help="reuse the repartition of another run")
     p.add_argument("--static-repart", action="store_true",
                    help="partition = XXH64(minimizer) %% P")
+    p.add_argument("--mmer-scheme", choices=["canonical", "forward"],
+                   default="canonical",
+                   help="minimizer scheme for superk/count routing: "
+                        "canonical m-mers (matches the reference's "
+                        "committed fixtures) or forward m-mers (matches "
+                        "its binary's NONCANONICAL routing)")
     p.add_argument("--focus", type=float, default=0.5)
     p.add_argument("--backend", choices=["auto", "host", "device", "mesh"],
                    default="auto",
@@ -109,6 +115,7 @@ def _options_from_args(args) -> "PipelineOptions":
         keep_tmp=getattr(args, "keep_tmp", False),
         repart_from=getattr(args, "repart_from", None),
         static_repart=getattr(args, "static_repart", False),
+        mmer_scheme=getattr(args, "mmer_scheme", "canonical"),
         focus=getattr(args, "focus", 0.5),
         backend=getattr(args, "backend", "auto"),
         verbose=getattr(args, "verbose", "info"),

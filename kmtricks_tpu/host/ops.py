@@ -71,14 +71,19 @@ def count_sequences(
     hist=None,
     partition_filter=None,
     freq_order=None,
+    mmer_canonical: bool = True,
 ) -> SampleCounts:
     """Count one sample's reads into per-partition sorted tables.
 
-    Routing semantics (reference fill_partitions.hpp + Sequence2SuperKmer):
-    each valid k-mer window is routed by the minimizer of its FORWARD strand
-    (masked m-mers, NONCANONICAL mode) through the repartition table; the
-    counted key is the canonical k-mer (kmer mode) or its window hash
-    (hash mode: XXH64 % window + window * partition).
+    Routing: each valid k-mer window is routed by its masked-m-mer
+    minimizer through the repartition table; the counted key is the
+    canonical k-mer (kmer mode) or its window hash (hash mode:
+    XXH64 % window + window * partition). ``mmer_canonical`` picks the
+    minimizer scheme: True = canonical m-mers (the reference's committed
+    fixtures and its RepartitionAlgorithm sampling), False = forward
+    m-mers (the reference binary's NONCANONICAL superk/count routing,
+    fill_partitions.hpp:20 + Model.hpp:1035-1065) — both GATB-executed-
+    golden-tested (tests/test_ref_exec_golden.py).
     """
     nb_parts = int(repart_table.max()) + 1 if len(repart_table) else 1
     slots = kops.slots_for_k(k)
@@ -106,7 +111,8 @@ def count_sequences(
         wvalid = kops.window_validity(valid, k)
         if not wvalid.any():
             continue
-        minim = kops.window_minimizers(codes, k, m, freq_order=freq_order)
+        minim = kops.window_minimizers(codes, k, m, freq_order=freq_order,
+                                       canonical_mmers=mmer_canonical)
         parts = repart_table[minim[wvalid]]
         fwd = kops.kmers_from_codes(codes, k)[wvalid]
         cano = kops.canonical(fwd, k)

@@ -115,13 +115,21 @@ def _window_validity(char_valid, lengths, k: int, seq_axis: int):
 
 
 def _minimizer_partitions(codes, repart_table, k: int, m: int,
-                          static_parts: int | None, seq_axis: int):
-    """Per-window minimizers -> partition ids (shared by both key widths)."""
+                          static_parts: int | None, seq_axis: int,
+                          canonical_mmers: bool = True):
+    """Per-window minimizers -> partition ids (shared by both key widths).
+
+    ``canonical_mmers=False`` skips the m-mer canonicalization — the
+    reference's NONCANONICAL routing (ModelMinimizer<ModelDirect>,
+    fill_partitions.hpp:20; the lut only canonicalizes for ModelCanonical,
+    Model.hpp:1035-1065). True matches its committed fixtures (and the
+    km::Kmer::minimizer facade). GATB-executed goldens pin both
+    (tests/test_ref_exec_golden.py)."""
     Wm = codes.shape[seq_axis] - m + 1
     mv = jnp.zeros_like(_slice_seq(codes, 0, Wm, seq_axis))
     for j in range(m):
         mv = (mv << U32(2)) | _slice_seq(codes, j, Wm, seq_axis)
-    mc = mmer_canonical(mv, m)
+    mc = mmer_canonical(mv, m) if canonical_mmers else mv
     sentinel = U32((1 << (2 * m)) - 1)
     masked = jnp.where(mmer_allowed(mc, m), mc, sentinel)
     minim = sliding_min(masked, k - m + 1, seq_axis)
@@ -133,9 +141,11 @@ def _minimizer_partitions(codes, repart_table, k: int, m: int,
     return parts.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("k", "m", "static_parts", "seq_axis"))
+@partial(jax.jit, static_argnames=("k", "m", "static_parts", "seq_axis",
+                                   "mmer_canonical"))
 def encode_batch(batch, lengths, repart_table, k: int, m: int,
-                 static_parts: int | None = None, seq_axis: int = 1):
+                 static_parts: int | None = None, seq_axis: int = 1,
+                 mmer_canonical: bool = True):
     """Encode a read batch into routed canonical k-mers.
 
     Parameters
@@ -173,7 +183,7 @@ def encode_batch(batch, lengths, repart_table, k: int, m: int,
     cano, _ = canonical64((hi, lo), k)
 
     parts = _minimizer_partitions(codes, repart_table, k, m, static_parts,
-                                  seq_axis)
+                                  seq_axis, mmer_canonical)
     return cano[0], cano[1], parts, valid
 
 
@@ -226,9 +236,11 @@ def device_key_words(k: int) -> int:
     return span // 16
 
 
-@partial(jax.jit, static_argnames=("k", "m", "static_parts", "seq_axis"))
+@partial(jax.jit, static_argnames=("k", "m", "static_parts", "seq_axis",
+                                   "mmer_canonical"))
 def encode_batch_wide(batch, lengths, repart_table, k: int, m: int,
-                      static_parts: int | None = None, seq_axis: int = 1):
+                      static_parts: int | None = None, seq_axis: int = 1,
+                      mmer_canonical: bool = True):
     """Encode for 32 < k <= 128: canonical k-mers as lsb-first u32 word
     lists — 4 words for k <= 64 (the reference's Kmer<64> __uint128_t
     storage, kmer.hpp:909-1172), 6 for k <= 96 and 8 for k <= 128 (the
@@ -255,6 +267,6 @@ def encode_batch_wide(batch, lengths, repart_table, k: int, m: int,
     cano = tuple(jnp.where(take_rc, r, f) for r, f in zip(rc, fwd))
 
     parts = _minimizer_partitions(codes, repart_table, k, m, static_parts,
-                                  seq_axis)
+                                  seq_axis, mmer_canonical)
     # msb-first word order for sorting (keys[0] most significant)
     return (tuple(cano[nw - 1 - i] for i in range(nw)), parts, valid)

@@ -59,6 +59,7 @@ def count_sample_device(
     window_bits: int | None = None,
     count_max: int = 0xFFFFFFFF,
     hist=None,
+    mmer_canonical: bool = True,
 ) -> SampleCounts:
     """Device-path equivalent of host.ops.count_sequences (k <= 128)."""
     assert k <= 128, "device path supports k <= 128"
@@ -75,11 +76,13 @@ def count_sample_device(
     lj = jnp.asarray(lengths)
     if k <= 32:
         hi, lo, parts, valid = encode_batch(bj, lj, table_dev, k, m,
-                                            seq_axis=0)
+                                            seq_axis=0,
+                                            mmer_canonical=mmer_canonical)
         keys = (hi, lo)
     else:
         keys, parts, valid = encode_batch_wide(bj, lj, table_dev, k, m,
-                                               seq_axis=0)
+                                               seq_axis=0,
+                                               mmer_canonical=mmer_canonical)
     keys = tuple(w.ravel() for w in keys)
     parts, valid = parts.ravel(), valid.ravel()
     if mode == "hash":

@@ -137,7 +137,8 @@ def _use_pallas(encode_impl: str, batch_rows: int) -> bool:
 def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
                  mode: str, window_bits, encode_impl: str = "auto",
                  static_parts: int | None = None,
-                 batch_layout: str = "bl"):
+                 batch_layout: str = "bl",
+                 mmer_canonical: bool = True):
     """Shared encode stage -> flat (keys tuple, samp, part, valid)
     occurrences. Keys: 2 msb-first u32 words for k <= 32, 4 for k <= 64;
     in hash mode always the 2-word window hash.
@@ -149,10 +150,12 @@ def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
     if k > 32:
         keys, parts, valid = encode_batch_wide(
             batch, lengths, repart_table, k, m, static_parts=static_parts,
-            seq_axis=seq_axis)
+            seq_axis=seq_axis, mmer_canonical=mmer_canonical)
     elif _use_pallas(encode_impl, batch.shape[0]):
         assert batch_layout == "bl", \
             "the Pallas encode kernel is (B, L)-only"
+        assert mmer_canonical, \
+            "the Pallas encode kernel only implements canonical m-mers"
         from kmtricks_tpu.ops.pallas_encode import encode_batch_pallas
         hi, lo, parts, valid = encode_batch_pallas(
             batch, lengths, repart_table, k, m)
@@ -160,7 +163,8 @@ def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
     else:
         hi, lo, parts, valid = encode_batch(batch, lengths, repart_table,
                                             k, m, static_parts=static_parts,
-                                            seq_axis=seq_axis)
+                                            seq_axis=seq_axis,
+                                            mmer_canonical=mmer_canonical)
         keys = (hi, lo)
     keys = tuple(w.ravel() for w in keys)
     shape = parts.shape
@@ -183,7 +187,8 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                            static_repart: bool = False,
                            with_stats: bool = True,
                            hard_min_vec=None,
-                           batch_layout: str = "bl"):
+                           batch_layout: str = "bl",
+                           mmer_canonical: bool = True):
     """Build the jitted SPMD pipeline step over ``mesh``.
 
     The returned function takes GLOBAL arrays (batch axis divisible by the
@@ -215,7 +220,7 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
         keys, sampw, parts, valid = _encode_flat(
             batch, lengths, samp, repart_table, k, m, mode, window_bits,
             encode_impl, nb_parts if static_repart else None,
-            batch_layout)
+            batch_layout, mmer_canonical)
         hmv = (None if hard_min_vec is None
                else jnp.asarray(hard_min_vec, dtype=jnp.uint32))
         if layout is not None:
@@ -273,7 +278,8 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
                            static_repart_parts: int | None = None,
                            nb_parts: int | None = None,
                            with_stats: bool = True,
-                           batch_layout: str = "bl"):
+                           batch_layout: str = "bl",
+                           mmer_canonical: bool = True):
     """Single-device fused forward step (no collectives): encode -> hash ->
     sort -> count+merge. Jittable; used by ``__graft_entry__.entry`` and the
     benchmark. ``batch_layout="lb"`` takes the batch transposed (L, B)."""
@@ -285,7 +291,8 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
     def step(batch, lengths, samp, repart_table, amin_vec):
         keys, sampw, parts, valid = _encode_flat(
             batch, lengths, samp, repart_table, k, m, mode, window_bits,
-            encode_impl, static_repart_parts, batch_layout)
+            encode_impl, static_repart_parts, batch_layout,
+            mmer_canonical)
         return count_merge_keys(
             parts, keys, sampw, valid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,

@@ -43,6 +43,10 @@ class Config:
     mode: str = "kmer:count:bin"
     hard_min: int = 2
     count_bytes: int = 4
+    # minimizer scheme for superk/count routing: "canonical" (the
+    # reference's committed fixtures + RepartitionAlgorithm sampling) or
+    # "forward" (the reference binary's NONCANONICAL routing)
+    mmer_scheme: str = "canonical"
     extra: dict = field(default_factory=dict)
 
     @property

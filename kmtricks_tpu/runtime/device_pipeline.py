@@ -262,7 +262,9 @@ def estimate_dest_skew(kmdir: KmDir, opts: PipelineOptions, config: Config,
             codes, valid = kops.encode_ascii(seq)
             wv = kops.window_validity(valid, k)
             if wv.any():
-                minim = kops.window_minimizers(codes, k, m)
+                minim = kops.window_minimizers(
+                    codes, k, m,
+                    canonical_mmers=config.mmer_scheme != "forward")
                 parts = repart.table[minim[wv].astype(np.int64)]
                 dest = (parts.astype(np.int64) * ndev) // config.nb_partitions
                 counts += np.bincount(dest, minlength=ndev)
@@ -387,7 +389,8 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
             save_if=opts.share_min, mode=cf, window_bits=window_bits,
             count_max=count_max, static_repart=opts.static_repart,
             with_stats=False,   # per-partition stats are rebuilt on host
-            hard_min_vec=hard_min_vec, batch_layout="lb")
+            hard_min_vec=hard_min_vec, batch_layout="lb",
+            mmer_canonical=config.mmer_scheme != "forward")
 
     args = (jnp.asarray(np.ascontiguousarray(batch.T)), jnp.asarray(lengths),
             jnp.asarray(sarr),
@@ -549,7 +552,8 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
             nb_parts=config.nb_partitions, cap=c, nsamp=nsamp,
             hard_min=1, rmin=1, save_if=0, mode=cf, window_bits=window_bits,
             count_max=0xFFFFFFFF, static_repart=opts.static_repart,
-            with_stats=False, batch_layout="lb")
+            with_stats=False, batch_layout="lb",
+            mmer_canonical=config.mmer_scheme != "forward")
 
     step = build(cap)
     table = jnp.asarray(repart.table.astype(np.int32))

@@ -93,6 +93,7 @@ class PipelineOptions:
     plugin: str | None = None       # file.py[:Class] (reference --plugin)
     plugin_config: str = ""
     threads: int = 1                # host thread pool (reference -t)
+    mmer_scheme: str = "canonical"  # canonical | forward (NONCANONICAL)
 
     def bam_filter(self) -> seqio.BamFilter:
         return seqio.BamFilter(self.bam_require_flags,
@@ -104,7 +105,7 @@ class PipelineOptions:
                 "hard_min", "soft_min", "share_min", "recurrence_min",
                 "nb_partitions", "bloom_size", "bitw", "until", "hist",
                 "cpr", "kff", "repart_from", "static_repart", "minim_type",
-                "repart_type", "backend", "bf_format"]
+                "repart_type", "backend", "bf_format", "mmer_scheme"]
         return "".join(f"{k}: {getattr(self, k)}\n" for k in keys)
 
 
@@ -118,6 +119,7 @@ def stage_config(opts: PipelineOptions) -> tuple[KmDir, Config]:
                        opts.nb_partitions, opts.bloom_size,
                        opts.max_memory_mb, opts.mode, opts.hard_min,
                        opts.minim_type, opts.repart_type)
+    config.mmer_scheme = opts.mmer_scheme
     config.save(kmdir.config_storage)
     from kmtricks_tpu.runtime.config import save_gatb_config
     save_gatb_config(config, kmdir.root)   # GATB twin for reference tools
@@ -289,6 +291,8 @@ def stage_count(kmdir: KmDir, config: Config, repart: Repartition,
             if getattr(repart, "freq", None) is not None else None)
     counter = _count_backend(opts, config, freq is not None)
     kwargs = {} if freq is None else {"freq_order": freq}
+    if config.mmer_scheme == "forward":
+        kwargs["mmer_canonical"] = False
     sc = counter(seqs, config.kmer_size, config.minim_size,
                  repart.table, hard_min=hard_min,
                  mode="kmer" if count_mode in ("kmer", "kff") else "hash",

@@ -41,9 +41,16 @@ XMER = 5        # kx sizes 0..4
 
 
 def span_for_k(k: int) -> int:
+    """Smallest KMER_LIST span STRICTLY greater than k — the reference's
+    const_loop_executor dispatch (loop_executor.hpp:23-70): a span-32
+    model handles k <= 31, so k = 32/64/96 land on the NEXT span (which
+    raises their max superkmer length). Verified against GATB-executed
+    superkmer goldens (tests/test_ref_exec_golden.py)."""
     for span in (32, 64, 96, 128):
-        if k <= span:
+        if k < span:
             return span
+    if k == 128:     # extension: the reference CLI stops at k = 127
+        return 128
     raise ValueError(f"k={k} too large")
 
 
@@ -319,7 +326,9 @@ def stage_superk(kmdir, config, repart, sample_idx: int, opts,
         if len(codes) < k:
             continue
         wvalid = kops.window_validity(valid, k)
-        minim = kops.window_minimizers(codes, k, m, freq_order=freq)
+        minim = kops.window_minimizers(
+            codes, k, m, freq_order=freq,
+            canonical_mmers=config.mmer_scheme != "forward")
         which, radix = _strand_and_radix(codes, k)
         for start, size, mv in _superkmer_runs(minim, wvalid, maxs):
             p = int(repart.table[mv])

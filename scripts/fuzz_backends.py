@@ -72,6 +72,7 @@ def draw_case(rng):
         cpr=bool(rng.random() < 0.3),
         bloom_size=int(rng.choice([200_000, 1_000_000])),
         hist=bool(rng.random() < 0.3),
+        mmer_scheme=str(rng.choice(["canonical", "forward"])),
     )
 
 
@@ -100,7 +101,8 @@ def run_case(i, case, rng):
                 nb_partitions=case["nb_parts"], hard_min=case["hard_min"],
                 soft_min=case["soft_min"], share_min=case["share_min"],
                 recurrence_min=case["recurrence_min"], cpr=case["cpr"],
-                bloom_size=case["bloom_size"], hist=case["hist"])
+                bloom_size=case["bloom_size"], hist=case["hist"],
+                mmer_scheme=case["mmer_scheme"])
             run_pipeline(o)
             runs[backend] = artifacts(os.path.join(root, backend))
         host = runs["host"]

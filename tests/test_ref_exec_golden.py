@@ -65,6 +65,111 @@ def test_minimizer_validity_vs_reference_execution(m):
     np.testing.assert_array_equal(got, want)
 
 
+def _gatb_rows(name):
+    with open(os.path.join(DATA, name)) as f:
+        for line in f:
+            k, m, seq, rest = line.rstrip("\n").split("\t")
+            yield int(k), int(m), seq, rest.split()
+
+
+# "canon" = GATB compiled plain (ModelMinimizer<ModelCanonical> — the
+# scheme of the reference's committed fixtures and its
+# RepartitionAlgorithm sampling; our default). "noncanon" = compiled
+# -DNONCANONICAL (ModelMinimizer<ModelDirect> — what the reference
+# BINARY's superk/count routing uses, fill_partitions.hpp:20; our
+# --mmer-scheme forward).
+SCHEMES = [("canon", True), ("noncanon", False)]
+
+
+@pytest.mark.parametrize("variant,canonical", SCHEMES)
+def test_superkmers_vs_gatb_execution(variant, canonical):
+    """Superkmer cuts + 2-bit save bytes == GATB's Sequence2SuperKmer +
+    SuperKmer::save, executed (scripts/gen_gatb_golden.py — the exact
+    KmFillPartitions shuffle-map semantics incl. the maxs cap, invalid
+    bases, sentinel minimizers) — in BOTH minimizer schemes."""
+    from kmtricks_tpu.runtime.superk import (_superkmer_runs, max_superk,
+                                             pack_superkmer)
+
+    ncase = 0
+    for k, m, seq, want in _gatb_rows(f"superk_golden_{variant}.tsv"):
+        codes, valid = K.encode_ascii(seq.encode())
+        got = []
+        if len(codes) >= k:
+            wvalid = K.window_validity(valid, k)
+            minim = K.window_minimizers(codes, k, m,
+                                        canonical_mmers=canonical)
+            for start, size, mv in _superkmer_runs(minim, wvalid,
+                                                   max_superk(k)):
+                packed = pack_superkmer(codes[start:start + k + size - 1],
+                                        k)
+                got.append(f"{mv},{size},{packed.hex()}")
+        assert got == want, f"k={k} m={m} seq={seq[:40]}..."
+        ncase += 1
+    assert ncase >= 400
+
+
+@pytest.mark.parametrize("variant,canonical", SCHEMES)
+def test_rolling_minimizers_vs_gatb_execution(variant, canonical):
+    """Per-window validity + minimizer == GATB's rolling ModelMinimizer,
+    executed — both base models (Canonical / Direct)."""
+    ncase = 0
+    for k, m, seq, want in _gatb_rows(f"minim_roll_golden_{variant}.tsv"):
+        codes, valid = K.encode_ascii(seq.encode())
+        if len(codes) < k:
+            assert want == []
+            continue
+        wvalid = K.window_validity(valid, k)
+        minim = K.window_minimizers(codes, k, m, canonical_mmers=canonical)
+        assert len(want) == len(wvalid)
+        for i, w in enumerate(want):
+            v, mv = w.split(":")
+            assert bool(int(v)) == bool(wvalid[i]), (k, m, i)
+            if int(v):
+                assert int(mv) == int(minim[i]), (k, m, i)
+        ncase += 1
+    assert ncase >= 400
+
+
+def test_device_encode_minimizer_schemes_match_gatb():
+    """The DEVICE encode's minimizer routing (both schemes) agrees with
+    the GATB-executed rolling model on full-ACGT reads (k <= 32 and the
+    wide-key path), via an identity repartition table."""
+    import jax.numpy as jnp
+
+    from kmtricks_tpu.ops.encode import encode_batch, encode_batch_wide
+
+    for variant, canonical in SCHEMES:
+        by_k = {}
+        for k, m, seq, want in _gatb_rows(
+                f"minim_roll_golden_{variant}.tsv"):
+            if "N" in seq or len(seq) < k or m != 10 \
+                    or len(by_k.get((k, m), [])) >= 2:
+                continue
+            by_k.setdefault((k, m), []).append((seq, want))
+        assert len(by_k) >= 8
+        for (k, m), rows in by_k.items():
+            table = jnp.asarray(np.arange(4 ** m, dtype=np.int32))
+            for seq, want in rows:
+                minims = np.array([int(w.split(":")[1]) for w in want],
+                                  dtype=np.int64)
+                batch = jnp.asarray(
+                    np.frombuffer(seq.encode(), np.uint8)[None, :])
+                lens = jnp.asarray(np.array([len(seq)], np.int32))
+                if k <= 32:
+                    _, _, parts, valid = encode_batch(
+                        batch, lens, table, k, m,
+                        mmer_canonical=canonical)
+                else:
+                    _, parts, valid = encode_batch_wide(
+                        batch, lens, table, k, m,
+                        mmer_canonical=canonical)
+                parts = np.asarray(parts)[0]
+                assert np.asarray(valid)[0].all()
+                # identity table: partition id IS the minimizer value
+                np.testing.assert_array_equal(
+                    parts, minims, err_msg=f"{variant} k={k}")
+
+
 def test_bitmatrix_transpose_vs_reference_execution():
     blob = open(os.path.join(DATA, "bitmatrix_golden.bin"), "rb").read()
     off = 0
