@@ -98,12 +98,22 @@ class Repartition:
     @classmethod
     def from_bin_sizes(cls, bin_sizes: np.ndarray,
                        nb_partitions: int) -> "Repartition":
-        """Greedy LPT packing: largest bin to emptiest partition.
+        """Greedy LPT packing: largest bin to emptiest partition
+        (Repartitor::computeDistrib, gatb PartiInfo.cpp:48-106).
 
-        Deterministic tie-breaks (unspecified in the reference's unstable
-        sort / priority queue): equal-sized bins by ascending minimizer,
-        equal-loaded partitions by ascending id.
+        With the native lib, runs the same libstdc++ std::sort +
+        std::priority_queue the reference binary runs — tables are
+        bit-identical to an executed computeDistrib on the same tallies
+        (tests/test_ref_exec_golden.py). The Python fallback applies
+        specified tie-breaks instead (equal-sized bins by ascending
+        minimizer, equal-loaded partitions by ascending id) — same
+        balance quality, different table on ties.
         """
+        from kmtricks_tpu import native
+
+        nat = native.lpt_distrib(bin_sizes, nb_partitions)
+        if nat is not None:
+            return cls(nat, nb_partitions)
         nb_minims = len(bin_sizes)
         order = np.lexsort((np.arange(nb_minims), -bin_sizes.astype(np.int64)))
         table = np.zeros(nb_minims, dtype=np.uint16)

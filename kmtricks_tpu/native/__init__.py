@@ -84,6 +84,9 @@ def lib():
             fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                            ctypes.c_void_p, ctypes.c_void_p]
+        L.km_lpt_distrib.restype = ctypes.c_int64
+        L.km_lpt_distrib.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                     ctypes.c_int, ctypes.c_void_p]
         L.km_bam_batch.restype = ctypes.c_int64
         L.km_bam_batch.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,            # data, len
@@ -172,6 +175,19 @@ def parse_batch(data: bytes, fmt: str, pad: int = ord("N"),
         if r != n:
             return None
     return batch[:n], lengths[:n]
+
+
+def lpt_distrib(bin_sizes: np.ndarray, nbpart: int) -> np.ndarray | None:
+    """Repartitor::computeDistrib via the same libstdc++ std::sort /
+    std::priority_queue — bit-identical tables to the reference binary on
+    this platform (see kmtricks_native.cpp). None without the native lib."""
+    L = lib()
+    if L is None:
+        return None
+    bins = np.ascontiguousarray(bin_sizes, dtype=np.uint64)
+    table = np.empty(len(bins), dtype=np.uint16)
+    L.km_lpt_distrib(bins.ctypes.data, len(bins), nbpart, table.ctypes.data)
+    return table
 
 
 def parse_bam_batch(data: bytes, n_refs: int = 0,

@@ -412,6 +412,55 @@ int64_t km_fastq_batch(const uint8_t* data, size_t len,
   return n;
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Greedy LPT minimizer->partition packing (Repartitor::computeDistrib,
+// gatb PartiInfo.cpp:48-106): sort bins by decreasing kx-mer count, assign
+// each to the currently emptiest partition. The ALGORITHM ties (equal-count
+// bins, equal-load partitions) are resolved by std::sort's and
+// std::priority_queue's implementation-defined-but-deterministic behavior —
+// running the same STL primitives here reproduces the reference binary's
+// table bit-for-bit on the same platform (verified against an executed
+// computeDistrib, tests/test_ref_exec_golden.py). Python fallback uses
+// specified tie-breaks instead (core/repartition.py).
+// ---------------------------------------------------------------------------
+#include <algorithm>
+#include <queue>
+#include <utility>
+#include <vector>
+
+extern "C" int64_t km_lpt_distrib(const uint64_t* bin_sizes,
+                                  uint64_t nb_minims, int nbpart,
+                                  uint16_t* table_out) {
+  using ipair = std::pair<uint64_t, uint64_t>;      // (size, minimizer)
+  struct triple { uint64_t part, load, n; };
+  struct comp_load {
+    bool operator()(const triple& l, const triple& r) const {
+      return l.load > r.load;
+    }
+  };
+  std::vector<ipair> bins;
+  bins.reserve(nb_minims);
+  for (uint64_t i = 0; i < nb_minims; i++)
+    bins.push_back(ipair(bin_sizes[i], i));
+  std::priority_queue<triple, std::vector<triple>, comp_load> pq;
+  for (int j = 0; j < nbpart; j++) pq.push(triple{(uint64_t)j, 0, 0});
+  std::sort(bins.begin(), bins.end(),
+            [](const ipair& l, const ipair& r) { return l.first > r.first; });
+  for (uint64_t cur = 0; cur < nb_minims; cur++) {
+    triple t = pq.top();
+    pq.pop();
+    table_out[bins[cur].second] = (uint16_t)t.part;
+    t.load += bins[cur].first;
+    t.n++;
+    pq.push(t);
+  }
+  return (int64_t)nb_minims;
+}
+
+extern "C" {
+
 // ---------------------------------------------------------------------------
 // BAM record-batch parsing (the reference's BankBam is native too:
 // gatb-core-stripped/src/gatb/bank/impl/BankBam.cpp:440-550). Input is the

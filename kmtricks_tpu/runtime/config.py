@@ -93,9 +93,15 @@ def load_gatb_config(run_dir: str, mode: str = "kmer:count:bin",
         mode=mode, hard_min=hard_min)
 
 
+def _span(k: int) -> int:
+    from kmtricks_tpu.runtime.superk import span_for_k
+    return span_for_k(k)
+
+
 def save_gatb_config(config: Config, run_dir: str) -> None:
     """Write the GATB-compatible config twin (so reference module binaries
-    can consume our run directories)."""
+    can consume our run directories). Field values byte-verified against
+    an executed Configuration::save (tests/test_ref_exec_golden.py)."""
     import struct
 
     d = os.path.join(run_dir, "config_gatb")
@@ -106,12 +112,15 @@ def save_gatb_config(config: Config, run_dir: str) -> None:
             _GATB_CONFIG, config.kmer_size, config.minim_size,
             config.repart_type, config.minim_type,
             plan.get("max_disk_mb", 0), config.max_memory_mb,
-            1, plan.get("nb_parallel", 1), 0,
+            # nbCores=1; one user abundance range (-abundance-min) —
+            # _abundanceUserNb is 1 in an executed Configuration::save
+            1, plan.get("nb_parallel", 1), 1,
             plan.get("cores_per_partition", 1), config.seq_number,
             config.seq_total_size, config.seq_max_size,
             plan.get("available_space", 0), plan.get("volume", 0),
             config.kmers_estimated, plan.get("nb_passes", 1),
-            config.nb_partitions, 2 * config.kmer_size, 1,
+            config.nb_partitions, 2 * _span(config.kmer_size),
+            plan.get("nb_banks", 1),
             plan.get("nb_cached_items_per_core_per_part", 0)))
 
 
@@ -141,8 +150,15 @@ def gatb_partition_plan(kmers_nb: int, kmer_size: int, max_memory_mb: int,
     per-core partition write cache to a tenth of memory."""
     import resource
 
+    from kmtricks_tpu.runtime.superk import span_for_k
+
     MB = 1 << 20
-    type_bytes = 8 * ((kmer_size + 31) // 32)
+    # sizeof(Type) of the DISPATCHED span (strictly greater than k,
+    # loop_executor.hpp): 2*span bits — NOT the packed kmer slots. At
+    # k = 32 the reference uses the span-64 type (16 bytes), doubling
+    # volume and halving the cached-items count vs a slot-based size
+    # (verified against executed ConfigurationAlgorithm goldens).
+    type_bytes = span_for_k(kmer_size) // 4
     try:
         st = os.statvfs(".")
         available_mb = st.f_bavail * st.f_frsize // 1024 // 1024
@@ -198,8 +214,7 @@ def configure(fof: Fof, kmer_size: int, minim_size: int = 10,
 
     ``nb_partitions = 0`` means auto, via the reference's exact
     disk/memory/open-file feedback loop (gatb_partition_plan), then
-    kmtricks' floor of 4 partitions (task.hpp:112-117) and rounding to a
-    multiple of 4.
+    kmtricks' floor of 4 partitions (task.hpp:112-117).
     """
     est = estimate_banks(fof)
     seqs = max(est.sequences, 1)
@@ -208,9 +223,12 @@ def configure(fof: Fof, kmer_size: int, minim_size: int = 10,
     kmers = max(1, (used_len - kmer_size + 1) * seqs)
     plan = gatb_partition_plan(kmers, kmer_size, max_memory_mb,
                                max_disk_mb=max_disk_mb, nb_cores=nb_cores)
+    # Bank::open(fof.get_all()) is a composite over every input file
+    plan["nb_banks"] = sum(len(e.paths) for e in fof)
     if nb_partitions <= 0:
+        # ConfigTask floor of 4 (task.hpp:112-117); the reference does NOT
+        # round further (executed-golden-verified)
         nb_partitions = max(4, plan["nb_partitions"])
-        nb_partitions = ((nb_partitions + 3) // 4) * 4
     return Config(
         kmer_size=kmer_size, minim_size=minim_size,
         nb_partitions=nb_partitions, bloom_size=bloom_size,

@@ -194,7 +194,9 @@ def test_gatb_config_twin_byte_layout(tmp_path):
     assert vals[13] == 117401 and vals[14] == 77    # avail, volume
     assert vals[15] == 41900                        # kmersNb
     assert vals[16] == 4 and vals[17] == 8          # passes, partitions
-    assert vals[18] == 62 and vals[19] == 1         # bits/kmer, nb_banks
+    # bits/kmer = Type::getSize() of the DISPATCHED span (2*32 for k=31),
+    # not 2*k — executed-golden-verified (test_ref_exec_golden.py)
+    assert vals[18] == 64 and vals[19] == 1         # bits/kmer, nb_banks
     assert vals[20] == 8388608                      # cached items
 
     back = load_gatb_config(str(tmp_path))

@@ -170,6 +170,84 @@ def test_device_encode_minimizer_schemes_match_gatb():
                     parts, minims, err_msg=f"{variant} k={k}")
 
 
+def test_configuration_vs_gatb_execution(tmp_path):
+    """configure()/gatb_partition_plan == an executed GATB
+    ConfigurationAlgorithm (scripts/gen_gatb_config_golden.py): every
+    estimate/plan field, plus the gatb.config twin's bytes (the two
+    machine-dependent fields — available space and the max-disk default
+    derived from it — masked)."""
+    from kmtricks_tpu.io.fof import Fof
+    from kmtricks_tpu.runtime.config import configure, save_gatb_config
+
+    ncase = 0
+    for line in open(os.path.join(DATA, "config_golden.tsv")):
+        parts = line.rstrip("\n").split("\t")
+        k, m, amin, nbp, mem = map(int, parts[:5])
+        files = [os.path.abspath(os.path.join(DATA, f))
+                 for f in parts[5].split(",")]
+        got = dict(kv.split("=") for kv in parts[7].split())
+        blob_ref = bytearray(bytes.fromhex(parts[8]))
+
+        fof_p = tmp_path / f"f{ncase}.fof"
+        fof_p.write_text("S0 : " + " ; ".join(files) + "\n")
+        cfg = configure(Fof.parse(str(fof_p)), k, m, nb_partitions=nbp,
+                        max_memory_mb=mem)
+        plan = cfg.extra["gatb_plan"]
+        assert cfg.seq_number == int(got["estimateSeqNb"])
+        assert cfg.seq_total_size == int(got["estimateSeqTotalSize"])
+        assert cfg.seq_max_size == int(got["estimateSeqMaxSize"])
+        assert plan["volume"] == int(got["volume"])
+        assert cfg.kmers_estimated == int(got["kmersNb"])
+        assert plan["nb_passes"] == int(got["nb_passes"])
+        assert cfg.nb_partitions == int(got["nb_partitions"])
+        assert plan["nb_cached_items_per_core_per_part"] == \
+            int(got["nb_cached"])
+
+        rd = tmp_path / f"run{ncase}"
+        rd.mkdir()
+        save_gatb_config(cfg, str(rd))
+        blob = bytearray((rd / "config_gatb" / "gatb.config").read_bytes())
+        assert len(blob) == len(blob_ref) == 140
+        # mask max_disk (offset 32, u64 — defaults from available space)
+        # and available_space (offset 100, u64)
+        for b in (blob, blob_ref):
+            b[32:40] = b"\0" * 8
+            b[100:108] = b"\0" * 8
+        assert bytes(blob) == bytes(blob_ref), f"case {ncase}"
+        ncase += 1
+    assert ncase == 10
+
+
+def test_lpt_repartition_vs_gatb_execution(tmp_path):
+    """from_bin_sizes (native path: the same libstdc++ sort/heap the
+    reference runs) == an executed Repartitor::computeDistrib, table
+    bit-for-bit; and our repartition writer == the executed
+    Repartitor::save Storage bytes."""
+    from kmtricks_tpu import native
+    from kmtricks_tpu.core.repartition import Repartition
+
+    if native.lib() is None:
+        pytest.skip("native lib unavailable")
+    ncase = 0
+    for line in open(os.path.join(DATA, "repart_golden.tsv")):
+        nbp, m, counts_s, table_s, blob_hex = line.rstrip("\n").split("\t")
+        nbp, m = int(nbp), int(m)
+        bins = np.zeros(4 ** m, dtype=np.int64)
+        for kv in counts_s.split(","):
+            mm, c = kv.split(":")
+            bins[int(mm)] = int(c)
+        want = np.array([int(x) for x in table_s.split(",") if x],
+                        dtype=np.uint16)
+        rep = Repartition.from_bin_sizes(bins, nbp)
+        np.testing.assert_array_equal(rep.table, want,
+                                      err_msg=f"case {ncase}")
+        out = tmp_path / f"r{ncase}.repart"
+        rep.save(str(out))
+        assert out.read_bytes() == bytes.fromhex(blob_hex), ncase
+        ncase += 1
+    assert ncase == 8
+
+
 def test_bitmatrix_transpose_vs_reference_execution():
     blob = open(os.path.join(DATA, "bitmatrix_golden.bin"), "rb").read()
     off = 0
