@@ -56,9 +56,9 @@ def _add_common_pipeline(p: argparse.ArgumentParser, merge_opts: bool = True):
     p.add_argument("--mmer-scheme", choices=["canonical", "forward"],
                    default="canonical",
                    help="minimizer scheme for superk/count routing: "
-                        "canonical m-mers (matches the reference's "
-                        "committed fixtures) or forward m-mers (matches "
-                        "its binary's NONCANONICAL routing)")
+                        "canonical m-mers (the reference binary's actual "
+                        "behavior and its fixtures) or forward m-mers "
+                        "(the intent of its dead NONCANONICAL define)")
     p.add_argument("--focus", type=float, default=0.5)
     p.add_argument("--backend", choices=["auto", "host", "device", "mesh"],
                    default="auto",

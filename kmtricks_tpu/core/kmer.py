@@ -22,10 +22,11 @@ Semantics contract (verified against the reference implementation):
   include guard locks in ``ModelMinimizer<ModelCanonical>``: the effective,
   observable semantics are CANONICAL m-mers (verified against the committed
   count fixtures in tests/data/partitions). We reproduce the effective
-  behavior matching the reference's committed fixtures; ``canonical_mmers=
-False`` is the NONCANONICAL variant its superk/count routing actually
-compiles (fill_partitions.hpp:20 — the lut skips canonicalization for
-ModelDirect, Model.hpp:1035-1065; GATB-executed goldens pin both).
+  behavior matching the reference binary (whose fill_partitions.hpp:20
+NONCANONICAL define is dead by include order) and its committed
+fixtures; ``canonical_mmers=False`` is the dead define's intended
+ModelDirect variant (the lut skips canonicalization for ModelDirect,
+Model.hpp:1035-1065; GATB-executed goldens pin both).
 * ``km::Kmer::minimizer`` (kmer.hpp:591-629) — the standalone API — has the
   same canonical-m-mer semantics; see :func:`minimizer_canonical_value`.
 """

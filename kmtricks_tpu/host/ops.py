@@ -79,11 +79,11 @@ def count_sequences(
     minimizer through the repartition table; the counted key is the
     canonical k-mer (kmer mode) or its window hash (hash mode:
     XXH64 % window + window * partition). ``mmer_canonical`` picks the
-    minimizer scheme: True = canonical m-mers (the reference's committed
-    fixtures and its RepartitionAlgorithm sampling), False = forward
-    m-mers (the reference binary's NONCANONICAL superk/count routing,
-    fill_partitions.hpp:20 + Model.hpp:1035-1065) — both GATB-executed-
-    golden-tested (tests/test_ref_exec_golden.py).
+    minimizer scheme: True (default) = canonical m-mers — the reference
+    binary's actual routing (its NONCANONICAL define is dead by include
+    order) and its committed fixtures; False = forward m-mers (the dead
+    define's intent) — both GATB-executed-golden-tested
+    (tests/test_ref_exec_golden.py).
     """
     nb_parts = int(repart_table.max()) + 1 if len(repart_table) else 1
     slots = kops.slots_for_k(k)

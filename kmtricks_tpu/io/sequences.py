@@ -598,42 +598,124 @@ class BankEstimate:
     max_size: int
 
 
-def estimate(uri: str | list[str], sample: int = 5000) -> BankEstimate:
-    """Sample-based size estimation (BankFasta estimate semantics: read the
-    first ``sample`` sequences, extrapolate by compressed file size ratio)."""
+_ESTIMATE_BUF = 256 * 1024      # BankFasta BUFFER_SIZE (BankFasta.cpp:42)
+
+
+def _estimate_fasta_like(path: str, fmt: str, threshold: int):
+    """BankFasta::Iterator::estimate, faithfully (BankFasta.cpp:728-773):
+    parse sequences from 256KB decompressed chunks until one MORE than
+    ``threshold`` sequences have been consumed (the 50002nd read is
+    consumed but not counted — the while-condition order), then linearly
+    extrapolate by estimated-file-size / bytes-fetched. gztell counts
+    whole buffered chunks, so ``consumed`` advances in 256KB steps."""
     import os
 
+    fsize = os.path.getsize(path)
+    # sizing is by NAME (BankFasta.cpp:176): compressed files are assumed
+    # ~4x (the Quip-paper "crude hack"). Faithfully: strstr finds the
+    # FIRST "gz" in the basename-with-path and the check wants it at the
+    # very end — a name containing "gz" earlier (e.g. "gzipped_x.gz")
+    # defeats the heuristic and the file is sized as-is
+    # (executed-golden-verified).
+    gz_named = path.find("gz") == len(path) - 2
+    est_size = fsize * 4 if gz_named else fsize
+
+    number = total = mx = 0
+    fetched = 0
+    with _open_maybe_gz(path) as f:
+        carry = b""
+        eof = False
+
+        def lines():
+            nonlocal carry, eof, fetched
+            while True:
+                nl = carry.find(b"\n")
+                if nl >= 0:
+                    line, carry = carry[:nl], carry[nl + 1:]
+                    yield line.rstrip(b"\r")
+                    continue
+                if eof:
+                    if carry:
+                        line, carry = carry, b""
+                        yield line.rstrip(b"\r")
+                    return
+                chunk = f.read(_ESTIMATE_BUF)
+                fetched += len(chunk)
+                if not chunk:
+                    eof = True
+                else:
+                    carry += chunk
+
+        def records():
+            if fmt == "fasta":
+                cur = None
+                for ln in lines():
+                    if ln.startswith(b">"):
+                        if cur is not None:
+                            yield cur
+                        cur = 0
+                    elif cur is not None:
+                        cur += len(ln)
+                if cur is not None:
+                    yield cur
+            else:
+                it = lines()
+                while True:
+                    try:
+                        next(it)                     # @header
+                    except StopIteration:
+                        return
+                    try:
+                        yield len(next(it))          # sequence
+                        next(it)                     # +
+                        next(it)                     # quals
+                    except StopIteration:
+                        return
+
+        for seq_len in records():
+            if number > threshold:
+                break            # consumed but not counted (loop order)
+            number += 1
+            total += seq_len
+            if seq_len > mx:
+                mx = seq_len
+    if fetched > 0:
+        # linear extrapolation (exact when the file was fully read and
+        # is uncompressed: fetched == est_size). The reference computes
+        # the totalSize ratio in FLOAT32 (BankFasta.cpp:771) — emulate
+        # for the exact truncated result.
+        number = number * est_size // fetched
+        ratio = np.float32(np.float32(est_size) / np.float32(fetched))
+        total = int(np.float32(total) * ratio)
+    return number, total, mx
+
+
+def estimate(uri: str | list[str], sample: int = 50000) -> BankEstimate:
+    """Bank size estimation with the reference's exact semantics
+    (AbstractBank threshold 50000, BankFasta.cpp estimate + gz x4 name
+    sizing + 256KB-chunk gztell extrapolation) — executed-golden-verified
+    (tests/test_ref_exec_golden.py). Composite banks sum per-file
+    estimates. BAM falls back to record sampling."""
     paths = uri if isinstance(uri, list) else uri.split(",")
     total_seqs = 0
     total_bases = 0
     max_size = 0
     for p in paths:
         p = p.strip()
-        n, bases, consumed = 0, 0, 0
-        it = iter_bank(p)
-        for _, seq in it:
+        fmt = sniff_format(p)
+        if fmt in ("fasta", "fastq"):
+            n, bases, mx = _estimate_fasta_like(p, fmt, sample)
+            total_seqs += n
+            total_bases += bases
+            max_size = max(max_size, mx)
+            continue
+        n = bases = 0
+        for _, seq in iter_bank(p):
             n += 1
             bases += len(seq)
             max_size = max(max_size, len(seq))
-            if n >= sample:
+            if n > sample:
                 break
-        fsize = os.path.getsize(p)
-        if n < sample:           # fully read
-            total_seqs += n
-            total_bases += bases
-        else:
-            # extrapolate: assume uniform record size across the file
-            mean = bases / max(n, 1)
-            # bytes per record estimate from plain-text size heuristics
-            with open(p, "rb") as f:
-                head = f.read(2)
-            overhead = 2.0 if sniff_format(p) == "fastq" else 1.1
-            if head == b"\x1f\x8b":
-                # gz: assume ~4x compression of text
-                est_records = fsize * 4 / (mean * overhead + 32)
-            else:
-                est_records = fsize / (mean * overhead + 32)
-            est_records = max(n, int(est_records))
-            total_seqs += est_records
-            total_bases += int(est_records * mean)
+        total_seqs += n
+        total_bases += bases
     return BankEstimate(total_seqs, total_bases, max_size)

@@ -119,11 +119,12 @@ def _minimizer_partitions(codes, repart_table, k: int, m: int,
                           canonical_mmers: bool = True):
     """Per-window minimizers -> partition ids (shared by both key widths).
 
-    ``canonical_mmers=False`` skips the m-mer canonicalization — the
-    reference's NONCANONICAL routing (ModelMinimizer<ModelDirect>,
-    fill_partitions.hpp:20; the lut only canonicalizes for ModelCanonical,
-    Model.hpp:1035-1065). True matches its committed fixtures (and the
-    km::Kmer::minimizer facade). GATB-executed goldens pin both
+    ``canonical_mmers=False`` skips the m-mer canonicalization —
+    ModelMinimizer<ModelDirect>, what fill_partitions.hpp:20's
+    NONCANONICAL define intends; that define is DEAD in the reference
+    binary (include order + #pragma once, see README), which routes
+    canonical. True (default) therefore matches the reference binary
+    AND its committed fixtures. GATB-executed goldens pin both
     (tests/test_ref_exec_golden.py)."""
     Wm = codes.shape[seq_axis] - m + 1
     mv = jnp.zeros_like(_slice_seq(codes, 0, Wm, seq_axis))

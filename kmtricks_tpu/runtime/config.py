@@ -44,8 +44,8 @@ class Config:
     hard_min: int = 2
     count_bytes: int = 4
     # minimizer scheme for superk/count routing: "canonical" (the
-    # reference's committed fixtures + RepartitionAlgorithm sampling) or
-    # "forward" (the reference binary's NONCANONICAL routing)
+    # reference binary's actual behavior + its committed fixtures) or
+    # "forward" (the intent of its dead NONCANONICAL define)
     mmer_scheme: str = "canonical"
     extra: dict = field(default_factory=dict)
 

@@ -93,7 +93,8 @@ class PipelineOptions:
     plugin: str | None = None       # file.py[:Class] (reference --plugin)
     plugin_config: str = ""
     threads: int = 1                # host thread pool (reference -t)
-    mmer_scheme: str = "canonical"  # canonical | forward (NONCANONICAL)
+    mmer_scheme: str = "canonical"  # canonical (reference behavior) |
+                                    # forward (its dead-NONCANONICAL intent)
 
     def bam_filter(self) -> seqio.BamFilter:
         return seqio.BamFilter(self.bam_require_flags,

@@ -106,6 +106,17 @@ void config_run(int argc, char** argv) {
 
 int main(int argc, char** argv) {
   std::string mode = argv[1];
+  if (mode == "estimate") {
+    // BankFasta::estimate, as ConfigurationAlgorithm consumes it
+    bank::IBank* bank = bank::impl::Bank::open(argv[2]);
+    LOCAL(bank);
+    u_int64_t number = 0, totalSize = 0, maxSize = 0;
+    bank->estimate(number, totalSize, maxSize);
+    std::printf("%llu %llu %llu\n", (unsigned long long)number,
+                (unsigned long long)totalSize,
+                (unsigned long long)maxSize);
+    return 0;
+  }
   if (mode == "config") {
     int k = atoi(argv[2]);
     if (k < 32) config_run<32>(argc, argv);
@@ -231,6 +242,46 @@ def main() -> None:
     with open(os.path.join(OUT, "repart_golden.tsv"), "w") as f:
         f.write("\n".join(rows) + "\n")
     print(f"repart_golden.tsv: {len(rows)} cases")
+
+    # --- estimate cases: banks AROUND and ABOVE the 50000-sequence
+    # threshold, plain and gz, fasta (multi-line) and fastq — committed
+    # gz so the byte streams are reproducible
+    import gzip as _gzip
+    rows = []
+    specs = [("fa_small", "fasta", 300, 80, False, 1),
+             ("fa_multiline", "fasta", 2000, 400, False, 60),
+             ("fa_big", "fasta", 60050, 90, False, 1),
+             ("fq_big", "fastq", 55000, 100, False, 1),
+             ("fa_big_gz", "fasta", 60050, 90, True, 1),
+             ("fq_gz", "fastq", 20000, 120, True, 1)]
+    for name, fmt, nreads, rl, gz, wrap in specs:
+        fn = name + (".fasta" if fmt == "fasta" else ".fastq") + \
+            (".gz" if gz else "")
+        path = os.path.join(OUT, fn)
+        out = []
+        for r in range(nreads):
+            L = rl + (r % 23)
+            seq = "".join(rng.choice("ACGT") for _ in range(L))
+            if fmt == "fasta":
+                body = "\n".join(seq[i:i + wrap] for i in
+                                 range(0, len(seq), wrap)) if wrap > 1 \
+                    else seq
+                out.append(f">r{r}\n{body}\n")
+            else:
+                out.append(f"@r{r}\n{seq}\n+\n{'I' * L}\n")
+        raw = "".join(out).encode()
+        if gz:
+            with open(path, "wb") as f:
+                f.write(_gzip.compress(raw))
+        else:
+            with open(path, "wb") as f:
+                f.write(raw)
+        got = subprocess.run([exe, "estimate", path], capture_output=True,
+                             text=True, check=True).stdout.split()
+        rows.append("\t".join([fn, fmt, str(nreads)] + got))
+        print(f"estimate {fn}: {got}")
+    with open(os.path.join(OUT, "estimate_golden.tsv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
 
 
 if __name__ == "__main__":

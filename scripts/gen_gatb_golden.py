@@ -1,8 +1,10 @@
 """Generate golden fixtures by EXECUTING GATB's superkmerization.
 
-The reference's shuffle-map stage is GATB's Sequence2SuperKmer driven by
-ModelMinimizer<ModelDirect> (NONCANONICAL, fill_partitions.hpp:20) with
-SuperKmer::save's 2-bit packing (Model.hpp:1388-1433). No
+The reference's shuffle-map stage is GATB's Sequence2SuperKmer with
+SuperKmer::save's 2-bit packing (Model.hpp:1388-1433) — driven by
+ModelMinimizer<ModelCanonical> in the actual binary (the
+fill_partitions.hpp:20 NONCANONICAL define is dead by include order;
+see tests/test_ref_exec_golden.py SCHEMES). No
 reference-generated superkmer fixture exists in its tree, so this script
 builds gatb-core-stripped (cmake/ninja, out-of-source) and runs a driver
 that mirrors KmFillPartitions::processSuperkmer's save path, capturing
@@ -30,9 +32,10 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "..", "tests", "data_ref_exec")
 BUILD = os.environ.get("KMTRICKS_GATB_BUILD", "/tmp/gatb_build")
 
-# compiled twice: -DNONCANONICAL (the reference's fill_partitions.hpp:20
-# routing) and without (ModelCanonical — the scheme its committed fixtures
-# and RepartitionAlgorithm sampling use)
+# compiled twice: plain (ModelCanonical — the reference BINARY's actual
+# routing: fill_partitions.hpp:20's NONCANONICAL define is dead by include
+# order, see tests/test_ref_exec_golden.py SCHEMES) and -DNONCANONICAL
+# (ModelDirect — the dead define's intent, our --mmer-scheme forward)
 DRIVER = r"""
 #include <gatb/gatb_core.hpp>
 #include <gatb/kmer/impl/Sequence2SuperKmer.hpp>

@@ -1,5 +1,6 @@
-"""--mmer-scheme: canonical (default, fixture semantics) vs forward
-(the reference binary's NONCANONICAL routing). Both are GATB-executed-
+"""--mmer-scheme: canonical (default — the reference binary's actual
+routing AND its fixtures; the NONCANONICAL define is dead by include
+order) vs forward (the dead define's intent). Both GATB-executed-
 golden-tested at the op level (test_ref_exec_golden); here: e2e wiring."""
 
 import os

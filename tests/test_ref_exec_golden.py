@@ -72,12 +72,13 @@ def _gatb_rows(name):
             yield int(k), int(m), seq, rest.split()
 
 
-# "canon" = GATB compiled plain (ModelMinimizer<ModelCanonical> — the
-# scheme of the reference's committed fixtures and its
-# RepartitionAlgorithm sampling; our default). "noncanon" = compiled
-# -DNONCANONICAL (ModelMinimizer<ModelDirect> — what the reference
-# BINARY's superk/count routing uses, fill_partitions.hpp:20; our
-# --mmer-scheme forward).
+# "canon" = GATB compiled plain (ModelMinimizer<ModelCanonical>) — the
+# reference BINARY's actual routing: its fill_partitions.hpp:20
+# NONCANONICAL define is dead by include order (#pragma once freezes
+# Sequence2SuperKmer's #ifdef before the define; task.hpp:28 vs :34),
+# matching its committed fixtures; our default. "noncanon" = compiled
+# -DNONCANONICAL (ModelMinimizer<ModelDirect>) — the dead define's
+# intent; our --mmer-scheme forward.
 SCHEMES = [("canon", True), ("noncanon", False)]
 
 
@@ -246,6 +247,23 @@ def test_lpt_repartition_vs_gatb_execution(tmp_path):
         assert out.read_bytes() == bytes.fromhex(blob_hex), ncase
         ncase += 1
     assert ncase == 8
+
+
+def test_bank_estimate_vs_gatb_execution():
+    """estimate() == an executed BankFasta::estimate, exactly: the 50000
+    threshold (one extra consumed uncounted), 256KB-chunk gztell
+    extrapolation, float32 totalSize ratio, and the strstr-"gz"-at-end
+    name heuristic (defeated by names containing gz earlier — covered)."""
+    from kmtricks_tpu.io.sequences import estimate
+
+    ncase = 0
+    for line in open(os.path.join(DATA, "estimate_golden.tsv")):
+        fn, fmt, nreads, number, total, mx = line.split()
+        e = estimate(os.path.join(DATA, fn))
+        assert (e.sequences, e.total_bases, e.max_size) == \
+            (int(number), int(total), int(mx)), fn
+        ncase += 1
+    assert ncase == 6
 
 
 def test_bitmatrix_transpose_vs_reference_execution():
