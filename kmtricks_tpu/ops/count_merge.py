@@ -91,18 +91,18 @@ def _use_pallas_sort() -> bool:
 def _use_routed_merge(nw: int = 1) -> bool:
     """Mesh receiver backend for re-ordering the all_to_all's sorted runs:
     KMTRICKS_TPU_ROUTED_MERGE = pallas | xla | auto. Default auto = the
-    Pallas log2(ndev)-level run merge on TPU for 1- and 2-word packed
-    layouts (h1/h2/k2 — measured/estimated wins over the lax.sort
-    re-sort), lax.sort elsewhere (3+ words estimated a wash: per-stage
-    cost grows with the word count as fast as the re-sort's operand
-    cost). "pallas" forces every layout. Read at trace time."""
+    Pallas log2(ndev)-level run merge on TPU for packed layouts up to 5
+    words — on-chip measurements (scripts/profile_routed_merge.py, v5e,
+    8 runs x 512k): 6.1 vs 9.8 ms (1w), 8.4/12.6 (2w), 12.0/15.5 (3w),
+    21.2/23.7 (5w), but 41.6 vs 40.1 at 9w (k=128 kw) — lax.sort there.
+    "pallas" forces every layout. Read at trace time."""
     import os
     mode = os.environ.get("KMTRICKS_TPU_ROUTED_MERGE", "auto")
     if mode == "pallas":
         return True
     if mode == "xla":
         return False
-    return jax.default_backend() == "tpu" and nw <= 2
+    return jax.default_backend() == "tpu" and nw <= 5
 
 
 def _use_pallas_segscan() -> bool:

@@ -358,8 +358,10 @@ def _stage_mw(ws, idx, k: int, d: int):
     desc = ((idx & k) != 0) if k else jnp.zeros_like(upper)
     want_max = upper ^ desc
     # max keeps the partner iff self < partner; min iff self >= partner
-    # (ties: either side is the same tuple)
-    take_partner = jnp.where(want_max, x_lt_p, ~x_lt_p)
+    # (ties: either side is the same tuple). Written as a boolean equality
+    # rather than where(bool, bool, bool): Mosaic cannot lower the latter's
+    # i1 select (arith.trunci i8->i1 "Unsupported target bitwidth").
+    take_partner = want_max == x_lt_p
     return tuple(jnp.where(take_partner, p, w) for w, p in zip(ws, parts))
 
 

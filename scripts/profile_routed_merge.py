@@ -65,9 +65,9 @@ def main():
     dt = rate(srt, (flat,))
     print(f"lax.sort   (4.19M):    {dt*1e3:8.2f} ms")
 
-    # multi-word routed-run merge (h2/k2 = 2 words, k3/kw = 3) vs the
-    # lax.sort multi-operand re-sort it replaces
-    for nw in (2, 3):
+    # multi-word routed-run merge (h2/k2 = 2 words, k3/kw = 3; kw reaches
+    # 5 at k=64 and 9 at k=128) vs the lax.sort re-sort it replaces
+    for nw in (2, 3, 5, 9):
         ws = [np.full((NRUNS, CAP), 0xFFFFFFFF, dtype=np.uint32)
               for _ in range(nw)]
         for i in range(NRUNS):
