@@ -194,7 +194,11 @@ def main() -> None:
     result["extra"]["kmer_mode_k45_kmers_per_sec"] = round(kmer45_rate, 1)
 
     # --- matrix build wall time: 10-sample abundance matrix from 2.5M
-    # windows (BASELINE config-2 shape), device chunks + host assembly
+    # windows (BASELINE config-2 shape). Device-side row compaction
+    # (ops/compact.py) + narrowed tiled fetch: the device link runs at
+    # ~16 MB/s through the tunnel, so only the distinct rows ride it
+    # (was 4.3 s fetching the full N-sized kernel arrays in r2).
+    from kmtricks_tpu.ops.compact import fetch_matrix, fetch_rows
     nsamp10 = 10
     g10 = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
                      size=2560 * 1024 // 10)
@@ -202,34 +206,34 @@ def main() -> None:
     b10 = g10[s10s[:, None] + np.arange(1024)]
     s10 = (np.arange(2560, dtype=np.int32) * nsamp10) // 2560
     amin10 = np.full(nsamp10, 2, dtype=np.uint32)
+    ROWS_CAP = 1 << 19                # >= the ~262k distinct rows
     step10 = jax.jit(build_single_chip_step(
         k=K, m=M, nsamp=nsamp10, hard_min=1, rmin=1, save_if=0,
-        mode="kmer", static_repart_parts=NB_PARTS, with_stats=False,
-        batch_layout="lb"))
+        mode="kmer", static_repart_parts=NB_PARTS, with_stats=True,
+        batch_layout="lb", compact_rows=ROWS_CAP))
     args10 = (jnp.asarray(np.ascontiguousarray(b10.T)),
               jnp.asarray(np.full(2560, 1024, np.int32)),
               jnp.asarray(s10), jnp.asarray(repart.table.astype(np.int32)),
               jnp.asarray(amin10))
-    _fetch(step10(*args10))           # compile outside the wall clock
+    warm = step10(*args10)            # compile outside the wall clock
+    fetch_rows(warm[0], 1)            # warm the tile-slice programs too
+    fetch_matrix(warm[1], 1, int(warm[6]))
+    fetch_rows(warm[2], 1)
     t0 = time.perf_counter()
-    outp = step10(*args10)
-    (part_s, keys_s, samp_s, final, cnt, present10, row_head, row_keep,
-     _row_of, _stats) = outp
-    # ONE batched device_get: sequential np.asarray round-trips serialize
-    # on the device link
-    (part_s, row_head, present10, final, samp_np, keys0,
-     keys1) = jax.device_get(
-        (part_s, row_head, present10, final, samp_s, keys_s[0], keys_s[1]))
-    row_head = row_head.astype(bool)
-    present10 = present10.astype(bool)
-    row_of = np.cumsum(row_head) - 1
-    nrows = int(row_of[-1]) + 1 if row_head.any() else 0
-    mat = np.zeros((nrows, nsamp10), dtype=np.uint32)
-    mat[row_of[present10], samp_np[present10]] = final[present10]
-    kk = (keys0[row_head].astype(np.uint64) << np.uint64(32)) \
-        | keys1[row_head]
+    ku_d, mat_d, keep_d, part_rows_d, stats_pp_d, nrows_d, maxc_d = \
+        step10(*args10)
+    # ONE batched device_get for the small outputs (round trips serialize)
+    nrows, maxc, part_rows, stats_pp = jax.device_get(
+        (nrows_d, maxc_d, part_rows_d, stats_pp_d))
+    nrows, maxc = int(nrows), int(maxc)
+    assert nrows <= ROWS_CAP
+    ku = fetch_rows(ku_d, nrows)
+    mat = fetch_matrix(mat_d, nrows, maxc)
+    keep = fetch_rows(keep_d, nrows)
+    kk = (ku[:, 0].astype(np.uint64) << np.uint64(32)) | ku[:, 1]
     matrix_wall = time.perf_counter() - t0
     assert nrows > 0 and kk.shape[0] == nrows and mat.shape[0] == nrows
+    assert keep.shape[0] == nrows and int(part_rows.sum()) == nrows
     result["extra"]["matrix_build_wall_s_10samp_2.5Mwin"] = \
         round(matrix_wall, 4)
 

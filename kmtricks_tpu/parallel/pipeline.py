@@ -188,7 +188,8 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                            with_stats: bool = True,
                            hard_min_vec=None,
                            batch_layout: str = "bl",
-                           mmer_canonical: bool = True):
+                           mmer_canonical: bool = True,
+                           compact_rows: int | None = None):
     """Build the jitted SPMD pipeline step over ``mesh``.
 
     The returned function takes GLOBAL arrays (batch axis divisible by the
@@ -198,6 +199,13 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     (part, hi, lo, samp, final, cnt, present, row_head, row_keep, stats, dropped)
     where the per-occurrence outputs are sharded by device (each device's
     slice covers its own partitions, sorted) and stats/dropped are global.
+
+    With ``compact_rows`` (per-device row capacity), the step instead ends
+    with device-side row compaction (ops/compact.py) and returns
+    (ku (ndev*rows, nw), mat (ndev*rows, nsamp), keep (ndev*rows,),
+    part_rows (nb_parts,), stats_pp (6, nb_parts, nsamp), nrows (ndev,),
+    maxc (), dropped ()) — the fetch-light path (the device link is the
+    bottleneck at ~16 MB/s through the axon tunnel).
     """
     (axis,) = mesh.axis_names
     ndev = mesh.shape[axis]
@@ -253,21 +261,39 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                 part_follows_keys=(mode == "hash"), key_bits=key_bits,
                 window_bits=window_bits if mode == "hash" else None,
                 hard_min_vec=hmv)
-        stats = jax.lax.psum(stats, axis)
         dropped = jax.lax.psum(dropped, axis)
+        if compact_rows is not None:
+            from kmtricks_tpu.ops.compact import compact_merge_rows
+            (ku, mat, keep, part_rows, stats_pp, nrows,
+             maxc) = compact_merge_rows(
+                part_s, keys_s, samp_s, final, cnt, present, key_head,
+                row_keep, amin_vec, rows_cap=compact_rows, nsamp=nsamp,
+                nb_parts=nb_parts, with_pp_stats=True)
+            # devices own disjoint partitions: per-partition sums combine
+            # across the mesh with one psum each
+            part_rows = jax.lax.psum(part_rows, axis)
+            stats_pp = jax.lax.psum(stats_pp, axis)
+            maxc = jax.lax.pmax(maxc, axis)
+            return (ku, mat, keep, part_rows, stats_pp,
+                    nrows.reshape(1), maxc, dropped)
+        stats = jax.lax.psum(stats, axis)
         return (part_s, keys_s, samp_s, final, cnt, present, key_head,
                 row_keep, stats, dropped)
 
     sh = P(axis)
     rep = P()
     batch_spec = sh if batch_layout == "bl" else P(None, axis)
+    if compact_rows is not None:
+        out_specs = (sh, sh, sh, rep, rep, sh, rep, rep)
+    else:
+        out_specs = (sh, tuple(sh for _ in range(nw)), sh, sh, sh, sh, sh,
+                     sh, rep, rep)
     # check_vma=False: the Pallas segment-scan kernels inside the step
     # don't carry vma metadata; outputs are byte-validated in tests
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
         in_specs=(batch_spec, sh, sh, rep, rep),
-        out_specs=(sh, tuple(sh for _ in range(nw)), sh, sh, sh, sh, sh,
-                   sh, rep, rep), check_vma=False))
+        out_specs=out_specs, check_vma=False))
 
 
 def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
@@ -279,10 +305,15 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
                            nb_parts: int | None = None,
                            with_stats: bool = True,
                            batch_layout: str = "bl",
-                           mmer_canonical: bool = True):
+                           mmer_canonical: bool = True,
+                           compact_rows: int | None = None):
     """Single-device fused forward step (no collectives): encode -> hash ->
     sort -> count+merge. Jittable; used by ``__graft_entry__.entry`` and the
-    benchmark. ``batch_layout="lb"`` takes the batch transposed (L, B)."""
+    benchmark. ``batch_layout="lb"`` takes the batch transposed (L, B).
+
+    With ``compact_rows``, ends with device-side row compaction and
+    returns (ku, mat, keep, part_rows, stats_pp, nrows, maxc) — see
+    ops/compact.py."""
     assert mode in ("kmer", "hash")
     known_parts = nb_parts or static_repart_parts
     key_bits = ((window_bits * known_parts - 1).bit_length()
@@ -293,7 +324,7 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
             batch, lengths, samp, repart_table, k, m, mode, window_bits,
             encode_impl, static_repart_parts, batch_layout,
             mmer_canonical)
-        return count_merge_keys(
+        out = count_merge_keys(
             parts, keys, sampw, valid, amin_vec, nsamp=nsamp,
             hard_min=hard_min, rmin=rmin, save_if=save_if,
             count_max=count_max, with_stats=with_stats,
@@ -302,5 +333,15 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
             window_bits=window_bits if mode == "hash" else None,
             part_bits=(((known_parts - 1).bit_length())
                        if (mode == "kmer" and known_parts) else None))
+        if compact_rows is not None:
+            assert known_parts, "compact_rows needs a known partition count"
+            from kmtricks_tpu.ops.compact import compact_merge_rows
+            (part_s, keys_s, samp_s, final, cnt, present, row_head,
+             row_keep, _row_of, _stats) = out
+            return compact_merge_rows(
+                part_s, keys_s, samp_s, final, cnt, present, row_head,
+                row_keep, amin_vec, rows_cap=compact_rows, nsamp=nsamp,
+                nb_parts=known_parts, with_pp_stats=with_stats)
+        return out
 
     return step

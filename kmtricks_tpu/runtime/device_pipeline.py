@@ -345,6 +345,10 @@ def _keys_to_u64(keys_s) -> np.ndarray:
     return U.msb_words_to_u64_rows_np(keys_s)
 
 
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
 def stage_mesh_count_merge(kmdir: KmDir, config: Config,
                            opts: PipelineOptions, repart,
                            amin_vec: np.ndarray,
@@ -353,8 +357,9 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     import jax
     import jax.numpy as jnp
 
+    from kmtricks_tpu.ops.compact import fetch_matrix, fetch_rows
     from kmtricks_tpu.parallel.pipeline import (
-        build_sharded_pipeline, make_mesh)
+        build_sharded_pipeline, make_mesh, partition_to_device)
 
     nsamp = len(kmdir.fof)
     mesh = make_mesh(n_devices)
@@ -376,53 +381,83 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     # self-heals by doubling the cap and recompiling (never a hard error)
     skew = estimate_dest_skew(kmdir, opts, config, repart, ndev)
     cap = min(local, int(local * skew * ndev * 1.5) + 1024)
+    # per-device distinct-row capacity: start at half the worst case
+    # (power of two for compile-cache hits), double on overflow
+    rows_cap = min(_pow2ceil(local), max(1 << 14, _pow2ceil(local) // 2))
     log.info("mesh step: %d reads x %d (windows %d) over %d device(s), "
-             "skew %.3f cap %d/%d",
+             "skew %.3f cap %d/%d rows_cap %d",
              batch.shape[0], batch.shape[1], n_windows, ndev, skew, cap,
-             local)
+             local, rows_cap)
 
-    def build(c):
+    def build(c, rc):
         return build_sharded_pipeline(
             mesh, k=config.kmer_size, m=config.minim_size,
             nb_parts=config.nb_partitions, cap=c, nsamp=nsamp,
             hard_min=hard_min, rmin=opts.recurrence_min,
             save_if=opts.share_min, mode=cf, window_bits=window_bits,
             count_max=count_max, static_repart=opts.static_repart,
-            with_stats=False,   # per-partition stats are rebuilt on host
+            with_stats=True,    # per-partition stats computed on device
             hard_min_vec=hard_min_vec, batch_layout="lb",
-            mmer_canonical=config.mmer_scheme != "forward")
+            mmer_canonical=config.mmer_scheme != "forward",
+            compact_rows=rc)
 
     args = (jnp.asarray(np.ascontiguousarray(batch.T)), jnp.asarray(lengths),
             jnp.asarray(sarr),
             jnp.asarray(repart.table.astype(np.int32)),
             jnp.asarray(amin_vec, dtype=np.uint32))
     while True:
-        outp = build(cap)(*args)
-        ndropped = int(np.asarray(outp[-1]))
-        if not ndropped:
-            break
-        assert cap < local, "dropped occurrences at worst-case capacity"
-        cap = min(local, cap * 2)
-        log.warning("mesh shuffle overflow (%d dropped) - retrying with "
-                    "cap %d", ndropped, cap)
-    (part_s, keys_s, samp_s, final, cnt, present, row_head, row_keep,
-     stats, dropped) = outp
-    # ONE batched device_get (sequential np.asarray round-trips serialize
-    # on the device link)
-    (part_s, samp_s, final, cnt, present, row_head, row_keep,
-     keys_s) = jax.device_get((part_s, samp_s, final, cnt, present,
-                               row_head, row_keep, keys_s))
+        outp = build(cap, rows_cap)(*args)
+        (ku_d, mat_d, keep_d, part_rows_d, stats_pp_d, nrows_d, maxc_d,
+         dropped_d) = outp
+        # ONE batched device_get for everything small (the link pays a
+        # round trip per transfer)
+        nrs, maxc, part_rows, stats_pp, ndropped = jax.device_get(
+            (nrows_d, maxc_d, part_rows_d, stats_pp_d, dropped_d))
+        if int(ndropped):
+            assert cap < local, "dropped occurrences at worst-case capacity"
+            cap = min(local, cap * 2)
+            log.warning("mesh shuffle overflow (%d dropped) - retrying "
+                        "with cap %d", int(ndropped), cap)
+            continue
+        if int(nrs.max()) > rows_cap:
+            rows_cap = _pow2ceil(int(nrs.max()))
+            log.warning("row compaction overflow - retrying with rows_cap "
+                        "%d", rows_cap)
+            continue
+        break
 
-    keys = _keys_to_u64(keys_s)
-    present = present.astype(bool)
-    row_head = row_head.astype(bool)
-    for p in range(config.nb_partitions):
-        sel = part_s == p
-        res = _merge_result_for_partition(
-            keys[sel], samp_s[sel], final[sel], cnt[sel], present[sel],
-            row_head[sel], row_keep[sel].astype(bool), nsamp, amin_vec,
-            cf)
-        write_merge_outputs(kmdir, config, opts, p, res)
+    part_dev = partition_to_device(config.nb_partitions, ndev)
+    maxc = int(maxc)
+    for d in range(ndev):
+        nr = int(nrs[d])
+        off = d * rows_cap
+        ku = fetch_rows(ku_d, nr, offset=off)
+        mat = fetch_matrix(mat_d, nr, maxc, offset=off)
+        # keep is all-true only when every present sample is also solid
+        # (amin <= the count-stage hard-min) and rmin <= 1; otherwise a
+        # row present everywhere can still be solid nowhere (merge.hpp
+        # recurrence counts SOLID samples)
+        hmv = (hard_min_vec if hard_min_vec is not None
+               else np.full(nsamp, hard_min, np.uint32))
+        if (opts.recurrence_min <= 1 and not opts.plugin
+                and (np.asarray(amin_vec, np.uint32) <= hmv).all()):
+            keep = np.ones(nr, dtype=bool)
+        else:
+            keep = fetch_rows(keep_d, nr, offset=off).astype(bool)
+        keys = _keys_to_u64(tuple(ku[:, j] for j in range(ku.shape[1])))
+        slots = max(1, ku.shape[1] // 2)
+        keys = keys if cf == "hash" else keys.reshape(nr, slots)
+        row0 = 0
+        for p in np.nonzero(part_dev == d)[0]:
+            npr = int(part_rows[p])
+            sl = slice(row0, row0 + npr)
+            row0 += npr
+            stats = MergeStats(*(stats_pp[i, p].astype(np.uint64)
+                                 for i in range(6)))
+            res = MergeResult(keys=keys[sl], counts=mat[sl], keep=keep[sl],
+                              stats=stats)
+            write_merge_outputs(kmdir, config, opts, p, res)
+        assert row0 == nr, (row0, nr, d)
 
 
 def _merge_result_for_partition(keys, samp, final, cnt, present, row_head,
