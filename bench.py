@@ -209,7 +209,7 @@ def main() -> None:
     ROWS_CAP = 1 << 19                # >= the ~262k distinct rows
     step10 = jax.jit(build_single_chip_step(
         k=K, m=M, nsamp=nsamp10, hard_min=1, rmin=1, save_if=0,
-        mode="kmer", static_repart_parts=NB_PARTS, with_stats=True,
+        mode="kmer", static_repart_parts=NB_PARTS, with_stats=False,
         batch_layout="lb", compact_rows=ROWS_CAP))
     args10 = (jnp.asarray(np.ascontiguousarray(b10.T)),
               jnp.asarray(np.full(2560, 1024, np.int32)),
@@ -217,23 +217,21 @@ def main() -> None:
               jnp.asarray(amin10))
     warm = step10(*args10)            # compile outside the wall clock
     fetch_rows(warm[0], 1)            # warm the tile-slice programs too
-    fetch_matrix(warm[1], 1, int(warm[6]))
-    fetch_rows(warm[2], 1)
+    fetch_matrix(warm[1], 1, int(warm[3]))
     t0 = time.perf_counter()
-    ku_d, mat_d, keep_d, part_rows_d, stats_pp_d, nrows_d, maxc_d = \
-        step10(*args10)
+    rows_d, pre_d, nrows_d, maxc_d, _npres_d = step10(*args10)
     # ONE batched device_get for the small outputs (round trips serialize)
-    nrows, maxc, part_rows, stats_pp = jax.device_get(
-        (nrows_d, maxc_d, part_rows_d, stats_pp_d))
+    nrows, maxc = jax.device_get((nrows_d, maxc_d))
     nrows, maxc = int(nrows), int(maxc)
-    assert nrows <= ROWS_CAP
-    ku = fetch_rows(ku_d, nrows)
-    mat = fetch_matrix(mat_d, nrows, maxc)
-    keep = fetch_rows(keep_d, nrows)
-    kk = (ku[:, 0].astype(np.uint64) << np.uint64(32)) | ku[:, 1]
+    assert 0 < nrows <= ROWS_CAP
+    rows = fetch_rows(rows_d, nrows)
+    pre = fetch_matrix(pre_d, nrows, maxc)
+    kk = (rows[:, 0].astype(np.uint64) << np.uint64(32)) | rows[:, 1]
+    # rescue/keep/stats semantics from the dense pre-merge counts
+    from kmtricks_tpu.host.ops import merge_dense
+    res = merge_dense(kk, pre, amin10, 1, 0)
     matrix_wall = time.perf_counter() - t0
-    assert nrows > 0 and kk.shape[0] == nrows and mat.shape[0] == nrows
-    assert keep.shape[0] == nrows and int(part_rows.sum()) == nrows
+    assert kk.shape[0] == nrows and res.counts.shape == (nrows, nsamp10)
     result["extra"]["matrix_build_wall_s_10samp_2.5Mwin"] = \
         round(matrix_wall, 4)
 

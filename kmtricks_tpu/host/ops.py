@@ -237,27 +237,41 @@ def merge_partition(
     mat[row_id, samp] = cnts
     present[row_id, samp] = True
     ukeys = keys[head]
+    return merge_dense(ukeys if multiword else ukeys.ravel(), mat,
+                       amin_vec, rmin, save_if, present=present)
 
+
+def merge_dense(ukeys: np.ndarray, pre: np.ndarray, amin_vec: np.ndarray,
+                rmin: int, save_if: int,
+                present: np.ndarray | None = None) -> MergeResult:
+    """Merge semantics over a DENSE pre-merge count matrix (rows x samples
+    of saturated post-hard-min counts, 0 = absent) — the exact
+    merge.hpp:183-260 logic. This is what the device compaction path
+    (ops/compact.py) fetches: zero cells are unambiguous because a present
+    (key, sample) pair always counted >= 1 at the count stage."""
+    if present is None:
+        present = pre > 0
+    pre = np.asarray(pre, dtype=np.uint64)
     amin = np.asarray(amin_vec, dtype=np.uint64)[None, :]
-    solid = present & (mat >= amin)
+    solid = present & (pre >= amin)
     solid_in = solid.sum(axis=1)
     keep = solid_in >= rmin
     if save_if > 0:
         rescued = present & ~solid & (solid_in >= save_if)[:, None]
     else:
         rescued = np.zeros_like(solid)
-    final = np.where(solid | rescued, mat, 0)
+    final = np.where(solid | rescued, pre, 0)
 
     stats = MergeStats(
         non_solid=(present & ~solid).sum(axis=0).astype(np.uint64),
         rescued=rescued.sum(axis=0).astype(np.uint64),
         uniq_wo_rescue=solid.sum(axis=0).astype(np.uint64),
         uniq_w_rescue=(solid | rescued).sum(axis=0).astype(np.uint64),
-        total_wo_rescue=np.where(solid, mat, 0).sum(axis=0).astype(np.uint64),
+        total_wo_rescue=np.where(solid, pre, 0).sum(axis=0).astype(np.uint64),
         total_w_rescue=final.sum(axis=0).astype(np.uint64),
     )
-    return MergeResult(keys=ukeys if multiword else ukeys.ravel(),
-                       counts=final, keep=keep, stats=stats)
+    return MergeResult(keys=ukeys, counts=final.astype(np.uint32),
+                       keep=keep, stats=stats)
 
 
 def saturate_counts(counts: np.ndarray, count_bytes: int) -> np.ndarray:

@@ -627,12 +627,17 @@ def _estimate_fasta_like(path: str, fmt: str, threshold: int):
         eof = False
 
         def lines():
+            # C-level split per 256KB chunk (a per-line carry reslice is
+            # quadratic in chunk size); fetch accounting is unchanged —
+            # a chunk is fetched only once the carried data has no
+            # complete line left, exactly like the per-line version
             nonlocal carry, eof, fetched
             while True:
-                nl = carry.find(b"\n")
-                if nl >= 0:
-                    line, carry = carry[:nl], carry[nl + 1:]
-                    yield line.rstrip(b"\r")
+                if b"\n" in carry:
+                    parts = carry.split(b"\n")
+                    carry = parts.pop()
+                    for line in parts:
+                        yield line.rstrip(b"\r")
                     continue
                 if eof:
                     if carry:

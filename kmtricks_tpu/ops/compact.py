@@ -1,27 +1,26 @@
-"""Device-side row compaction: full-N kernel outputs -> dense matrix rows.
+"""Device-side row compaction: full-N kernel outputs -> dense count rows.
 
 The fused count+merge kernel (ops/count_merge.py) returns N-sized sorted
 occurrence arrays with validity masks. Fetching those to host costs
 N * ~40 bytes over the device link — orders of magnitude more than the
 information content (the distinct rows). This module compacts ON DEVICE to
-exactly what the host writers need (the reference streams the same compact
-rows straight out of its merge loop, merge.hpp:262-316):
+the minimum the host needs (the reference streams the same compact rows
+straight out of its merge loop, merge.hpp:262-316):
 
-  - ``ku``   (rows_cap, nw) u32  — each distinct key's words, row-major
-  - ``mat``  (rows_cap, nsamp) u32 — post-rescue dense count matrix
-  - ``keep`` (rows_cap,) bool   — recurrence verdict per row
-  - ``part_rows`` (nb_parts,) i32 — rows per partition (rows are sorted by
-    partition, so host-side partition splits are offsets, no per-row ids)
-  - ``stats_pp`` (6, nb_parts, nsamp) u32 — per-partition merge statistics
-    (merge.hpp:49-100), computed on device so the host never needs the
-    N-sized present/cnt arrays
+  - ``rows`` (rows_cap, nw+1) u32 — each distinct key's words plus its
+    partition id, scattered in ONE multi-column pass
+  - ``pre``  (rows_cap, nsamp) u32 — dense PRE-merge saturated counts
+    (what the per-sample .kmer/.hash files would contain)
   - ``nrows`` () i32, ``maxc`` () u32 — actual row count (callers re-run
-    with a bigger ``rows_cap`` if nrows > rows_cap) and the max matrix
-    count (hosts fetch the matrix as u8/u16 when it fits)
+    with a bigger ``rows_cap`` if nrows > rows_cap) and the max count
+    (hosts fetch the matrices as u8/u16 when everything fits)
 
-Scatter note: this uses two N->rows_cap scatters (~27 ms at 4M on a v5e,
-NOTES.md) — far cheaper than fetching N-sized arrays at the measured
-~16 MB/s device link.
+Everything else — rescue zeroing, recurrence keep verdicts, per-partition
+merge statistics — is EXACTLY reconstructible from ``pre`` alone
+(host/ops.py merge_dense): solid = pre >= amin, a zero cell = absent
+(present cells always hold count >= 1). Keeping those off the device
+removes ~9 full-N scatter passes from the step (measured ~0.5 s each at
+78M occurrences on a v5e).
 """
 
 from __future__ import annotations
@@ -34,73 +33,82 @@ import jax.numpy as jnp
 U32 = jnp.uint32
 I32 = jnp.int32
 
-STATS_ROWS = 6   # NON_SOLID, RESCUED, UNIQ_WO, UNIQ_W, TOTAL_WO, TOTAL_W
 
+def compact_count_rows(part_s, keys_s, samp_s, cnt, present, row_head, *,
+                       rows_cap: int, nsamp: int, with_part: bool = True,
+                       pre_cap: int | None = None):
+    """Compact one device's sorted count output to dense rows (see module
+    docstring). Inputs are count_merge_* outputs; jit-traceable.
 
-def _amin_of(amin_vec, samp_i, nsamp: int):
-    vec = jnp.asarray(amin_vec, dtype=U32)
-    if nsamp <= 16:
-        out = jnp.zeros(samp_i.shape, dtype=U32)
-        for s in range(nsamp):
-            out = jnp.where(samp_i == s, vec[s], out)
-        return out
-    return vec[samp_i]
+    Returns (rows (rows_cap, nw [+1 if with_part]) u32, pre
+    (rows_cap, nsamp) u32, nrows () i32, maxc () u32, npres () i32).
+    ``with_part=False`` skips the partition column (hash mode:
+    part = key // window_bits is host-computable). ``pre_cap`` bounds the
+    intermediate compacted present stream (defaults to rows_cap * nsamp,
+    never needed larger); callers re-run with bigger caps if
+    nrows > rows_cap or npres > pre_cap.
 
-
-def compact_merge_rows(part_s, keys_s, samp_s, final, cnt, present,
-                       row_head, row_keep, amin_vec, *, rows_cap: int,
-                       nsamp: int, nb_parts: int,
-                       with_pp_stats: bool = True):
-    """Compact one device's sorted merge output to dense rows (see module
-    docstring). All inputs are the count_merge_* outputs; jit-traceable."""
-    samp_i = samp_s.astype(I32)
+    Implementation: a direct scatter of all N occurrences costs ~9 ns/row
+    input-bound on a v5e (and a multi-column row scatter ~10x that), so
+    instead the present entries are COMPACTED FIRST with a 3-operand sort
+    keyed on ((~present) << 31 | position) — present positions come out
+    first, in order, with (count, head|sample) carried as values — and
+    the dense matrix is scattered from the ~density-times-smaller stream.
+    """
+    n = part_s.shape[0]
+    assert n < (1 << 31), "position packing needs n < 2^31"
+    if pre_cap is None:
+        pre_cap = min(n, rows_cap * nsamp)
+    pre_cap = min(pre_cap, n)
+    samp_i = samp_s.astype(U32)
     present = present.astype(bool)
     row_head = row_head.astype(bool)
-    row_keep = row_keep.astype(bool)
-    row_of = jnp.cumsum(row_head.astype(I32)) - 1
-    nrows = row_of[-1] + 1 if row_of.shape[0] else jnp.int32(0)
 
+    iota = jax.lax.broadcasted_iota(U32, (n,), 0)
+    poskey = ((~present).astype(U32) << U32(31)) | iota
+    hs = (row_head.astype(U32) << U32(31)) | samp_i
+    ks, cnt_c, hs_c = jax.lax.sort((poskey, cnt.astype(U32), hs),
+                                   dimension=0, num_keys=1)
+    ks, cnt_c, hs_c = ks[:pre_cap], cnt_c[:pre_cap], hs_c[:pre_cap]
+    pvalid = (ks >> U32(31)) == 0          # tail = non-present positions
+    pos_p = (ks & U32(0x7FFFFFFF)).astype(I32)
+    head_c = ((hs_c >> U32(31)) == 1) & pvalid
+    samp_c = (hs_c & U32(0x7FFFFFFF)).astype(I32)
+
+    # row index of each present entry: heads are the first present entry
+    # of their row and present entries stay in (part, key, sample) order
+    row_c = jnp.cumsum(head_c.astype(I32)) - 1
     oob_flat = rows_cap * nsamp
-    flat = jnp.where(present & (row_of < rows_cap),
-                     row_of * nsamp + samp_i, oob_flat)
-    mat = jnp.zeros((rows_cap * nsamp,), dtype=U32).at[flat].set(
-        final.astype(U32), mode="drop").reshape(rows_cap, nsamp)
+    flat = jnp.where(pvalid & (row_c >= 0) & (row_c < rows_cap),
+                     row_c * nsamp + samp_c, oob_flat)
+    pre = jnp.zeros((rows_cap * nsamp,), dtype=U32).at[flat].set(
+        cnt_c, mode="drop").reshape(rows_cap, nsamp)
 
-    ridx = jnp.where(row_head & (row_of < rows_cap), row_of, rows_cap)
-    nw = len(keys_s)
-    ku = jnp.zeros((rows_cap, nw), dtype=U32)
-    for j, w in enumerate(keys_s):
-        ku = ku.at[ridx, j].set(w.astype(U32), mode="drop")
-    keep = jnp.zeros((rows_cap,), dtype=bool).at[ridx].set(
-        row_keep, mode="drop")
-    part_rows = jnp.zeros((nb_parts,), dtype=I32).at[
-        jnp.where(row_head, part_s, nb_parts)].add(1, mode="drop")
-    maxc = jnp.max(jnp.where(present, final.astype(U32), U32(0)))
+    # head ORIGINAL positions, ascending: second (tiny) compaction sort
+    iota2 = jax.lax.broadcasted_iota(U32, (pre_cap,), 0)
+    hkey = ((~head_c).astype(U32) << U32(31)) | iota2
+    hkey_s, hpos = jax.lax.sort((hkey, pos_p), dimension=0, num_keys=1)
+    take = min(rows_cap, pre_cap)
+    hvalid = jnp.zeros((rows_cap,), dtype=bool).at[:take].set(
+        (hkey_s[:take] >> U32(31)) == 0)
+    hpos = jnp.zeros((rows_cap,), dtype=hpos.dtype).at[:take].set(
+        hpos[:take])
+    safe = jnp.where(hvalid, hpos, 0)
+    cols = [jnp.where(hvalid, w[safe].astype(U32), U32(0))
+            for w in keys_s]
+    if with_part:
+        cols.append(jnp.where(hvalid, part_s[safe].astype(U32), U32(0)))
+    rows = jnp.stack(cols, axis=1)
 
-    if with_pp_stats:
-        amin = _amin_of(amin_vec, samp_i, nsamp)
-        solid = present & (cnt.astype(U32) >= amin)
-        rescued = present & ~solid & (final.astype(U32) > 0)
-        seg = part_s.astype(I32) * nsamp + samp_i
-        values = [
-            (present & ~solid).astype(U32),          # NON_SOLID
-            rescued.astype(U32),                     # RESCUED
-            solid.astype(U32),                       # UNIQUE_WO_RESCUE
-            (solid | rescued).astype(U32),           # UNIQUE_W_RESCUE
-            jnp.where(solid, cnt.astype(U32), U32(0)),   # TOTAL_WO_RESCUE
-            jnp.where(present, final.astype(U32), U32(0)),  # TOTAL_W_RESCUE
-        ]
-        stats_pp = jnp.stack([
-            jax.ops.segment_sum(v, seg, num_segments=nb_parts * nsamp)
-            for v in values]).reshape(STATS_ROWS, nb_parts, nsamp)
-    else:
-        stats_pp = jnp.zeros((STATS_ROWS, nb_parts, nsamp), dtype=U32)
-    return ku, mat, keep, part_rows, stats_pp, nrows, maxc
+    nrows = jnp.sum(row_head.astype(I32))
+    npres = jnp.sum(present.astype(I32))
+    maxc = jnp.max(jnp.where(present, cnt.astype(U32), U32(0)))
+    return rows, pre, nrows, maxc, npres
 
 
 # --- host-side fetch helpers -------------------------------------------
 
-_TILE = 32768
+_TILE = 1 << 17
 
 
 @partial(jax.jit, static_argnames=("tile",))
@@ -118,8 +126,15 @@ def _slice_rows(a, start, tile: int = _TILE):
     return jax.lax.dynamic_slice_in_dim(a, start, tile)
 
 
+def _pick_tile(nrows: int) -> int:
+    """Tile size balancing dispatch round-trips (~8 tiles) against the
+    final tile's overfetch; power of two for compile-cache hits."""
+    t = 1 << max(0, (max(1, nrows // 8) - 1).bit_length())
+    return max(1 << 15, min(_TILE, t))
+
+
 def fetch_rows(arr, nrows: int, cast: str | None = None,
-               tile: int = _TILE, offset: int = 0):
+               tile: int | None = None, offset: int = 0):
     """Fetch ``arr[offset:offset+nrows]`` over the device link in
     fixed-shape tiles.
 
@@ -137,7 +152,7 @@ def fetch_rows(arr, nrows: int, cast: str | None = None,
         return np.zeros(shape, dtype=dt)
     n = arr.shape[0]
     nrows = min(nrows, n - offset)
-    tile = min(tile, n)
+    tile = min(tile or _pick_tile(nrows), n)
     fn = {"u8": _slice_rows_u8, "u16": _slice_rows_u16}.get(
         cast, _slice_rows)
     tiles = []
@@ -157,7 +172,7 @@ def fetch_rows(arr, nrows: int, cast: str | None = None,
 
 
 def fetch_matrix(mat_dev, nrows: int, maxc: int, offset: int = 0,
-                 tile: int = _TILE):
+                 tile: int | None = None):
     """Fetch a dense count-matrix block, narrowed to the smallest dtype
     that holds ``maxc`` (the device returns the max count as a scalar so
     the link never carries u32 zeros for u8 data)."""

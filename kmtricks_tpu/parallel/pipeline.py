@@ -189,7 +189,8 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                            hard_min_vec=None,
                            batch_layout: str = "bl",
                            mmer_canonical: bool = True,
-                           compact_rows: int | None = None):
+                           compact_rows: int | None = None,
+                           compact_pre_cap: int | None = None):
     """Build the jitted SPMD pipeline step over ``mesh``.
 
     The returned function takes GLOBAL arrays (batch axis divisible by the
@@ -202,10 +203,11 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
 
     With ``compact_rows`` (per-device row capacity), the step instead ends
     with device-side row compaction (ops/compact.py) and returns
-    (ku (ndev*rows, nw), mat (ndev*rows, nsamp), keep (ndev*rows,),
-    part_rows (nb_parts,), stats_pp (6, nb_parts, nsamp), nrows (ndev,),
-    maxc (), dropped ()) — the fetch-light path (the device link is the
-    bottleneck at ~16 MB/s through the axon tunnel).
+    (rows (ndev*rc, nw [+1 part col in kmer mode]) u32,
+    pre (ndev*rc, nsamp) u32 pre-merge counts, nrows (ndev,), maxc (),
+    npres (ndev,), dropped ()) — the fetch-light path (the device link is
+    the bottleneck at ~16 MB/s through the axon tunnel); rescue/keep/stats
+    are reconstructed on host from ``pre`` (host/ops.py merge_dense).
     """
     (axis,) = mesh.axis_names
     ndev = mesh.shape[axis]
@@ -263,19 +265,15 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                 hard_min_vec=hmv)
         dropped = jax.lax.psum(dropped, axis)
         if compact_rows is not None:
-            from kmtricks_tpu.ops.compact import compact_merge_rows
-            (ku, mat, keep, part_rows, stats_pp, nrows,
-             maxc) = compact_merge_rows(
-                part_s, keys_s, samp_s, final, cnt, present, key_head,
-                row_keep, amin_vec, rows_cap=compact_rows, nsamp=nsamp,
-                nb_parts=nb_parts, with_pp_stats=True)
-            # devices own disjoint partitions: per-partition sums combine
-            # across the mesh with one psum each
-            part_rows = jax.lax.psum(part_rows, axis)
-            stats_pp = jax.lax.psum(stats_pp, axis)
+            from kmtricks_tpu.ops.compact import compact_count_rows
+            rows, pre, nrows, maxc, npres = compact_count_rows(
+                part_s, keys_s, samp_s, cnt, present, key_head,
+                rows_cap=compact_rows, nsamp=nsamp,
+                with_part=(mode == "kmer"),   # hash part = key // window
+                pre_cap=compact_pre_cap)
             maxc = jax.lax.pmax(maxc, axis)
-            return (ku, mat, keep, part_rows, stats_pp,
-                    nrows.reshape(1), maxc, dropped)
+            return (rows, pre, nrows.reshape(1), maxc,
+                    npres.reshape(1), dropped)
         stats = jax.lax.psum(stats, axis)
         return (part_s, keys_s, samp_s, final, cnt, present, key_head,
                 row_keep, stats, dropped)
@@ -284,7 +282,7 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     rep = P()
     batch_spec = sh if batch_layout == "bl" else P(None, axis)
     if compact_rows is not None:
-        out_specs = (sh, sh, sh, rep, rep, sh, rep, rep)
+        out_specs = (sh, sh, sh, rep, sh, rep)
     else:
         out_specs = (sh, tuple(sh for _ in range(nw)), sh, sh, sh, sh, sh,
                      sh, rep, rep)
@@ -306,14 +304,14 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
                            with_stats: bool = True,
                            batch_layout: str = "bl",
                            mmer_canonical: bool = True,
-                           compact_rows: int | None = None):
+                           compact_rows: int | None = None,
+                           compact_pre_cap: int | None = None):
     """Single-device fused forward step (no collectives): encode -> hash ->
     sort -> count+merge. Jittable; used by ``__graft_entry__.entry`` and the
     benchmark. ``batch_layout="lb"`` takes the batch transposed (L, B).
 
     With ``compact_rows``, ends with device-side row compaction and
-    returns (ku, mat, keep, part_rows, stats_pp, nrows, maxc) — see
-    ops/compact.py."""
+    returns (rows, pre, nrows, maxc, npres) — see ops/compact.py."""
     assert mode in ("kmer", "hash")
     known_parts = nb_parts or static_repart_parts
     key_bits = ((window_bits * known_parts - 1).bit_length()
@@ -334,14 +332,13 @@ def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
             part_bits=(((known_parts - 1).bit_length())
                        if (mode == "kmer" and known_parts) else None))
         if compact_rows is not None:
-            assert known_parts, "compact_rows needs a known partition count"
-            from kmtricks_tpu.ops.compact import compact_merge_rows
+            from kmtricks_tpu.ops.compact import compact_count_rows
             (part_s, keys_s, samp_s, final, cnt, present, row_head,
              row_keep, _row_of, _stats) = out
-            return compact_merge_rows(
-                part_s, keys_s, samp_s, final, cnt, present, row_head,
-                row_keep, amin_vec, rows_cap=compact_rows, nsamp=nsamp,
-                nb_parts=known_parts, with_pp_stats=with_stats)
+            return compact_count_rows(
+                part_s, keys_s, samp_s, cnt, present, row_head,
+                rows_cap=compact_rows, nsamp=nsamp,
+                with_part=(mode == "kmer"), pre_cap=compact_pre_cap)
         return out
 
     return step

@@ -21,6 +21,7 @@ import logging
 import numpy as np
 
 from kmtricks_tpu.core.hashers import HashWindow
+from kmtricks_tpu.host import ops as hops
 from kmtricks_tpu.host.ops import MergeResult, MergeStats
 from kmtricks_tpu.io import sequences as seqio
 from kmtricks_tpu.ops import u64 as U
@@ -349,6 +350,27 @@ def _pow2ceil(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length())
 
 
+def _transpose_mt(batch: np.ndarray, threads: int = 4) -> np.ndarray:
+    """(B, L) -> contiguous (L, B) using a thread pool — the strided
+    transpose copy runs at ~38 MB/s single-threaded on the bench host and
+    numpy releases the GIL for large block copies."""
+    B = batch.shape[0]
+    threads = max(1, min(threads, (B + (1 << 14) - 1) >> 14))
+    if threads <= 1:
+        return np.ascontiguousarray(batch.T)
+    out = np.empty((batch.shape[1], B), dtype=batch.dtype)
+    from concurrent.futures import ThreadPoolExecutor
+    step = -(-B // threads)
+
+    def work(i0):
+        i1 = min(B, i0 + step)
+        out[:, i0:i1] = batch[i0:i1].T
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(work, range(0, B, step)))
+    return out
+
+
 def stage_mesh_count_merge(kmdir: KmDir, config: Config,
                            opts: PipelineOptions, repart,
                            amin_vec: np.ndarray,
@@ -381,9 +403,20 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     # self-heals by doubling the cap and recompiling (never a hard error)
     skew = estimate_dest_skew(kmdir, opts, config, repart, ndev)
     cap = min(local, int(local * skew * ndev * 1.5) + 1024)
-    # per-device distinct-row capacity: start at half the worst case
-    # (power of two for compile-cache hits), double on overflow
-    rows_cap = min(_pow2ceil(local), max(1 << 14, _pow2ceil(local) // 2))
+    # per-device distinct-row capacity: distinct rows are typically far
+    # below the window count (coverage deduplicates), so start at 1/32 of
+    # the worst case (power of two for compile-cache hits) and double on
+    # overflow — but never beyond what the compaction buffers can hold in
+    # device memory (~4*(nsamp + key words + 2) bytes per row slot).
+    # Oversizing costs real step time (the dense scatter target scales
+    # with rows_cap: 1.5 s at 2M rows vs 3.5 s at 16M for a 78M step).
+    from kmtricks_tpu.ops.encode import device_key_words
+    nw = 2 if cf == "hash" else device_key_words(config.kmer_size)
+    row_bytes = 4 * (nsamp + nw + 2)
+    rows_hbm = _pow2ceil(
+        int(opts.max_memory_mb * 1e6 / 2 / row_bytes) + 1) // 2
+    rows_cap = min(_pow2ceil(local), max(1 << 14, _pow2ceil(local) // 32),
+                   rows_hbm)
     log.info("mesh step: %d reads x %d (windows %d) over %d device(s), "
              "skew %.3f cap %d/%d rows_cap %d",
              batch.shape[0], batch.shape[1], n_windows, ndev, skew, cap,
@@ -401,18 +434,16 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
             mmer_canonical=config.mmer_scheme != "forward",
             compact_rows=rc)
 
-    args = (jnp.asarray(np.ascontiguousarray(batch.T)), jnp.asarray(lengths),
-            jnp.asarray(sarr),
+    args = (jnp.asarray(_transpose_mt(batch, getattr(opts, "threads", 4))),
+            jnp.asarray(lengths), jnp.asarray(sarr),
             jnp.asarray(repart.table.astype(np.int32)),
             jnp.asarray(amin_vec, dtype=np.uint32))
     while True:
-        outp = build(cap, rows_cap)(*args)
-        (ku_d, mat_d, keep_d, part_rows_d, stats_pp_d, nrows_d, maxc_d,
-         dropped_d) = outp
+        rows_d, pre_d, nrows_d, maxc_d, _npres_d, dropped_d = build(
+            cap, rows_cap)(*args)
         # ONE batched device_get for everything small (the link pays a
         # round trip per transfer)
-        nrs, maxc, part_rows, stats_pp, ndropped = jax.device_get(
-            (nrows_d, maxc_d, part_rows_d, stats_pp_d, dropped_d))
+        nrs, maxc, ndropped = jax.device_get((nrows_d, maxc_d, dropped_d))
         if int(ndropped):
             assert cap < local, "dropped occurrences at worst-case capacity"
             cap = min(local, cap * 2)
@@ -421,6 +452,13 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
             continue
         if int(nrs.max()) > rows_cap:
             rows_cap = _pow2ceil(int(nrs.max()))
+            if rows_cap > rows_hbm:
+                raise ValueError(
+                    f"partition rows ({int(nrs.max())}) exceed the device "
+                    f"compaction budget ({rows_hbm} rows at "
+                    f"--max-memory {opts.max_memory_mb} MB); raise "
+                    "--max-memory or lower the per-step window budget so "
+                    "the chunked path engages")
             log.warning("row compaction overflow - retrying with rows_cap "
                         "%d", rows_cap)
             continue
@@ -431,33 +469,30 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     for d in range(ndev):
         nr = int(nrs[d])
         off = d * rows_cap
-        ku = fetch_rows(ku_d, nr, offset=off)
-        mat = fetch_matrix(mat_d, nr, maxc, offset=off)
-        # keep is all-true only when every present sample is also solid
-        # (amin <= the count-stage hard-min) and rmin <= 1; otherwise a
-        # row present everywhere can still be solid nowhere (merge.hpp
-        # recurrence counts SOLID samples)
-        hmv = (hard_min_vec if hard_min_vec is not None
-               else np.full(nsamp, hard_min, np.uint32))
-        if (opts.recurrence_min <= 1 and not opts.plugin
-                and (np.asarray(amin_vec, np.uint32) <= hmv).all()):
-            keep = np.ones(nr, dtype=bool)
+        rows = fetch_rows(rows_d, nr, offset=off)
+        pre = fetch_matrix(pre_d, nr, maxc, offset=off)
+        if cf == "hash":
+            keys = _keys_to_u64(tuple(rows[:, j]
+                                      for j in range(rows.shape[1])))
+            part_col = (keys // np.uint64(window_bits)).astype(np.int64)
         else:
-            keep = fetch_rows(keep_d, nr, offset=off).astype(bool)
-        keys = _keys_to_u64(tuple(ku[:, j] for j in range(ku.shape[1])))
-        slots = max(1, ku.shape[1] // 2)
-        keys = keys if cf == "hash" else keys.reshape(nr, slots)
-        row0 = 0
+            kwords = rows[:, :-1]
+            keys = _keys_to_u64(tuple(kwords[:, j]
+                                      for j in range(kwords.shape[1])))
+            slots = max(1, kwords.shape[1] // 2)
+            keys = keys.reshape(nr, slots)
+            part_col = rows[:, -1].astype(np.int64)
+        # rows are sorted by (partition, key): partition blocks are
+        # contiguous; rescue/keep/stats reconstructed from the dense
+        # pre-merge counts (host/ops.py merge_dense)
+        bounds = np.searchsorted(part_col, np.arange(
+            config.nb_partitions + 1))
         for p in np.nonzero(part_dev == d)[0]:
-            npr = int(part_rows[p])
-            sl = slice(row0, row0 + npr)
-            row0 += npr
-            stats = MergeStats(*(stats_pp[i, p].astype(np.uint64)
-                                 for i in range(6)))
-            res = MergeResult(keys=keys[sl], counts=mat[sl], keep=keep[sl],
-                              stats=stats)
+            sl = slice(int(bounds[p]), int(bounds[p + 1]))
+            res = hops.merge_dense(keys[sl], pre[sl], amin_vec,
+                                   opts.recurrence_min, opts.share_min)
             write_merge_outputs(kmdir, config, opts, p, res)
-        assert row0 == nr, (row0, nr, d)
+        assert int(bounds[-1]) == nr, (int(bounds[-1]), nr, d)
 
 
 def _merge_result_for_partition(keys, samp, final, cnt, present, row_head,
@@ -727,13 +762,18 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
     ndev = make_mesh().shape["d"]
     budget_windows = int(opts.max_memory_mb * 1e6 / 48)
     k = opts.kmer_size
-    # sampled size estimate decides whether the collection is ever
+    # file-size upper bound decides whether the collection is ever
     # materialized: far beyond the device budget -> stream chunks from the
-    # banks with bounded host RSS
-    ests = [seqio.estimate(e.paths) for e in kmdir.fof]
-    est_windows = sum(max(0, e.total_bases - (k - 1) * e.sequences)
-                      for e in ests)
-    if est_windows > 4 * budget_windows:
+    # banks with bounded host RSS. (Total bases <= file bytes for
+    # FASTA/FASTQ; gz sized x4, the reference's own name heuristic —
+    # the sampled seqio.estimate costs a 50k-record parse per file, only
+    # paid when the streaming path is actually taken.)
+    import os as _os
+    est_bytes = sum(
+        _os.path.getsize(p) * (4 if p.endswith("gz") else 1)
+        for e in kmdir.fof for p in e.paths)
+    if est_bytes > 4 * budget_windows:
+        ests = [seqio.estimate(e.paths) for e in kmdir.fof]
         stage_mesh_chunked(kmdir, config, opts, repart, None,
                            chunk_windows=budget_windows, use_stream=True,
                            ests=ests)
