@@ -224,8 +224,10 @@ def main() -> None:
     nrows, maxc = jax.device_get((nrows_d, maxc_d))
     nrows, maxc = int(nrows), int(maxc)
     assert 0 < nrows <= ROWS_CAP
-    rows = fetch_rows(rows_d, nrows)
-    pre = fetch_matrix(pre_d, nrows, maxc)
+    from kmtricks_tpu.ops.compact import fetch_many, narrow_cast
+    rows, pre = fetch_many([(rows_d, nrows, None, 0),
+                            (pre_d, nrows, narrow_cast(maxc), 0)])
+    pre = pre.astype(np.uint32, copy=False)
     kk = (rows[:, 0].astype(np.uint64) << np.uint64(32)) | rows[:, 1]
     # rescue/keep/stats semantics from the dense pre-merge counts
     from kmtricks_tpu.host.ops import merge_dense
@@ -234,6 +236,44 @@ def main() -> None:
     assert kk.shape[0] == nrows and res.counts.shape == (nrows, nsamp10)
     result["extra"]["matrix_build_wall_s_10samp_2.5Mwin"] = \
         round(matrix_wall, 4)
+
+    # --- end-to-end pipeline: FASTA files -> matrix files via
+    # run_pipeline on a synthetic 10-sample bank (BASELINE config-2
+    # shape at deep coverage: 10 samples x 1M genome x 30x = ~290M
+    # k-mer windows, ~290MB of FASTA). One warmup run loads/compiles the
+    # streaming-engine programs (persistently cached); the timed run is
+    # the steady-state tool speed a user sees.
+    import shutil
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from gen_synth_bank import gen_bank
+    bank_dir = "/tmp/kmtricks_bench_bank_v1"
+    fof_p = os.path.join(bank_dir, "bank.fof")
+    if not os.path.exists(fof_p):
+        gen_bank(bank_dir, nsamp=10, genome=1_000_000, coverage=30.0,
+                 read_len=1024, seed=42)
+    from kmtricks_tpu.runtime.device_pipeline import run_mesh_pipeline
+    from kmtricks_tpu.runtime.pipeline import PipelineOptions
+
+    def _e2e_opts(run_dir):
+        return PipelineOptions(
+            fof=fof_p, run_dir=run_dir, kmer_size=31, hard_min=2,
+            soft_min="2", mode="kmer:count:bin", backend="mesh",
+            static_repart=True, nb_partitions=NB_PARTS, threads=4,
+            max_memory_mb=3000)
+
+    n_e2e = 10 * (1_000_000 * 30 // 1024) * (1024 - 31 + 1)
+    shutil.rmtree("/tmp/kmtricks_bench_e2e", ignore_errors=True)
+    run_mesh_pipeline(_e2e_opts("/tmp/kmtricks_bench_e2e"))   # warm
+    shutil.rmtree("/tmp/kmtricks_bench_e2e", ignore_errors=True)
+    t0 = time.perf_counter()
+    run_mesh_pipeline(_e2e_opts("/tmp/kmtricks_bench_e2e"))
+    e2e_wall = time.perf_counter() - t0
+    result["extra"]["pipeline_e2e_kmers_per_sec"] = \
+        round(n_e2e / e2e_wall, 1)
+    result["extra"]["pipeline_e2e_wall_s_290Mkmer_10samp"] = \
+        round(e2e_wall, 2)
 
     # --- mesh backend on a 1-device mesh (all_to_all included); LAST:
     # the shard_map program is the slowest compile and the likeliest to

@@ -127,10 +127,44 @@ def _slice_rows(a, start, tile: int = _TILE):
 
 
 def _pick_tile(nrows: int) -> int:
-    """Tile size balancing dispatch round-trips (~8 tiles) against the
+    """Tile size balancing dispatch round-trips (~4 tiles) against the
     final tile's overfetch; power of two for compile-cache hits."""
-    t = 1 << max(0, (max(1, nrows // 8) - 1).bit_length())
-    return max(1 << 15, min(_TILE, t))
+    t = 1 << max(0, (max(1, nrows // 4) - 1).bit_length())
+    return max(1 << 16, min(_TILE, t))
+
+
+def _prepare_fetch(arr, nrows: int, cast: str | None,
+                   tile: int | None, offset: int):
+    """Dispatch the tile slices + async host copies for one array; return
+    a thunk that materializes the numpy result."""
+    import numpy as np
+
+    if nrows <= 0:
+        shape = (0,) + arr.shape[1:]
+        dt = {"u8": np.uint8, "u16": np.uint16}.get(cast, arr.dtype)
+        return lambda: np.zeros(shape, dtype=dt)
+    n = arr.shape[0]
+    nrows = min(nrows, n - offset)
+    tile = min(tile or _pick_tile(nrows), n)
+    fn = {"u8": _slice_rows_u8, "u16": _slice_rows_u16}.get(
+        cast, _slice_rows)
+    tiles = []
+    for s in range(offset, offset + nrows, tile):
+        start = min(s, max(0, n - tile))   # clamp: final tile overlaps
+        tiles.append((start, fn(arr, start, tile)))
+    for _, td in tiles:
+        td.copy_to_host_async()
+
+    def materialize():
+        out = []
+        prev_end = offset
+        for start, td in tiles:
+            h = np.asarray(td)
+            out.append(h[prev_end - start:])
+            prev_end = start + tile
+        res = np.concatenate(out, axis=0) if len(out) > 1 else out[0]
+        return res[:nrows]
+    return materialize
 
 
 def fetch_rows(arr, nrows: int, cast: str | None = None,
@@ -144,31 +178,22 @@ def fetch_rows(arr, nrows: int, cast: str | None = None,
     shape (dynamic_slice start is a traced scalar). ``cast``: "u8"/"u16"
     narrow the payload before it rides the link (callers check ``maxc``).
     """
-    import numpy as np
+    return _prepare_fetch(arr, nrows, cast, tile, offset)()
 
-    if nrows <= 0:
-        shape = (0,) + arr.shape[1:]
-        dt = {"u8": np.uint8, "u16": np.uint16}.get(cast, arr.dtype)
-        return np.zeros(shape, dtype=dt)
-    n = arr.shape[0]
-    nrows = min(nrows, n - offset)
-    tile = min(tile or _pick_tile(nrows), n)
-    fn = {"u8": _slice_rows_u8, "u16": _slice_rows_u16}.get(
-        cast, _slice_rows)
-    tiles = []
-    for s in range(offset, offset + nrows, tile):
-        start = min(s, max(0, n - tile))   # clamp: final tile overlaps
-        tiles.append((start, fn(arr, start, tile)))
-    for _, td in tiles:
-        td.copy_to_host_async()
-    out = []
-    prev_end = offset
-    for start, td in tiles:
-        h = np.asarray(td)
-        out.append(h[prev_end - start:])
-        prev_end = start + tile
-    res = np.concatenate(out, axis=0) if len(out) > 1 else out[0]
-    return res[:nrows]
+
+def fetch_many(specs):
+    """Fetch several arrays with ALL tile copies in flight together —
+    one call per (arr, nrows, cast, offset) spec, returning the arrays in
+    order. Avoids serializing each array's final round-trip behind the
+    previous array's materialization."""
+    thunks = [_prepare_fetch(arr, nrows, cast, None, offset)
+              for arr, nrows, cast, offset in specs]
+    return [t() for t in thunks]
+
+
+def narrow_cast(maxc: int) -> str | None:
+    """Smallest fetch cast that holds ``maxc``."""
+    return "u8" if maxc <= 0xFF else ("u16" if maxc <= 0xFFFF else None)
 
 
 def fetch_matrix(mat_dev, nrows: int, maxc: int, offset: int = 0,
@@ -176,8 +201,8 @@ def fetch_matrix(mat_dev, nrows: int, maxc: int, offset: int = 0,
     """Fetch a dense count-matrix block, narrowed to the smallest dtype
     that holds ``maxc`` (the device returns the max count as a scalar so
     the link never carries u32 zeros for u8 data)."""
-    cast = "u8" if maxc <= 0xFF else ("u16" if maxc <= 0xFFFF else None)
-    out = fetch_rows(mat_dev, nrows, cast=cast, offset=offset, tile=tile)
+    out = fetch_rows(mat_dev, nrows, cast=narrow_cast(maxc), offset=offset,
+                     tile=tile)
     import numpy as np
 
     return out.astype(np.uint32, copy=False)

@@ -294,6 +294,194 @@ def build_sharded_pipeline(mesh: Mesh, *, k: int, m: int, nb_parts: int,
         out_specs=out_specs, check_vma=False))
 
 
+def stream_layout(k: int, m: int, nb_parts: int, nsamp: int, mode: str,
+                  window_bits: int | None) -> str | None:
+    """Packed sort layout used by the streaming table engine (None = not
+    packable; callers fall back to the host-aggregation chunked path)."""
+    from kmtricks_tpu.ops.encode import device_key_words
+    nw = 2 if mode == "hash" else device_key_words(k)
+    key_bits = ((window_bits * nb_parts - 1).bit_length()
+                if mode == "hash" else 2 * k)
+    part_bits = (nb_parts - 1).bit_length()
+    return packed_layout(nsamp, nw, mode == "hash", key_bits,
+                         part_bits if mode == "kmer" else None)
+
+
+def build_chunk_pairs_step(mesh: Mesh, *, k: int, m: int, nb_parts: int,
+                           cap: int, nsamp: int, mode: str = "kmer",
+                           window_bits: int | None = None,
+                           static_repart: bool = False,
+                           batch_layout: str = "lb",
+                           mmer_canonical: bool = True,
+                           pair_cap: int = 1 << 20,
+                           encode_impl: str = "auto"):
+    """Streaming-engine chunk step: encode one read chunk, route packed
+    occurrences over the mesh, and reduce each device's slice to sorted
+    unique (packed word, count) pairs (ops/table.py).
+
+    Returns step(batch, lengths, samp, repart_table) ->
+    (pair_words tuple of (ndev*pair_cap,) u32, pair_cnt (ndev*pair_cap,),
+    n_pairs (ndev,) i32, dropped () i32). Requires a packed layout
+    (stream_layout(...) is not None).
+    """
+    (axis,) = mesh.axis_names
+    ndev = mesh.shape[axis]
+    assert mode in ("kmer", "hash")
+    layout = stream_layout(k, m, nb_parts, nsamp, mode, window_bits)
+    assert layout is not None, "streaming engine needs a packed layout"
+    from kmtricks_tpu.ops.table import chunk_count_pairs
+
+    def step(batch, lengths, samp, repart_table):
+        keys, sampw, parts, valid = _encode_flat(
+            batch, lengths, samp, repart_table, k, m, mode, window_bits,
+            encode_impl, nb_parts if static_repart else None,
+            batch_layout, mmer_canonical)
+        words = pack_words(layout, parts, keys, sampw, valid, nsamp)
+        if ndev == 1:
+            ws = sort_packed(layout, words)
+            dropped = jnp.int32(0)
+        else:
+            rwords, dropped = _route_sorted(
+                layout, words, ndev, cap, axis, nsamp,
+                window_bits if mode == "hash" else None, nb_parts)
+            from kmtricks_tpu.ops.count_merge import _use_routed_merge
+            if (rwords[0].shape[0] % ndev == 0
+                    and _use_routed_merge(len(rwords))):
+                from kmtricks_tpu.ops.pallas_sort import \
+                    merge_sorted_runs_words
+                ws = merge_sorted_runs_words(
+                    tuple(w.reshape(ndev, -1) for w in rwords))
+            else:
+                ws = sort_packed(layout, tuple(rwords))
+            dropped = jax.lax.psum(dropped, axis)
+        pw, pc, n_pairs = chunk_count_pairs(ws, pair_cap)
+        return pw, pc, n_pairs.reshape(1), dropped
+
+    sh = P(axis)
+    rep = P()
+    batch_spec = sh if batch_layout == "bl" else P(None, axis)
+    nw_packed = _layout_words(layout, nsamp)
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(batch_spec, sh, sh, rep),
+        out_specs=(tuple(sh for _ in range(nw_packed)), sh, sh, rep),
+        check_vma=False))
+
+
+def _layout_words(layout: str, nsamp: int) -> int:
+    if layout == "h1":
+        return 1
+    if layout == "h2" or layout.startswith("k2."):
+        return 2
+    if layout == "k3":
+        return 3
+    if layout.startswith("kw."):
+        from kmtricks_tpu.ops.count_merge import _kw_params
+        return _kw_params(layout, nsamp)[3]
+    raise ValueError(layout)
+
+
+def build_table_merge(mesh: Mesh, *, nw: int, out_cap: int, n_streams: int,
+                      in_caps: tuple):
+    """Merge ``n_streams`` per-device sorted pair streams (first is the
+    table, shapes ndev*in_caps[i]) into a new per-device table
+    (ndev*out_cap). Returns (words tuple, cnt, n (ndev,))."""
+    (axis,) = mesh.axis_names
+    from kmtricks_tpu.ops.table import merge_pair_streams
+
+    def step(*flat):
+        streams = []
+        i = 0
+        for _ in range(n_streams):
+            streams.append((tuple(flat[i:i + nw]), flat[i + nw]))
+            i += nw + 1
+        ws, cnt, n = merge_pair_streams(streams, out_cap)
+        return ws, cnt, n.reshape(1)
+
+    sh = P(axis)
+    n_args = n_streams * (nw + 1)
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=tuple(sh for _ in range(n_args)),
+        out_specs=(tuple(sh for _ in range(nw)), sh, sh),
+        check_vma=False))
+
+
+def build_table_finalize(mesh: Mesh, *, layout: str, nsamp: int,
+                         key_bits: int | None, window_bits: int | None,
+                         hard_min: int, rows_cap: int, mode: str,
+                         n_runs: int = 1):
+    """Final pass over ``n_runs`` per-device pair runs: concatenate,
+    sort, collapse duplicate (key, sample) entries (a pair split across
+    chunk runs sums here — suffix-sum doubling over at most n_runs
+    duplicates), derive presence (count >= hard_min on the RAW summed
+    count, the reference's count-stage filter), row heads, and compact to
+    dense fetchable rows (ops/compact.py). Per-sample hard-min refinement
+    and count_max clamping happen on host, matching the host chunked
+    path. Returns step(w0...,cnt0, w1...,cnt1, ...) ->
+    (rows, pre, nrows (ndev,), maxc, npres (ndev,))."""
+    (axis,) = mesh.axis_names
+    from kmtricks_tpu.ops.compact import compact_count_rows
+    from kmtricks_tpu.ops.count_merge import unpack_sorted
+    from kmtricks_tpu.ops.table import _sat_add, _words_equal_next
+    nw = _layout_words(layout, nsamp)
+
+    def step(*flat):
+        runs = []
+        for i in range(n_runs):
+            base = i * (nw + 1)
+            runs.append((flat[base:base + nw], flat[base + nw]))
+        if n_runs == 1:
+            ws, cnt = runs[0]
+        else:
+            cat_w = tuple(jnp.concatenate([r[0][j] for r in runs])
+                          for j in range(nw))
+            cat_c = jnp.concatenate([r[1] for r in runs])
+            sorted_ops = jax.lax.sort(cat_w + (cat_c,), dimension=0,
+                                      num_keys=nw)
+            ws, cnt = sorted_ops[:nw], sorted_ops[nw]
+            # collapse duplicate (key, sample) entries: total lands on
+            # the run's FIRST entry; later duplicates become shadows
+            # (count 0, never present)
+            n = cnt.shape[0]
+            eq_prev = jnp.zeros((n,), dtype=bool).at[1:].set(
+                _words_equal_next(ws))
+            run_id = jnp.cumsum((~eq_prev).astype(I32))
+            total = cnt
+            shift = 1
+            while shift < n_runs:
+                fwd = jnp.concatenate(
+                    [total[shift:], jnp.zeros((shift,), total.dtype)])
+                rid_fwd = jnp.concatenate(
+                    [run_id[shift:], jnp.full((shift,), -1, I32)])
+                total = jnp.where(run_id == rid_fwd,
+                                  _sat_add(total, fwd), total)
+                shift *= 2
+            cnt = jnp.where(~eq_prev, total, U32(0))
+
+        part_s, keys_s, samp_s, valid_s, _occ_d, kd = unpack_sorted(
+            layout, ws, nsamp, key_bits, window_bits)
+        n = cnt.shape[0]
+        present = valid_s & (cnt >= U32(hard_min))
+        key_diff = jnp.ones((n,), dtype=bool).at[1:].set(kd)
+        key_head = key_diff & valid_s
+        excl = jnp.cumsum(present.astype(I32)) - present.astype(I32)
+        group_base = jax.lax.cummax(jnp.where(key_head, excl, 0))
+        row_head = present & (excl == group_base)
+        rows, pre, nrows, maxc, npres = compact_count_rows(
+            part_s, keys_s, samp_s, cnt, present, row_head,
+            rows_cap=rows_cap, nsamp=nsamp, with_part=(mode == "kmer"))
+        maxc = jax.lax.pmax(maxc, axis)
+        return rows, pre, nrows.reshape(1), maxc, npres.reshape(1)
+
+    sh = P(axis)
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=tuple(sh for _ in range(n_runs * (nw + 1))),
+        out_specs=(sh, sh, sh, P(), sh),
+        check_vma=False))
+
+
 def build_single_chip_step(*, k: int, m: int, nsamp: int, hard_min: int = 1,
                            rmin: int = 1, save_if: int = 0,
                            mode: str = "kmer", window_bits: int | None = None,

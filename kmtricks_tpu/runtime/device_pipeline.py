@@ -204,12 +204,14 @@ def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
         yield state["buf"], state["ln"], state["sa"]
 
 
-def _transpose_chunks(gen):
+def _transpose_chunks(gen, threads: int = 4):
     """(rows, L) chunks -> (L, rows) for the transposed-batch device layout
     (sequence along sublanes is ~20% cheaper encode on TPU). Runs on the
-    prefetch thread when wrapped before :func:`prefetched`."""
+    prefetch thread when wrapped before :func:`prefetched`; the strided
+    copy itself fans out over a thread pool (~38 MB/s single-threaded on
+    the bench host)."""
     for buf, ln, sa in gen:
-        yield np.ascontiguousarray(buf.T), ln, sa
+        yield _transpose_mt(buf, threads), ln, sa
 
 
 def prefetched(gen, depth: int = 2):
@@ -379,7 +381,7 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     import jax
     import jax.numpy as jnp
 
-    from kmtricks_tpu.ops.compact import fetch_matrix, fetch_rows
+    from kmtricks_tpu.ops.compact import fetch_many, narrow_cast
     from kmtricks_tpu.parallel.pipeline import (
         build_sharded_pipeline, make_mesh, partition_to_device)
 
@@ -469,8 +471,9 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     for d in range(ndev):
         nr = int(nrs[d])
         off = d * rows_cap
-        rows = fetch_rows(rows_d, nr, offset=off)
-        pre = fetch_matrix(pre_d, nr, maxc, offset=off)
+        rows, pre = fetch_many([(rows_d, nr, None, off),
+                                (pre_d, nr, narrow_cast(maxc), off)])
+        pre = pre.astype(np.uint32, copy=False)
         if cf == "hash":
             keys = _keys_to_u64(tuple(rows[:, j]
                                       for j in range(rows.shape[1])))
@@ -575,7 +578,8 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
         focus = opts.focus if opts.focus is not None else 0.5
         depth = max(1, int(round(focus * 4)))   # --focus 0 -> depth 1
         chunks = prefetched(_transpose_chunks(
-            stream_row_chunks(kmdir, opts, k, L, rows_per_chunk)), depth)
+            stream_row_chunks(kmdir, opts, k, L, rows_per_chunk),
+            getattr(opts, "threads", 4) or 4), depth)
         log.info("mesh chunked (streaming): %d-row x %d chunks, prefetch "
                  "depth %d", rows_per_chunk, L, depth)
     else:
@@ -605,7 +609,8 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
 
         # prefetched: the per-chunk host transpose runs on the worker
         # thread, overlapped with device steps (like the streaming path)
-        chunks = prefetched(_transpose_chunks(_slice_chunks()), 2)
+        chunks = prefetched(_transpose_chunks(
+            _slice_chunks(), getattr(opts, "threads", 4) or 4), 2)
         log.info("mesh chunked: %d reads in %d chunk(s) of %d rows",
                  batch.shape[0], -(-batch.shape[0] // rows_per_chunk),
                  rows_per_chunk)
@@ -772,11 +777,23 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
     est_bytes = sum(
         _os.path.getsize(p) * (4 if p.endswith("gz") else 1)
         for e in kmdir.fof for p in e.paths)
+    from kmtricks_tpu.parallel.pipeline import stream_layout
+    cfm = parse_mode(opts.mode)[0]
+    wb = (HashWindow.load(kmdir.hash_win).window_size_bits
+          if cfm == "hash" else None)
+    streamable = stream_layout(k, config.minim_size, config.nb_partitions,
+                               len(kmdir.fof), cfm, wb) is not None
     if est_bytes > 4 * budget_windows:
         ests = [seqio.estimate(e.paths) for e in kmdir.fof]
-        stage_mesh_chunked(kmdir, config, opts, repart, None,
-                           chunk_windows=budget_windows, use_stream=True,
-                           ests=ests)
+        if streamable:
+            from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream
+            stage_mesh_stream(kmdir, config, opts, repart, None,
+                              chunk_windows=budget_windows,
+                              use_stream=True, ests=ests)
+        else:
+            stage_mesh_chunked(kmdir, config, opts, repart, None,
+                               chunk_windows=budget_windows,
+                               use_stream=True, ests=ests)
         cf, mode, _ = parse_mode(opts.mode)
         if mode == "bft":
             from kmtricks_tpu.runtime.pipeline import stage_format
@@ -785,9 +802,15 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
     batch, lengths, sarr = _load_global_batch(kmdir, opts, k, ndev)
     n_windows = batch.shape[0] * (batch.shape[1] - k + 1)
     if n_windows > budget_windows or _needs_host_aggregation(opts, kmdir):
-        stage_mesh_chunked(kmdir, config, opts, repart, None,
-                           chunk_windows=budget_windows,
-                           batch=batch, lengths=lengths, sarr=sarr)
+        if streamable:
+            from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream
+            stage_mesh_stream(kmdir, config, opts, repart, None,
+                              chunk_windows=budget_windows,
+                              batch=batch, lengths=lengths, sarr=sarr)
+        else:
+            stage_mesh_chunked(kmdir, config, opts, repart, None,
+                               chunk_windows=budget_windows,
+                               batch=batch, lengths=lengths, sarr=sarr)
     else:
         amin_vec = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
         stage_mesh_count_merge(kmdir, config, opts, repart, amin_vec,

@@ -1,0 +1,340 @@
+"""Streaming matrix engine: banks -> device-resident count table -> files.
+
+The TPU-native replacement for the reference's whole superk+count+merge
+dataflow at collection scale (task_scheduler.hpp): read chunks stream
+from the banks on background threads, each chunk reduces ON DEVICE to
+sorted unique (packed key, count) pairs (ops/table.py), pair streams
+merge into a device-resident table (the per-partition count files of the
+reference, living in HBM), and one final pass compacts the table to
+dense fetchable rows. Host work per chunk is O(1); nothing
+occurrence-sized ever crosses the device link.
+
+Feature handling (vs the fused single-step path):
+- per-sample hard-min (fof ``! amin`` overrides): the device applies the
+  MINIMUM hard-min; the host refines per sample on the fetched raw
+  counts (exactly the host chunked path's semantics).
+- histograms / float soft-min quantiles: the table holds pre-hard-min
+  counts, so histograms are computed on host from the fetched rows and
+  quantile thresholds resolved before the merge — no second pass over
+  the input.
+- count_max saturation: clamped on host AFTER hard-min (the reference
+  compares the raw count at the count stage, count_processor.hpp:61-72).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from kmtricks_tpu.core.hashers import HashWindow
+from kmtricks_tpu.host import ops as hops
+from kmtricks_tpu.io import sequences as seqio
+from kmtricks_tpu.runtime.config import Config
+from kmtricks_tpu.runtime.kmdir import KmDir
+from kmtricks_tpu.runtime.pipeline import (PipelineOptions, parse_mode,
+                                           resolve_soft_min,
+                                           write_merge_outputs)
+
+log = logging.getLogger("kmtricks_tpu")
+
+def _tracer():
+    """Env-gated wall-clock tracer (KMTRICKS_STREAM_TRACE=1)."""
+    import os
+    import time
+
+    if not os.environ.get("KMTRICKS_STREAM_TRACE"):
+        return lambda *_: None
+    t0 = time.perf_counter()
+
+    def mark(label):
+        print(f"[stream {time.perf_counter() - t0:7.2f}s] {label}",
+              flush=True)
+    return mark
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(0, int(x - 1).bit_length())
+
+
+def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
+                      repart, amin_vec, chunk_windows: int,
+                      batch=None, lengths=None, sarr=None,
+                      n_devices: int | None = None,
+                      use_stream: bool = False, ests=None) -> None:
+    """Chunked mesh pipeline with device-resident aggregation (see module
+    docstring). Mirrors stage_mesh_chunked's interface; requires a packed
+    sort layout (callers check stream_layout first)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from kmtricks_tpu.parallel.pipeline import (
+        build_chunk_pairs_step, build_table_finalize, build_table_merge,
+        _layout_words, make_mesh, stream_layout)
+    from kmtricks_tpu.runtime.device_pipeline import (
+        _load_global_batch, _transpose_mt, _transpose_chunks,
+        estimate_dest_skew, prefetched, stream_row_chunks)
+
+    trace = _tracer()
+    nsamp = len(kmdir.fof)
+    mesh = make_mesh(n_devices)
+    ndev = mesh.shape[mesh.axis_names[0]]
+    k = config.kmer_size
+    cf, _mode, _out = parse_mode(opts.mode)
+    window_bits = None
+    if cf == "hash":
+        window_bits = HashWindow.load(kmdir.hash_win).window_size_bits
+    layout = stream_layout(k, config.minim_size, config.nb_partitions,
+                           nsamp, cf, window_bits)
+    assert layout is not None
+    nw = _layout_words(layout, nsamp)
+    key_bits = ((window_bits * config.nb_partitions - 1).bit_length()
+                if cf == "hash" else 2 * k)
+    count_max = (1 << (8 * config.count_bytes)) - 1
+    hard_mins = np.asarray(kmdir.fof.abundance_mins(opts.hard_min),
+                           dtype=np.uint32)
+    want_hists = opts.hist or (amin_vec is None)
+    dev_hard_min = 1 if want_hists else int(hard_mins.min())
+
+    rows_align = math.lcm(ndev, 8)
+    if use_stream:
+        if ests is None:
+            ests = [seqio.estimate(e.paths) for e in kmdir.fof]
+        L = max(_round128(k), min(_round128(max(e.max_size for e in ests)),
+                                  4096))
+        W = L - k + 1
+        rows_per_chunk = max(rows_align,
+                             (chunk_windows // W) // rows_align
+                             * rows_align)
+        focus = opts.focus if opts.focus is not None else 0.5
+        depth = max(1, int(round(focus * 4)))
+        chunks = prefetched(_transpose_chunks(
+            stream_row_chunks(kmdir, opts, k, L, rows_per_chunk),
+            getattr(opts, "threads", 4) or 4), depth)
+    else:
+        if batch is None:
+            batch, lengths, sarr = _load_global_batch(kmdir, opts, k, ndev)
+        L = batch.shape[1]
+        W = L - k + 1
+        rows_per_chunk = max(rows_align,
+                             (chunk_windows // W) // rows_align
+                             * rows_align)
+        rows_per_chunk = min(rows_per_chunk,
+                             -(-batch.shape[0] // rows_align) * rows_align)
+
+        def _slices():
+            nchunks = -(-batch.shape[0] // rows_per_chunk)
+            for c in range(nchunks):
+                lo = c * rows_per_chunk
+                hi = min(batch.shape[0], lo + rows_per_chunk)
+                pad = rows_per_chunk - (hi - lo)
+                cb, cl, cs = batch[lo:hi], lengths[lo:hi], sarr[lo:hi]
+                if pad:
+                    cb = np.vstack([cb, np.full((pad, L), ord("N"),
+                                                np.uint8)])
+                    cl = np.concatenate([cl, np.zeros(pad, np.int32)])
+                    cs = np.concatenate([cs, np.zeros(pad, np.int32)])
+                yield cb, cl, cs
+
+        chunks = prefetched(_transpose_chunks(
+            _slices(), getattr(opts, "threads", 4) or 4), 2)
+
+    chunk_w = rows_per_chunk * W
+    local = -(-chunk_w // ndev)
+    skew = estimate_dest_skew(kmdir, opts, config, repart, ndev)
+    route_cap = min(local, int(local * skew * ndev * 1.5) + 1024)
+
+    # device-memory bound on table slots (words + cnt, double-buffered
+    # through merges)
+    table_hbm = _pow2ceil(int(
+        opts.max_memory_mb * 1e6 / 3 / (4 * (nw + 1))) + 1) // 2
+
+    def pairs_step(pc):
+        return build_chunk_pairs_step(
+            mesh, k=k, m=config.minim_size, nb_parts=config.nb_partitions,
+            cap=route_cap, nsamp=nsamp, mode=cf, window_bits=window_bits,
+            static_repart=opts.static_repart, batch_layout="lb",
+            mmer_canonical=config.mmer_scheme != "forward", pair_cap=pc)
+
+    table_jnp = jnp.asarray(repart.table.astype(np.int32))
+
+    pair_cap = None
+    step = None
+    runs = []             # accumulated pair runs [(words, cnt, cap, n)]
+    inflight = []         # [(n_pairs dev, dropped dev, host_chunk, slot)]
+    n_chunks = 0
+
+    def upload(cb, cl, cs):
+        return (jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cs))
+
+    def verify_inflight(keep_last: int):
+        """Resolve queued (n_pairs, dropped) checks; chunk overflow
+        re-runs the kept host chunk with a doubled pair_cap program."""
+        nonlocal pair_cap, step
+        while len(inflight) > keep_last:
+            n_pairs_d, dropped_d, host_chunk, slot = inflight.pop(0)
+            n_pairs, dropped = jax.device_get((n_pairs_d, dropped_d))
+            if int(dropped):
+                raise ValueError(
+                    "all_to_all capacity exceeded in the streaming "
+                    "engine; re-run with more partitions or a larger "
+                    "--max-memory")
+            if int(n_pairs.max()) > pair_cap:
+                pair_cap = _pow2ceil(int(n_pairs.max()) * 2)
+                log.warning("chunk pair overflow - re-running chunk with "
+                            "pair_cap %d", pair_cap)
+                step = pairs_step(pair_cap)
+                pw, pc2, np_d, dr_d = step(*upload(*host_chunk), table_jnp)
+                runs[slot] = (pw, pc2, pair_cap, None)
+                inflight.append((np_d, dr_d, host_chunk, slot))
+            else:
+                runs[slot] = runs[slot][:3] + (int(n_pairs.max()),)
+
+    def fold_runs():
+        """Collapse all accumulated runs into ONE compacted run — paid
+        only when the accumulated pair width approaches the device
+        budget (sorting duplicate-laden runs is otherwise deferred to
+        the single finalize pass)."""
+        nonlocal runs
+        verify_inflight(keep_last=0)
+        streams = [(r[0], r[1]) for r in runs]
+        n_total = sum(r[3] for r in runs)
+        out_cap = min(table_hbm, _pow2ceil(max(1 << 14, n_total)))
+        while True:
+            ws, cnt, n_d = build_table_merge(
+                mesh, nw=nw, out_cap=out_cap, n_streams=len(streams),
+                in_caps=tuple(r[2] for r in runs))(
+                *[x for s_ in streams for x in (list(s_[0]) + [s_[1]])])
+            n_new = int(np.asarray(n_d).max())
+            if n_new <= out_cap:
+                break
+            if out_cap >= table_hbm:
+                raise ValueError(
+                    f"device table overflow ({n_new} entries > "
+                    f"{table_hbm} budget at --max-memory "
+                    f"{opts.max_memory_mb} MB)")
+            out_cap = min(table_hbm, _pow2ceil(n_new))
+        runs = [(ws, cnt, out_cap, n_new)]
+
+    for cb, cl, cs in chunks:
+        trace(f"chunk {n_chunks} decoded")
+        if pair_cap is None:
+            # size pair_cap from the first chunk (synchronous once):
+            # start small — oversized pair runs bloat the finalize sort
+            # width — and grow exactly on overflow
+            pair_cap = max(1 << 14, _pow2ceil(local) // 32)
+            step = pairs_step(pair_cap)
+            pw, pc, np_d, dr_d = step(*upload(cb, cl, cs), table_jnp)
+            n_pairs, dropped = jax.device_get((np_d, dr_d))
+            if int(dropped):
+                raise ValueError("all_to_all capacity exceeded on the "
+                                 "first streamed chunk")
+            if int(n_pairs.max()) > pair_cap:
+                pair_cap = _pow2ceil(int(n_pairs.max()) * 2)
+                step = pairs_step(pair_cap)
+                pw, pc, np_d, dr_d = step(*upload(cb, cl, cs), table_jnp)
+                n_pairs = jax.device_get(np_d)
+                assert int(n_pairs.max()) <= pair_cap
+            runs.append((pw, pc, pair_cap, int(n_pairs.max())))
+        else:
+            pw, pc, np_d, dr_d = step(*upload(cb, cl, cs), table_jnp)
+            runs.append((pw, pc, pair_cap, None))
+            inflight.append((np_d, dr_d, (cb, cl, cs), len(runs) - 1))
+            verify_inflight(keep_last=1)
+        n_chunks += 1
+        trace(f"chunk {n_chunks - 1} dispatched ({len(runs)} runs)")
+        if sum(r[2] for r in runs) + pair_cap > table_hbm:
+            fold_runs()
+            trace(f"folded -> {runs[0][3]} entries")
+    verify_inflight(keep_last=0)
+    if not runs:
+        raise ValueError("no sequences")
+    n_total = sum(r[3] for r in runs)
+    log.info("streamed %d chunks -> %d pair runs, %d entries/device",
+             n_chunks, len(runs), n_total)
+
+    # final pass: ONE concat+sort+collapse over every accumulated run,
+    # then presence + row heads + dense compaction, then fetch
+    rows_cap = max(1 << 14, _pow2ceil(n_total))
+    finalize = build_table_finalize(
+        mesh, layout=layout, nsamp=nsamp, key_bits=key_bits,
+        window_bits=window_bits, hard_min=dev_hard_min, rows_cap=rows_cap,
+        mode=cf, n_runs=len(runs))
+    rows_d, pre_d, nrows_d, maxc_d, _npres_d = finalize(
+        *[x for r in runs for x in (list(r[0]) + [r[1]])])
+    nrs, maxc = jax.device_get((nrows_d, maxc_d))
+    trace(f"finalize done (nrows {int(nrs.max())})")
+
+    _fetch_merge_write(
+        kmdir, config, opts, cf, window_bits, rows_d, pre_d, nrs,
+        int(maxc), rows_cap, ndev, amin_vec, hard_mins, count_max,
+        want_hists)
+    trace("fetch + merge + write done")
+
+
+def _round128(x: int) -> int:
+    return max(128, ((x + 127) // 128) * 128)
+
+
+def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
+                       nrs, maxc, rows_cap, ndev, amin_vec, hard_mins,
+                       count_max, want_hists) -> None:
+    """Fetch per-device compacted row blocks, apply host-side hard-min /
+    histogram / soft-min-quantile semantics, run merge_dense per
+    partition, write outputs."""
+    import jax
+
+    from kmtricks_tpu.core.histogram import KHist
+    from kmtricks_tpu.io import formats as F
+    from kmtricks_tpu.ops.compact import fetch_many, narrow_cast
+    from kmtricks_tpu.parallel.pipeline import partition_to_device
+    from kmtricks_tpu.runtime.device_pipeline import _keys_to_u64
+
+    nsamp = len(kmdir.fof)
+    part_dev = partition_to_device(config.nb_partitions, ndev)
+    blocks = []
+    for d in range(ndev):
+        nr = int(nrs[d])
+        off = d * rows_cap
+        rows, pre = fetch_many([(rows_d, nr, None, off),
+                                (pre_d, nr, narrow_cast(maxc), off)])
+        pre = pre.astype(np.uint32, copy=False)
+        if cf == "hash":
+            keys = _keys_to_u64(tuple(rows[:, j]
+                                      for j in range(rows.shape[1])))
+            part_col = (keys // np.uint64(window_bits)).astype(np.int64)
+        else:
+            kwords = rows[:, :-1]
+            keys = _keys_to_u64(tuple(kwords[:, j]
+                                      for j in range(kwords.shape[1])))
+            keys = keys.reshape(nr, max(1, kwords.shape[1] // 2))
+            part_col = rows[:, -1].astype(np.int64)
+        blocks.append((d, keys, pre, part_col))
+
+    hists = ([KHist(s, config.kmer_size) for s in range(nsamp)]
+             if want_hists else None)
+    if hists is not None:
+        for _d, _keys, pre, _pc in blocks:
+            for s in range(nsamp):
+                col = pre[:, s]
+                hists[s].inc_counts(col[col > 0].astype(np.uint64))
+        if opts.hist:
+            for s, entry in enumerate(kmdir.fof):
+                F.write_hist_file(kmdir.get_hist_path(entry.id), hists[s])
+    if amin_vec is None:
+        amin_vec = resolve_soft_min(opts.soft_min, kmdir, nsamp)
+
+    hmv = np.asarray(hard_mins, dtype=np.uint32)[None, :]
+    for d, keys, pre, part_col in blocks:
+        # per-sample hard-min on RAW counts, then count-type saturation
+        # (count_processor.hpp:61-72 order)
+        pre = np.where(pre >= hmv, np.minimum(pre, count_max), 0)
+        bounds = np.searchsorted(part_col,
+                                 np.arange(config.nb_partitions + 1))
+        for p in np.nonzero(part_dev == d)[0]:
+            sl = slice(int(bounds[p]), int(bounds[p + 1]))
+            res = hops.merge_dense(keys[sl], pre[sl], amin_vec,
+                                   opts.recurrence_min, opts.share_min)
+            write_merge_outputs(kmdir, config, opts, p, res)
