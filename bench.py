@@ -167,6 +167,49 @@ def main() -> None:
     bf_bits_per_sec = float(present.sum()) / hash_dt
     result["extra"]["bf_bits_inserted_per_sec"] = round(bf_bits_per_sec, 1)
 
+    # --- device-resident bit transpose (write_as_bft kernel) at a real
+    # bloom-scale window: 16.7M rows x 50 samples (the host numpy twin
+    # above is the tunnel-attached fallback; on PCIe-class links this is
+    # the production path, KMTRICKS_TPU_BFT=device)
+    from kmtricks_tpu.core.bitmatrix import transpose_bits_device
+    Nt, St = 1 << 24, 50
+    rows_t = jax.device_put(rng.integers(
+        0, 256, (Nt, (St + 7) // 8), dtype=np.uint8))
+    ft = jax.jit(transpose_bits_device)
+    _fetch(ft(rows_t))
+    t0 = time.perf_counter()
+    outt = None
+    for _ in range(5):
+        outt = ft(rows_t)
+    _fetch(outt)
+    dt_t = (time.perf_counter() - t0) / 5
+    result["extra"]["bft_transpose_device_bits_per_sec_16Mx50"] = \
+        round(Nt * St / dt_t, 1)
+
+    # --- the REAL write_as_bf path: dense window row materialization
+    # (host/ops.bf_rows_from_merge) + the .cmbf file write, from a
+    # realistic per-partition merge result (~50% window occupancy)
+    import tempfile
+    from kmtricks_tpu.host.ops import MergeResult as _MR, \
+        MergeStats as _MS, bf_rows_from_merge
+    from kmtricks_tpu.io import formats as F
+    occ = WINDOW_BITS // 2
+    hsel = np.sort(rng.choice(WINDOW_BITS, occ, replace=False).astype(
+        np.uint64))
+    cnts = rng.integers(0, 5, (occ, NSAMP)).astype(np.uint32)
+    z6 = [np.zeros(NSAMP, np.uint64) for _ in range(6)]
+    mres = _MR(keys=hsel, counts=cnts, keep=np.ones(occ, bool),
+               stats=_MS(*z6))
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        rows_bf = bf_rows_from_merge(mres, 0, WINDOW_BITS - 1, NSAMP)
+        F.write_vector_matrix_file(os.path.join(td, "m.cmbf"), rows_bf,
+                                   NSAMP, 0, 0, 0, WINDOW_BITS)
+        bf_write_wall = time.perf_counter() - t0
+    set_bits = int((cnts > 0).sum())
+    result["extra"]["bf_write_bits_per_sec"] = \
+        round(set_bits / bf_write_wall, 1)
+
     # --- k-mer mode
     kmer_step = jax.jit(build_single_chip_step(
         k=K, m=M, nsamp=NSAMP, hard_min=2, rmin=1, save_if=2,

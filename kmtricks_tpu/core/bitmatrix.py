@@ -32,16 +32,25 @@ def transpose_bits(rows: np.ndarray, nrows: int | None = None) -> np.ndarray:
 
 
 def transpose_bits_device(rows, nrows: int | None = None):
-    """JAX twin of :func:`transpose_bits` (jnp arrays in/out)."""
+    """JAX twin of :func:`transpose_bits` (jnp arrays in/out), shaped for
+    the TPU: instead of transposing an (N, S) u8 cell matrix (large u8
+    transposes lower poorly), unpack each 8-ROW group's bits and reduce
+    them into output bytes — the only real transpose left is the small
+    (N/8, S) byte matrix (the reference needs an SSE 16x8 block kernel
+    for the same reason, bitmatrix.hpp:238-289)."""
     import jax.numpy as jnp
 
     n, nb = rows.shape
     n8 = round_up(max(n, nrows or 0), 8)
-    # unpack LSB-first
-    shifts = jnp.arange(8, dtype=jnp.uint8)
-    bits = ((rows[:, :, None] >> shifts) & 1).reshape(n, nb * 8)
     if n8 != n:
-        bits = jnp.concatenate(
-            [bits, jnp.zeros((n8 - n, nb * 8), jnp.uint8)], axis=0)
-    t = bits.T.reshape(nb * 8, n8 // 8, 8)
-    return (t << shifts).sum(axis=2).astype(jnp.uint8)
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((n8 - n, nb), jnp.uint8)], axis=0)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    # bit s of input row r (LSB-first within bytes), grouped 8 rows/byte:
+    # out[8*b + s, g] = sum_j bit(rows[8g + j], 8*b + s) << j
+    grp = rows.reshape(n8 // 8, 8, nb)                     # (G, 8, nb)
+    bits = (grp[:, :, :, None] >> shifts) & jnp.uint8(1)   # (G, 8, nb, 8)
+    packed = jnp.sum(bits.astype(jnp.uint16)
+                     << shifts[None, :, None, None], axis=1)  # (G, nb, 8)
+    out = packed.reshape(n8 // 8, nb * 8).T                # (nb*8, G)
+    return out.astype(jnp.uint8)

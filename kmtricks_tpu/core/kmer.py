@@ -67,7 +67,11 @@ def encode_ascii(seq: bytes | str) -> tuple[np.ndarray, np.ndarray]:
 
 def _pack_windows_u64(codes: np.ndarray, w: int) -> np.ndarray:
     """Value of every width-``w`` window (w <= 32) as (L-w+1,) uint64 —
-    doubling ladder: log2(w) shift-or passes instead of w."""
+    doubling ladder: log2(w) shift-or passes instead of w. Widths <= 16
+    run the ladder in uint32 (numpy's 64-bit shifts are ~25x slower than
+    32-bit on SSE-only hosts) and widen once at the end."""
+    if w <= 16:
+        return _pack_windows_u32(codes, w).astype(np.uint64)
     ladder = {1: codes.astype(np.uint64)}
     v, p = ladder[1], 1
     while 2 * p <= w:
@@ -84,6 +88,29 @@ def _pack_windows_u64(codes: np.ndarray, w: int) -> np.ndarray:
         else:
             need = len(codes) - (wa + p) + 1
             acc = (acc[:need] << np.uint64(2 * p)) | part[wa:wa + need]
+            wa += p
+    return acc
+
+
+def _pack_windows_u32(codes: np.ndarray, w: int) -> np.ndarray:
+    """uint32 doubling ladder for window widths <= 16."""
+    assert w <= 16
+    ladder = {1: codes.astype(np.uint32)}
+    v, p = ladder[1], 1
+    while 2 * p <= w:
+        v = (v[:len(v) - p] << np.uint32(2 * p)) | v[p:]
+        p *= 2
+        ladder[p] = v
+    acc, wa = None, 0
+    for p in sorted(ladder, reverse=True):
+        if not (w & p):
+            continue
+        part = ladder[p]
+        if acc is None:
+            acc, wa = part, p
+        else:
+            need = len(codes) - (wa + p) + 1
+            acc = (acc[:need] << np.uint32(2 * p)) | part[wa:wa + need]
             wa += p
     return acc
 
@@ -211,12 +238,63 @@ def is_allowed_minimizer(values: np.ndarray, m: int) -> np.ndarray:
     pair of set bits after ``~(v | v>>2)``; the mask keeps only positions
     excluding the first two characters' high bits.
     """
+    if m <= 16:
+        # u32 fast path (numpy 64-bit shifts are ~25x slower on this
+        # class of host)
+        v = values.astype(np.uint32)
+        mask1 = np.uint32((1 << (2 * m - 4)) - 1) if m >= 2 else \
+            np.uint32(0)
+        mask00 = np.uint32(0x55555555) & mask1
+        a = ~(v | (v >> np.uint32(2)))
+        a = ((a >> np.uint32(1)) & a) & mask00
+        return a == 0
     v = values.astype(np.uint64)
     mask1 = np.uint64((1 << (2 * m - 4)) - 1) if m >= 2 else np.uint64(0)
     mask00 = np.uint64(0x5555555555555555) & mask1
     a = ~(v | (v >> np.uint64(2)))
     a = ((a >> np.uint64(1)) & a) & mask00
     return a == 0
+
+
+def strand_is_forward(codes: np.ndarray, k: int) -> np.ndarray:
+    """True per k-mer window iff the canonical strand is the forward one
+    (NOT revcomp < forward — GATB comparator semantics). For k <= 32 the
+    comparison runs entirely in uint32 half-mers: the first 16 codes of
+    the reverse complement are the revcomp of the window's LAST 16 codes,
+    so rc < fwd decides on (revcomp(tail16) vs head16) with a
+    (revcomp(head b) vs tail b) tie-break — no 64-bit ops."""
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros((0,), dtype=bool)
+    if k > 32:
+        fwd = kmers_from_codes(codes, k)
+        return ~compare_lt(revcomp(fwd, k), fwd)
+    a = min(16, k)
+    b = k - a
+    A = _pack_windows_u32(codes, a)
+    Ra = _mmer_revcomp_u32(A[k - a:], a)
+    if b == 0:
+        return ~(Ra[:n] < A[:n])
+    Bv = _pack_windows_u32(codes, b)
+    Rb = _mmer_revcomp_u32(Bv[:n], b)
+    B = Bv[a:a + n]
+    lt = (Ra[:n] < A[:n]) | ((Ra[:n] == A[:n]) & (Rb < B))
+    return ~lt
+
+
+def _mmer_revcomp_u32(v: np.ndarray, m: int) -> np.ndarray:
+    """uint32 in/out revcomp of m-mer values (m <= 16) — see
+    mmer_revcomp_values."""
+    assert m <= 16
+    v = v.astype(np.uint32) ^ np.uint32(0xAAAAAAAA)
+    v = ((v >> np.uint32(2)) & np.uint32(0x33333333)) | \
+        ((v & np.uint32(0x33333333)) << np.uint32(2))
+    v = ((v >> np.uint32(4)) & np.uint32(0x0F0F0F0F)) | \
+        ((v & np.uint32(0x0F0F0F0F)) << np.uint32(4))
+    v = ((v >> np.uint32(8)) & np.uint32(0x00FF00FF)) | \
+        ((v & np.uint32(0x00FF00FF)) << np.uint32(8))
+    v = (v >> np.uint32(16)) | (v << np.uint32(16))
+    return v >> np.uint32(32 - 2 * m)
 
 
 def mmer_revcomp_values(values: np.ndarray, m: int) -> np.ndarray:
@@ -280,11 +358,20 @@ def window_minimizers(codes: np.ndarray, k: int, m: int,
     Model.hpp:911-976); the masked sentinel 4^m - 1 is pinned to the highest
     rank (RepartitionAlgorithm.cpp:380).
     """
-    masked = masked_mmers(codes, m, canonical_mmers)
     nk = len(codes) - k + 1
     if nk <= 0:
         return np.zeros((0,), dtype=np.uint64)
     per_window = k - m + 1
+    if freq_order is None and m <= 16:
+        # all-u32 path: values < 4^16 and numpy 64-bit compares/shifts
+        # are ~25x slower than 32-bit on SSE-only hosts
+        vals = _pack_windows_u32(codes, m)
+        cano = np.minimum(vals, _mmer_revcomp_u32(vals, m)) \
+            if canonical_mmers else vals
+        sentinel = np.uint32((1 << (2 * m)) - 1)
+        masked32 = np.where(is_allowed_minimizer(cano, m), cano, sentinel)
+        return _sliding_min(masked32, per_window)[:nk].astype(np.uint64)
+    masked = masked_mmers(codes, m, canonical_mmers)
     if freq_order is None:
         return _sliding_min(masked, per_window)[:nk]
     shift = np.uint64(2 * m)

@@ -137,6 +137,34 @@ def stage_config(opts: PipelineOptions) -> tuple[KmDir, Config]:
 # Stage: repartition
 # ---------------------------------------------------------------------------
 
+def _tally_kxmer_starts(bins: np.ndarray, codes: np.ndarray,
+                        valid: np.ndarray, k: int, m: int,
+                        freq_order) -> None:
+    """Tally kx-mer starts per minimizer over one flat code stream
+    (invalid positions separate sequences — no run crosses them)."""
+    from kmtricks_tpu.core import kmer as kops
+
+    if len(codes) < k:
+        return
+    wv = kops.window_validity(valid, k)
+    if not wv.any():
+        return
+    minim = kops.window_minimizers(codes, k, m, freq_order=freq_order)
+    if m <= 16:
+        minim = minim.astype(np.uint32)   # 64-bit compares are slow
+    which = kops.strand_is_forward(codes, k)
+    n = len(minim)
+    idx = np.arange(n, dtype=np.int32)
+    sk_break = np.ones(n, dtype=bool)     # superkmer boundaries
+    sk_break[1:] = (~wv[1:]) | (~wv[:-1]) | (minim[1:] != minim[:-1])
+    wb = sk_break.copy()                  # which-run boundaries
+    wb[1:] |= which[1:] != which[:-1]
+    run_start = np.maximum.accumulate(np.where(wb, idx, 0))
+    kx_start = (wb | ((idx - run_start) % 4 == 0)) & wv
+    bins += np.bincount(minim[kx_start].astype(np.int64),
+                        minlength=len(bins))
+
+
 def sample_minimizer_bins(kmdir: KmDir, config: Config, bam_filter=None,
                           freq_order=None) -> np.ndarray:
     """Tally sampled KX-MERS per minimizer — the reference's exact LPT
@@ -144,37 +172,57 @@ def sample_minimizer_bins(kmdir: KmDir, config: Config, bam_filter=None,
     superkmer (run of consecutive valid windows sharing a minimizer), a
     new kxmer starts when the canonical strand flips or after 4 k-mers.
     Deterministic: first-N sampling, like the reference's
-    CancellableIterator cutoff."""
-    from kmtricks_tpu.core import kmer as kops
+    CancellableIterator cutoff.
 
+    Sampled reads stream through the native batch parser and the batched
+    host kernels as ONE flat code stream per batch — each row gets an
+    appended invalid separator byte, so windows never span reads and the
+    tally is identical to per-sequence processing (the reference fans
+    SampleRepart over a thread pool for the same reason,
+    RepartitionAlgorithm.cpp:444-475)."""
     k, m = config.kmer_size, config.minim_size
-    bins = np.zeros(4 ** m, dtype=np.int64)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kmtricks_tpu.core.kmer import ASCII_CODE_TABLE, ASCII_VALID_TABLE
+
     total_cutoff = max(int(0.05 * max(config.seq_number, 1)), 1_000_000)
-    seen = 0
-    for entry in kmdir.fof:
-        for seq in seqio.iter_sequences(entry.paths, bam_filter):
+    nthreads = 4
+
+    def batches():
+        seen = 0
+        for entry in kmdir.fof:
             if seen >= total_cutoff:
-                break
-            seen += 1
-            codes, valid = kops.encode_ascii(seq)
-            if len(codes) < k:
-                continue
-            wv = kops.window_validity(valid, k)
-            if not wv.any():
-                continue
-            minim = kops.window_minimizers(codes, k, m,
-                                           freq_order=freq_order)
-            fwd = kops.kmers_from_codes(codes, k)
-            which = ~kops.compare_lt(kops.revcomp(fwd, k), fwd)
-            n = len(minim)
-            idx = np.arange(n)
-            sk_break = np.ones(n, dtype=bool)     # superkmer boundaries
-            sk_break[1:] = (~wv[1:]) | (~wv[:-1]) | (minim[1:] != minim[:-1])
-            wb = sk_break.copy()                  # which-run boundaries
-            wb[1:] |= which[1:] != which[:-1]
-            run_start = np.maximum.accumulate(np.where(wb, idx, 0))
-            kx_start = (wb | ((idx - run_start) % 4 == 0)) & wv
-            np.add.at(bins, minim[kx_start].astype(np.int64), 1)
+                return
+            for batch, lengths in seqio.iter_batches(entry.paths,
+                                                     bam_filter):
+                take = min(len(lengths), total_cutoff - seen)
+                if take <= 0:
+                    return
+                seen += take
+                yield batch[:take]
+
+    def tally(batch):
+        # append one invalid separator column; row padding is already
+        # invalid ('N'), so no k-window crosses a read boundary
+        flat = np.hstack([batch, np.full((batch.shape[0], 1), ord("N"),
+                                         np.uint8)]).ravel()
+        b = np.zeros(4 ** m, dtype=np.int64)
+        _tally_kxmer_starts(b, ASCII_CODE_TABLE[flat],
+                            ASCII_VALID_TABLE[flat], k, m, freq_order)
+        return b
+
+    # batch tallies commute and numpy releases the GIL on the big
+    # kernels; bounded submission keeps RSS at ~2*threads batches
+    # (Executor.map would buffer the whole bank)
+    bins = np.zeros(4 ** m, dtype=np.int64)
+    with ThreadPoolExecutor(max_workers=nthreads) as ex:
+        pending = []
+        for batch in batches():
+            pending.append(ex.submit(tally, batch))
+            if len(pending) >= 2 * nthreads:
+                bins += pending.pop(0).result()
+        for f in pending:
+            bins += f.result()
     return bins
 
 
@@ -187,6 +235,7 @@ def compute_mmer_frequencies(kmdir: KmDir, config: Config, bam_filter=None):
     it too leaves unseen m-mers at rank 4^m and overwrites only the top
     value, RepartitionAlgorithm.cpp:369-381)."""
     from kmtricks_tpu.core import kmer as kops
+    from kmtricks_tpu.core.kmer import ASCII_CODE_TABLE, ASCII_VALID_TABLE
 
     m = config.minim_size
     rg = 4 ** m
@@ -194,11 +243,19 @@ def compute_mmer_frequencies(kmdir: KmDir, config: Config, bam_filter=None):
     cutoff = min(int(0.05 * max(config.seq_number, 1)), 50_000_000) or 1
     seen = 0
     for entry in kmdir.fof:
-        for seq in seqio.iter_sequences(entry.paths, bam_filter):
-            if seen >= cutoff:
+        if seen >= cutoff:
+            break
+        for batch, lengths in seqio.iter_batches(entry.paths, bam_filter):
+            take = min(len(lengths), cutoff - seen)
+            if take <= 0:
                 break
-            seen += 1
-            codes, valid = kops.encode_ascii(seq)
+            batch = batch[:take]
+            seen += take
+            # flat stream with an invalid separator per row (see
+            # sample_minimizer_bins)
+            flat = np.hstack([batch, np.full((take, 1), ord("N"),
+                                             np.uint8)]).ravel()
+            codes, valid = ASCII_CODE_TABLE[flat], ASCII_VALID_TABLE[flat]
             if len(codes) < m:
                 continue
             wv = kops.window_validity(valid, m)
@@ -469,7 +526,19 @@ def write_merge_outputs(kmdir: KmDir, config: Config, opts: PipelineOptions,
         else:
             rows = hops.bf_rows_from_merge(res, lower, upper, nsamp)
             if mode == "bft":
-                rows = transpose_bits(rows)   # merge.hpp:631-644
+                # merge.hpp:631-644. KMTRICKS_TPU_BFT=device routes the
+                # bit-transpose through the TPU kernel (31.5e9 bits/s
+                # device-resident at 16M-row windows vs ~0.27e9 host
+                # numpy) — worth it when the device link is PCIe-class;
+                # default host on tunnel-attached devices.
+                import os as _os
+                if _os.environ.get("KMTRICKS_TPU_BFT") == "device":
+                    import jax
+                    from kmtricks_tpu.core.bitmatrix import \
+                        transpose_bits_device
+                    rows = np.asarray(jax.jit(transpose_bits_device)(rows))
+                else:
+                    rows = transpose_bits(rows)
             F.write_vector_matrix_file(out_path, rows, nsamp, 0,
                                        partition, lower, window)
 
