@@ -160,6 +160,50 @@ def main() -> None:
     result["value"] = round(hash_rate, 1)
     result["vs_baseline"] = round(hash_rate / BASELINE_KMERS_PER_SEC, 3)
 
+    # --- sort-floor roofline: the headline step is dominated by ONE
+    # lax.sort over the packed occurrences (h1 layout: 1 u32 operand);
+    # report the step's distance from that comparison-sort floor so the
+    # headline is interpretable (NOTES.md: only a fundamentally different
+    # algorithm could beat it)
+    NH = BH * (L - K + 1)
+    sort_in = jnp.asarray(rng.integers(0, 2**31, NH, dtype=np.uint32)
+                          .astype(np.uint32))
+    sort1 = jax.jit(lambda x: jax.lax.sort((x,), dimension=0, num_keys=1))
+    _, sort_dt = _rate(sort1, (sort_in,), NH, iters=5)
+    result["extra"]["sort_floor_pct_of_step"] = \
+        round(100.0 * sort_dt / hash_dt, 1)
+
+    # --- vs_host_node: the repo's own --backend host (threaded, the
+    # reference-equivalent CPU path) on a measured synthetic bank — a
+    # measured anchor next to the constant-based vs_baseline
+    import shutil as _sh
+    import tempfile as _tf
+    from kmtricks_tpu.runtime.pipeline import (PipelineOptions as _PO,
+                                               run_pipeline as _rp)
+    with _tf.TemporaryDirectory() as _td:
+        _g = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                        size=200_000)
+        lines = []
+        for s in range(2):
+            p = os.path.join(_td, f"S{s}.fasta")
+            starts = rng.integers(0, len(_g) - 512, 2000)
+            with open(p, "wb") as f:
+                for i, st in enumerate(starts):
+                    f.write(b">r%d\n" % i)
+                    f.write(_g[st:st + 512].tobytes() + b"\n")
+            lines.append(f"S{s} : {p}")
+        fof_h = os.path.join(_td, "h.fof")
+        open(fof_h, "w").write("\n".join(lines) + "\n")
+        n_host = 2 * 2000 * (512 - K + 1)
+        t0 = time.perf_counter()
+        _rp(_PO(fof=fof_h, run_dir=os.path.join(_td, "run"),
+                kmer_size=K, hard_min=2, soft_min="2",
+                mode="kmer:count:bin", backend="host", threads=4,
+                static_repart=True, nb_partitions=16))
+        host_rate = n_host / (time.perf_counter() - t0)
+    result["extra"]["host_backend_kmers_per_sec"] = round(host_rate, 1)
+    result["extra"]["vs_host_node"] = round(hash_rate / host_rate, 2)
+
     # --- BF bits: distinct present hashes per second from the same step
     # (each present head = one bit in the vertical BF, write_as_bf
     # semantics merge.hpp:575-600)
@@ -307,6 +351,10 @@ def main() -> None:
             max_memory_mb=3000)
 
     n_e2e = 10 * (1_000_000 * 30 // 1024) * (1024 - 31 + 1)
+    # pin the chunk pair capacity: chunk composition varies with decode
+    # thread interleaving, and a flipped adaptive cap would recompile
+    # inside the timed run
+    os.environ["KMTRICKS_STREAM_PAIR_CAP"] = str(1 << 23)
     shutil.rmtree("/tmp/kmtricks_bench_e2e", ignore_errors=True)
     run_mesh_pipeline(_e2e_opts("/tmp/kmtricks_bench_e2e"))   # warm
     shutil.rmtree("/tmp/kmtricks_bench_e2e", ignore_errors=True)
@@ -317,6 +365,60 @@ def main() -> None:
         round(n_e2e / e2e_wall, 1)
     result["extra"]["pipeline_e2e_wall_s_290Mkmer_10samp"] = \
         round(e2e_wall, 2)
+    del os.environ["KMTRICKS_STREAM_PAIR_CAP"]
+
+    # --- BASELINE config ladder (configs 3-5) as end-to-end pipeline
+    # walls: real run_pipeline invocations at compact sizes (config 1 is
+    # the byte-equality test suite; config 2 at depth is the
+    # pipeline_e2e metric above)
+    import tempfile as _tf2
+
+    def _gen_bank(td, nsamp, nreads, rlen, genome_sz, seed=7):
+        g = np.random.default_rng(seed).choice(
+            np.frombuffer(b"ACGT", dtype=np.uint8), size=genome_sz)
+        rr = np.random.default_rng(seed + 1)
+        lines = []
+        for s in range(nsamp):
+            p = os.path.join(td, f"S{s}.fasta")
+            starts = rr.integers(0, genome_sz - rlen, nreads)
+            with open(p, "wb") as f:
+                for i, st in enumerate(starts):
+                    f.write(b">r%d\n" % i)
+                    f.write(g[st:st + rlen].tobytes() + b"\n")
+            lines.append(f"S{s} : {p}")
+        fof = os.path.join(td, "bank.fof")
+        open(fof, "w").write("\n".join(lines) + "\n")
+        return fof, nsamp * nreads * (rlen - K + 1)
+
+    def _ladder(label, nsamp, nreads, rlen, genome_sz, **opts_kw):
+        with _tf2.TemporaryDirectory() as td:
+            fof, nwin = _gen_bank(td, nsamp, nreads, rlen, genome_sz)
+            t0 = time.perf_counter()
+            _rp(_PO(fof=fof, run_dir=os.path.join(td, "run"),
+                    kmer_size=K, threads=4, **opts_kw))
+            wall = time.perf_counter() - t0
+            result["extra"][label] = round(wall, 2)
+            return nwin, wall
+
+    # config 3: 50-sample BF vectors + bit-transpose + per-sample
+    # HowDe-SBT BFs (hash:bft + filters/)
+    _ladder("ladder3_bf50_bft_wall_s", 50, 100, 512, 100_000,
+            hard_min=1, soft_min="1", mode="hash:bft:bin",
+            bloom_size=1_000_000, nb_partitions=8, static_repart=True,
+            backend="mesh")
+    # config 4: 100-sample low-abundance rescue, multi-partition shuffle
+    _ladder("ladder4_rescue100_wall_s", 100, 80, 512, 100_000,
+            hard_min=1, soft_min="3", share_min=3, recurrence_min=2,
+            mode="kmer:count:bin", nb_partitions=16, static_repart=True,
+            backend="mesh")
+    # config 5: 1000-sample collection through the streaming engine
+    nwin5, wall5 = _ladder(
+        "ladder5_1000samples_wall_s", 1000, 12, 512, 100_000,
+        hard_min=1, soft_min="1", mode="kmer:pa:bin",
+        nb_partitions=16, static_repart=True, backend="mesh",
+        max_memory_mb=128)
+    result["extra"]["ladder5_1000samples_kmers_per_sec"] = \
+        round(nwin5 / wall5, 1)
 
     # --- mesh backend on a 1-device mesh (all_to_all included); LAST:
     # the shard_map program is the slowest compile and the likeliest to

@@ -155,6 +155,115 @@ def count_sequences(
     return out
 
 
+class StreamCounter:
+    """Bounded-memory streaming counter for one sample.
+
+    Feed read batches with :meth:`add_batch`; each block reduces
+    immediately to per-partition sorted (key, count) partial tables
+    (occurrence arrays never outlive a block), and partials collapse
+    into one table per partition whenever their total size crosses
+    ``budget_entries`` — host RSS stays O(budget + block), regardless of
+    sample size (the reference streams banks through fixed radix buffers
+    the same way, BankFasta.cpp + PartiInfo pre-sizing). finish() returns
+    exactly count_sequences' output (counts sum associatively; hard-min,
+    saturation and histogram all apply after full aggregation).
+    """
+
+    def __init__(self, k: int, m: int, repart_table: np.ndarray, *,
+                 mode: str = "kmer", window_bits: int | None = None,
+                 freq_order=None, mmer_canonical: bool = True,
+                 budget_entries: int = 16_000_000):
+        self.k, self.m = k, m
+        self.table = repart_table
+        self.mode = mode
+        self.window_bits = window_bits
+        self.freq_order = freq_order
+        self.mmer_canonical = mmer_canonical
+        self.budget = budget_entries
+        self.nb_parts = int(repart_table.max()) + 1 if len(repart_table) \
+            else 1
+        self.slots = kops.slots_for_k(k)
+        self.partials: list[list] = [[] for _ in range(self.nb_parts)]
+        self.entries = 0
+
+    def add_batch(self, batch: np.ndarray, lengths: np.ndarray) -> None:
+        """(B, L) padded read rows -> per-partition partial tables."""
+        k = self.k
+        # one invalid separator column; padding is already invalid
+        flat = np.hstack([batch, np.full((batch.shape[0], 1), ord("N"),
+                                         np.uint8)]).ravel()
+        codes, valid = kops.encode_ascii(flat)
+        if len(codes) < k:
+            return
+        wvalid = kops.window_validity(valid, k)
+        if not wvalid.any():
+            return
+        minim = kops.window_minimizers(
+            codes, k, self.m, freq_order=self.freq_order,
+            canonical_mmers=self.mmer_canonical)
+        parts = self.table[minim[wvalid]].astype(np.uint32)
+        keys = kops.canonical(kops.kmers_from_codes(codes, k)[wvalid], k)
+        if self.mode == "hash":
+            h = xxh64_words(keys)
+            keys = (h % np.uint64(self.window_bits)
+                    + np.uint64(self.window_bits)
+                    * parts.astype(np.uint64)).reshape(-1, 1)
+        for p in np.unique(parts):
+            pk = keys[parts == p]
+            order = sort_rows(pk)
+            uniq, cnt = run_length_count(pk[order])
+            self.partials[int(p)].append((uniq, cnt.astype(np.uint64)))
+            self.entries += len(uniq)
+        if self.entries > self.budget:
+            self._collapse()
+
+    def _collapse(self) -> None:
+        self.entries = 0
+        for p in range(self.nb_parts):
+            if len(self.partials[p]) > 1:
+                self.partials[p] = [_sum_sorted_tables(self.partials[p])]
+            if self.partials[p]:
+                self.entries += len(self.partials[p][0][0])
+
+    def finish(self, hard_min: int, count_max: int,
+               hist=None) -> SampleCounts:
+        self._collapse()
+        out = SampleCounts(kmer_size=self.k, nb_partitions=self.nb_parts)
+        for p in range(self.nb_parts):
+            if not self.partials[p]:
+                z = np.zeros((0, self.slots), dtype=np.uint64)
+                out.partitions[p] = (z if self.mode == "kmer"
+                                     else z.ravel(),
+                                     np.zeros(0, dtype=np.uint32))
+                continue
+            uniq, cnt = self.partials[p][0]
+            out.n_kmers_total += len(uniq)
+            if hist is not None:
+                hist.inc_counts(cnt)
+            solid = cnt >= hard_min
+            ccnt = np.minimum(cnt[solid], count_max).astype(np.uint32)
+            uniq = uniq[solid]
+            out.partitions[p] = (uniq if self.mode == "kmer"
+                                 else uniq.ravel(), ccnt)
+        return out
+
+
+def _sum_sorted_tables(tables: list) -> tuple:
+    """Merge sorted (keys, counts) tables, summing duplicate keys."""
+    keys = np.concatenate([t[0] for t in tables])
+    cnts = np.concatenate([t[1] for t in tables])
+    k2 = keys.reshape(len(keys), -1)
+    order = sort_rows(k2)
+    k2, cnts = k2[order], cnts[order]
+    head = np.ones(len(k2), dtype=bool)
+    head[1:] = (k2[1:] != k2[:-1]).any(axis=1)
+    idx = np.cumsum(head) - 1
+    summed = np.zeros(int(idx[-1]) + 1, dtype=np.uint64)
+    np.add.at(summed, idx, cnts)
+    uniq = k2[head]
+    return (uniq.reshape((-1,) + tables[0][0].shape[1:]), summed)
+
+
 # ---------------------------------------------------------------------------
 # Cross-sample merge with rescue
 # ---------------------------------------------------------------------------
@@ -251,8 +360,16 @@ def merge_dense(ukeys: np.ndarray, pre: np.ndarray, amin_vec: np.ndarray,
     (key, sample) pair always counted >= 1 at the count stage."""
     if present is None:
         present = pre > 0
-    pre = np.asarray(pre, dtype=np.uint64)
-    amin = np.asarray(amin_vec, dtype=np.uint64)[None, :]
+    pre = np.asarray(pre)
+    # dtype-aware: the device path fetches narrowed (u8/u16) matrices;
+    # widening a many-sample dense matrix costs seconds and 4x RSS.
+    # Promote only when a threshold exceeds the count dtype's range.
+    amax = int(np.asarray(amin_vec).max()) if len(amin_vec) else 0
+    if pre.dtype == np.uint64 or amax > np.iinfo(pre.dtype).max:
+        pre = pre.astype(np.uint64)
+    amin = np.minimum(np.asarray(amin_vec, dtype=np.uint64),
+                      np.iinfo(pre.dtype).max if amax <= np.iinfo(
+                          pre.dtype).max else amax).astype(pre.dtype)[None, :]
     solid = present & (pre >= amin)
     solid_in = solid.sum(axis=1)
     keep = solid_in >= rmin
@@ -260,18 +377,18 @@ def merge_dense(ukeys: np.ndarray, pre: np.ndarray, amin_vec: np.ndarray,
         rescued = present & ~solid & (solid_in >= save_if)[:, None]
     else:
         rescued = np.zeros_like(solid)
-    final = np.where(solid | rescued, pre, 0)
+    final = np.where(solid | rescued, pre, pre.dtype.type(0))
 
     stats = MergeStats(
-        non_solid=(present & ~solid).sum(axis=0).astype(np.uint64),
-        rescued=rescued.sum(axis=0).astype(np.uint64),
-        uniq_wo_rescue=solid.sum(axis=0).astype(np.uint64),
-        uniq_w_rescue=(solid | rescued).sum(axis=0).astype(np.uint64),
-        total_wo_rescue=np.where(solid, pre, 0).sum(axis=0).astype(np.uint64),
-        total_w_rescue=final.sum(axis=0).astype(np.uint64),
+        non_solid=(present & ~solid).sum(axis=0, dtype=np.uint64),
+        rescued=rescued.sum(axis=0, dtype=np.uint64),
+        uniq_wo_rescue=solid.sum(axis=0, dtype=np.uint64),
+        uniq_w_rescue=(solid | rescued).sum(axis=0, dtype=np.uint64),
+        total_wo_rescue=np.where(solid, pre, pre.dtype.type(0)).sum(
+            axis=0, dtype=np.uint64),
+        total_w_rescue=final.sum(axis=0, dtype=np.uint64),
     )
-    return MergeResult(keys=ukeys, counts=final.astype(np.uint32),
-                       keep=keep, stats=stats)
+    return MergeResult(keys=ukeys, counts=final, keep=keep, stats=stats)
 
 
 def saturate_counts(counts: np.ndarray, count_bytes: int) -> np.ndarray:

@@ -200,9 +200,8 @@ def fetch_matrix(mat_dev, nrows: int, maxc: int, offset: int = 0,
                  tile: int | None = None):
     """Fetch a dense count-matrix block, narrowed to the smallest dtype
     that holds ``maxc`` (the device returns the max count as a scalar so
-    the link never carries u32 zeros for u8 data)."""
-    out = fetch_rows(mat_dev, nrows, cast=narrow_cast(maxc), offset=offset,
-                     tile=tile)
-    import numpy as np
-
-    return out.astype(np.uint32, copy=False)
+    the link never carries u32 zeros for u8 data). The NARROW dtype is
+    returned as-is — widening a 1000-sample dense matrix costs seconds
+    of host time and 4x the RSS, and merge_dense is dtype-aware."""
+    return fetch_rows(mat_dev, nrows, cast=narrow_cast(maxc),
+                      offset=offset, tile=tile)

@@ -102,6 +102,12 @@ def _use_routed_merge(nw: int = 1) -> bool:
         return True
     if mode == "xla":
         return False
+    # CAVEAT: the <= 5 cutoff was measured at ONE shape (8 runs x 512k,
+    # v5e) and merge cost grows with log2(sorted_runs) levels while the
+    # 3-5 word margins are thin (12.0 vs 15.5 ms, 21.2 vs 23.7 ms); on
+    # bigger meshes or very different run sizes re-measure
+    # (scripts/profile_routed_merge.py) or force
+    # KMTRICKS_TPU_ROUTED_MERGE=xla.
     return jax.default_backend() == "tpu" and nw <= 5
 
 

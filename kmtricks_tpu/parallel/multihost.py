@@ -29,6 +29,11 @@ def initialize(coordinator_address: str | None = None,
                                    process_id)
     except RuntimeError:
         pass   # already initialized
+    except ValueError:
+        # nothing to auto-detect: single process with no coordinator —
+        # the documented no-op case (reached when jax backends have not
+        # been touched yet, e.g. a fresh test worker)
+        pass
 
 
 def global_mesh(axis: str = "d") -> Mesh:

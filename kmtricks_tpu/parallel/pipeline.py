@@ -156,7 +156,8 @@ def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
             "the Pallas encode kernel is (B, L)-only"
         assert mmer_canonical, \
             "the Pallas encode kernel only implements canonical m-mers"
-        from kmtricks_tpu.ops.pallas_encode import encode_batch_pallas
+        from kmtricks_tpu.ops.experiments.pallas_encode import \
+            encode_batch_pallas
         hi, lo, parts, valid = encode_batch_pallas(
             batch, lengths, repart_table, k, m)
         keys = (hi, lo)
@@ -407,21 +408,18 @@ def build_table_merge(mesh: Mesh, *, nw: int, out_cap: int, n_streams: int,
         check_vma=False))
 
 
-def build_table_finalize(mesh: Mesh, *, layout: str, nsamp: int,
-                         key_bits: int | None, window_bits: int | None,
-                         hard_min: int, rows_cap: int, mode: str,
-                         n_runs: int = 1):
-    """Final pass over ``n_runs`` per-device pair runs: concatenate,
-    sort, collapse duplicate (key, sample) entries (a pair split across
-    chunk runs sums here — suffix-sum doubling over at most n_runs
-    duplicates), derive presence (count >= hard_min on the RAW summed
-    count, the reference's count-stage filter), row heads, and compact to
-    dense fetchable rows (ops/compact.py). Per-sample hard-min refinement
-    and count_max clamping happen on host, matching the host chunked
-    path. Returns step(w0...,cnt0, w1...,cnt1, ...) ->
-    (rows, pre, nrows (ndev,), maxc, npres (ndev,))."""
+def build_table_sort_collapse(mesh: Mesh, *, layout: str, nsamp: int,
+                              hard_min: int, n_runs: int,
+                              key_bits: int | None = None,
+                              window_bits: int | None = None):
+    """Phase A of the table finalize: concatenate ``n_runs`` per-device
+    pair runs, sort, collapse duplicate (key, sample) entries (a pair
+    split across chunk runs sums here — suffix-sum doubling over at most
+    n_runs duplicates; later duplicates become count-0 shadows), and
+    count the EXACT distinct rows (keys present in >= 1 sample at
+    ``hard_min``) so phase B sizes its buffers without retries. Returns
+    step(w0...,cnt0, ...) -> (ws tuple, cnt, nrows (ndev,), maxc ())."""
     (axis,) = mesh.axis_names
-    from kmtricks_tpu.ops.compact import compact_count_rows
     from kmtricks_tpu.ops.count_merge import unpack_sorted
     from kmtricks_tpu.ops.table import _sat_add, _words_equal_next
     nw = _layout_words(layout, nsamp)
@@ -432,7 +430,7 @@ def build_table_finalize(mesh: Mesh, *, layout: str, nsamp: int,
             base = i * (nw + 1)
             runs.append((flat[base:base + nw], flat[base + nw]))
         if n_runs == 1:
-            ws, cnt = runs[0]
+            ws, cnt = tuple(runs[0][0]), runs[0][1]
         else:
             cat_w = tuple(jnp.concatenate([r[0][j] for r in runs])
                           for j in range(nw))
@@ -440,9 +438,6 @@ def build_table_finalize(mesh: Mesh, *, layout: str, nsamp: int,
             sorted_ops = jax.lax.sort(cat_w + (cat_c,), dimension=0,
                                       num_keys=nw)
             ws, cnt = sorted_ops[:nw], sorted_ops[nw]
-            # collapse duplicate (key, sample) entries: total lands on
-            # the run's FIRST entry; later duplicates become shadows
-            # (count 0, never present)
             n = cnt.shape[0]
             eq_prev = jnp.zeros((n,), dtype=bool).at[1:].set(
                 _words_equal_next(ws))
@@ -458,16 +453,56 @@ def build_table_finalize(mesh: Mesh, *, layout: str, nsamp: int,
                                   _sat_add(total, fwd), total)
                 shift *= 2
             cnt = jnp.where(~eq_prev, total, U32(0))
+        present, row_head, _key_head = _table_presence(
+            layout, ws, cnt, nsamp, hard_min, key_bits, window_bits)
+        nrows = jnp.sum(row_head.astype(I32))
+        maxc = jax.lax.pmax(
+            jnp.max(jnp.where(present, cnt, U32(0))), axis)
+        return ws, cnt, nrows.reshape(1), maxc
 
+    sh = P(axis)
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=tuple(sh for _ in range(n_runs * (nw + 1))),
+        out_specs=(tuple(sh for _ in range(nw)), sh, sh, P()),
+        check_vma=False))
+
+
+def _table_presence(layout, ws, cnt, nsamp, hard_min, key_bits,
+                    window_bits):
+    """Presence + row-head masks over a sorted collapsed table."""
+    from kmtricks_tpu.ops.count_merge import unpack_sorted
+    _p, _k, _s, valid_s, _occ, kd = unpack_sorted(layout, ws, nsamp,
+                                                  key_bits, window_bits)
+    n = cnt.shape[0]
+    present = valid_s & (cnt >= U32(hard_min))
+    key_diff = jnp.ones((n,), dtype=bool).at[1:].set(kd)
+    key_head = key_diff & valid_s
+    excl = jnp.cumsum(present.astype(I32)) - present.astype(I32)
+    group_base = jax.lax.cummax(jnp.where(key_head, excl, 0))
+    row_head = present & (excl == group_base)
+    return present, row_head, key_head
+
+
+def build_table_compact(mesh: Mesh, *, layout: str, nsamp: int,
+                        key_bits: int | None, window_bits: int | None,
+                        hard_min: int, rows_cap: int, mode: str):
+    """Phase B: dense compaction of the sorted collapsed table at the
+    EXACT row capacity phase A reported. Per-sample hard-min refinement
+    and count_max clamping happen on host, matching the host chunked
+    path. Returns step(ws..., cnt) -> (rows, pre, nrows (ndev,),
+    maxc (), npres (ndev,))."""
+    (axis,) = mesh.axis_names
+    from kmtricks_tpu.ops.compact import compact_count_rows
+    from kmtricks_tpu.ops.count_merge import unpack_sorted
+    nw = _layout_words(layout, nsamp)
+
+    def step(*flat):
+        ws, cnt = tuple(flat[:-1]), flat[-1]
         part_s, keys_s, samp_s, valid_s, _occ_d, kd = unpack_sorted(
             layout, ws, nsamp, key_bits, window_bits)
-        n = cnt.shape[0]
-        present = valid_s & (cnt >= U32(hard_min))
-        key_diff = jnp.ones((n,), dtype=bool).at[1:].set(kd)
-        key_head = key_diff & valid_s
-        excl = jnp.cumsum(present.astype(I32)) - present.astype(I32)
-        group_base = jax.lax.cummax(jnp.where(key_head, excl, 0))
-        row_head = present & (excl == group_base)
+        present, row_head, _ = _table_presence(
+            layout, ws, cnt, nsamp, hard_min, key_bits, window_bits)
         rows, pre, nrows, maxc, npres = compact_count_rows(
             part_s, keys_s, samp_s, cnt, present, row_head,
             rows_cap=rows_cap, nsamp=nsamp, with_part=(mode == "kmer"))
@@ -477,7 +512,7 @@ def build_table_finalize(mesh: Mesh, *, layout: str, nsamp: int,
     sh = P(axis)
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
-        in_specs=tuple(sh for _ in range(n_runs * (nw + 1))),
+        in_specs=tuple(sh for _ in range(nw + 1)),
         out_specs=(sh, sh, sh, P(), sh),
         check_vma=False))
 

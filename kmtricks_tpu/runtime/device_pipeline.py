@@ -415,8 +415,12 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     from kmtricks_tpu.ops.encode import device_key_words
     nw = 2 if cf == "hash" else device_key_words(config.kmer_size)
     row_bytes = 4 * (nsamp + nw + 2)
-    rows_hbm = _pow2ceil(
-        int(opts.max_memory_mb * 1e6 / 2 / row_bytes) + 1) // 2
+    # --max-memory budgets the occurrence sort; the compaction buffers
+    # get their own floor (4M rows) bounded by the int32 flat-scatter
+    # index space (rows_cap * nsamp < 2^31)
+    rows_hbm = max(1 << 22, _pow2ceil(
+        int(opts.max_memory_mb * 1e6 / 2 / row_bytes) + 1) // 2)
+    rows_hbm = min(rows_hbm, _pow2ceil((1 << 31) // max(1, nsamp)) // 2)
     rows_cap = min(_pow2ceil(local), max(1 << 14, _pow2ceil(local) // 32),
                    rows_hbm)
     log.info("mesh step: %d reads x %d (windows %d) over %d device(s), "

@@ -344,18 +344,36 @@ def stage_count(kmdir: KmDir, config: Config, repart: Repartition,
     count_max = (1 << (8 * config.count_bytes)) - 1
 
     hist = KHist(sample_idx, config.kmer_size) if opts.hist else None
-    seqs = list(seqio.iter_sequences(entry.paths, opts.bam_filter()))
     freq = (repart.freq.astype(np.uint64)
             if getattr(repart, "freq", None) is not None else None)
     counter = _count_backend(opts, config, freq is not None)
     kwargs = {} if freq is None else {"freq_order": freq}
     if config.mmer_scheme == "forward":
         kwargs["mmer_canonical"] = False
-    sc = counter(seqs, config.kmer_size, config.minim_size,
-                 repart.table, hard_min=hard_min,
-                 mode="kmer" if count_mode in ("kmer", "kff") else "hash",
-                 window_bits=hw.window_size_bits if hw else None,
-                 count_max=count_max, hist=hist, **kwargs)
+    cmode = "kmer" if count_mode in ("kmer", "kff") else "hash"
+    wbits = hw.window_size_bits if hw else None
+    if counter is hops.count_sequences:
+        # bounded-RSS path: stream read batches through a StreamCounter
+        # instead of materializing the whole sample (BankFasta-style
+        # streaming; budget ~an eighth of --max-memory)
+        budget = max(1_000_000,
+                     int(opts.max_memory_mb * 1e6 / 8
+                         / (8 * config.kmer_slots + 8)))
+        stc = hops.StreamCounter(
+            config.kmer_size, config.minim_size, repart.table, mode=cmode,
+            window_bits=wbits, budget_entries=budget,
+            freq_order=kwargs.get("freq_order"),
+            mmer_canonical=kwargs.get("mmer_canonical", True))
+        for batch, lengths in seqio.iter_batches(entry.paths,
+                                                 opts.bam_filter()):
+            stc.add_batch(batch, lengths)
+        sc = stc.finish(hard_min, count_max, hist=hist)
+    else:
+        seqs = list(seqio.iter_sequences(entry.paths, opts.bam_filter()))
+        sc = counter(seqs, config.kmer_size, config.minim_size,
+                     repart.table, hard_min=hard_min, mode=cmode,
+                     window_bits=wbits, count_max=count_max, hist=hist,
+                     **kwargs)
 
     parts = partitions if partitions is not None \
         else range(config.nb_partitions)

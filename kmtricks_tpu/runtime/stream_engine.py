@@ -71,8 +71,9 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     import jax.numpy as jnp
 
     from kmtricks_tpu.parallel.pipeline import (
-        build_chunk_pairs_step, build_table_finalize, build_table_merge,
-        _layout_words, make_mesh, stream_layout)
+        build_chunk_pairs_step, build_table_compact, build_table_merge,
+        build_table_sort_collapse, _layout_words, make_mesh,
+        stream_layout)
     from kmtricks_tpu.runtime.device_pipeline import (
         _load_global_batch, _transpose_mt, _transpose_chunks,
         estimate_dest_skew, prefetched, stream_row_chunks)
@@ -147,9 +148,12 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     route_cap = min(local, int(local * skew * ndev * 1.5) + 1024)
 
     # device-memory bound on table slots (words + cnt, double-buffered
-    # through merges)
-    table_hbm = _pow2ceil(int(
-        opts.max_memory_mb * 1e6 / 3 / (4 * (nw + 1))) + 1) // 2
+    # through merges). --max-memory chiefly budgets the per-chunk
+    # occurrence sort; the accumulated TABLE is far smaller per entry, so
+    # it gets its own floor (32M entries ~ 1.5 GB through a merge) —
+    # otherwise a small chunk budget would also strangle the table.
+    table_hbm = max(1 << 25, _pow2ceil(int(
+        opts.max_memory_mb * 1e6 / 3 / (4 * (nw + 1))) + 1) // 2)
 
     def pairs_step(pc):
         return build_chunk_pairs_step(
@@ -257,14 +261,28 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
 
     # final pass: ONE concat+sort+collapse over every accumulated run,
     # then presence + row heads + dense compaction, then fetch
-    rows_cap = max(1 << 14, _pow2ceil(n_total))
-    finalize = build_table_finalize(
-        mesh, layout=layout, nsamp=nsamp, key_bits=key_bits,
-        window_bits=window_bits, hard_min=dev_hard_min, rows_cap=rows_cap,
-        mode=cf, n_runs=len(runs))
-    rows_d, pre_d, nrows_d, maxc_d, _npres_d = finalize(
+    # phase A: sort + collapse + EXACT row count (no sizing retries);
+    # phase B: dense compaction at that capacity
+    sortc = build_table_sort_collapse(
+        mesh, layout=layout, nsamp=nsamp, hard_min=dev_hard_min,
+        n_runs=len(runs), key_bits=key_bits, window_bits=window_bits)
+    ws_d, cnt_d, nrows_a, maxc_a = sortc(
         *[x for r in runs for x in (list(r[0]) + [r[1]])])
+    nrs_a = jax.device_get(nrows_a)
+    rows_cap = max(1 << 12, _pow2ceil(int(nrs_a.max())))
+    if rows_cap * nsamp >= (1 << 31):
+        raise ValueError(
+            f"dense output matrix too large ({rows_cap} rows x "
+            f"{nsamp} samples); raise --nb-partitions so partitions "
+            "shard the key space")
+    compactf = build_table_compact(
+        mesh, layout=layout, nsamp=nsamp, key_bits=key_bits,
+        window_bits=window_bits, hard_min=dev_hard_min,
+        rows_cap=rows_cap, mode=cf)
+    rows_d, pre_d, nrows_d, maxc_d, _npres_d = compactf(
+        *(list(ws_d) + [cnt_d]))
     nrs, maxc = jax.device_get((nrows_d, maxc_d))
+    assert int(nrs.max()) <= rows_cap
     trace(f"finalize done (nrows {int(nrs.max())})")
 
     _fetch_merge_write(

@@ -38,7 +38,7 @@ def main():
     rng = np.random.default_rng(0)
     from kmtricks_tpu.core.repartition import Repartition
     from kmtricks_tpu.ops.encode import encode_batch
-    from kmtricks_tpu.ops.pallas_encode import encode_batch_pallas
+    from kmtricks_tpu.ops.experiments.pallas_encode import encode_batch_pallas
     from kmtricks_tpu.ops.u64 import msb_words_to_u64_pairs
     from kmtricks_tpu.ops.xxh64 import window_hash
 

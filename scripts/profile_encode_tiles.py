@@ -38,7 +38,7 @@ def rate(step, args, iters=10):
 def main():
     rng = np.random.default_rng(0)
     from kmtricks_tpu.core.repartition import Repartition
-    from kmtricks_tpu.ops.pallas_encode import encode_batch_pallas
+    from kmtricks_tpu.ops.experiments.pallas_encode import encode_batch_pallas
 
     K, M, NB_PARTS, L, B = 31, 10, 64, 1024, 4096
     repart = Repartition.from_xxh(NB_PARTS, M)

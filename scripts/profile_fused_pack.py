@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from kmtricks_tpu.ops.count_merge import (count_merge_packed, pack_words,
                                           packed_layout)
-from kmtricks_tpu.ops.pallas_encode_pack import encode_pack_h1_pallas
+from kmtricks_tpu.ops.experiments.pallas_encode_pack import encode_pack_h1_pallas
 from kmtricks_tpu.parallel.pipeline import _encode_flat
 
 

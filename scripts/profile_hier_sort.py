@@ -63,8 +63,9 @@ def main():
             rows = jax.lax.sort((v,), dimension=1, num_keys=1)[0]
             return merge_sorted_runs_u32(rows)
 
-        dt = rate(jax.jit(hier), (jr,))
-        got = np.asarray(jax.jit(hier)(jr))
+        f = jax.jit(hier)
+        dt = rate(f, (jr,))
+        got = np.asarray(f(jr))
         np.testing.assert_array_equal(got, np.sort(x))
         print(f"hier sort R={R}:           {dt*1e3:8.2f} ms (parity OK)")
 

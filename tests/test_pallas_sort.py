@@ -2,11 +2,17 @@
 
 Interpret mode on CPU; the TPU path compiles the same kernels."""
 
+import os
+
 import numpy as np
 import pytest
 
 from kmtricks_tpu.ops.pallas_sort import TILE, sort_u32
 
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("KMTRICKS_TEST_EXPERIMENTS"),
+    reason="retired experiment kernel (NOTES.md); set KMTRICKS_TEST_EXPERIMENTS=1")
 
 @pytest.mark.parametrize("n", [100, TILE, 2 * TILE, 4 * TILE,
                                8 * TILE - 1000, 16 * TILE])
