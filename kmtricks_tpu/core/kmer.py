@@ -92,15 +92,21 @@ def _pack_windows_u64(codes: np.ndarray, w: int) -> np.ndarray:
     return acc
 
 
-def _pack_windows_u32(codes: np.ndarray, w: int) -> np.ndarray:
-    """uint32 doubling ladder for window widths <= 16."""
-    assert w <= 16
+def _u32_ladder(codes: np.ndarray, wmax: int) -> dict:
+    """Doubling ladder of uint32 window values up to width ``wmax`` —
+    shared by every width derived from it (one set of shift-or passes
+    instead of one per caller)."""
     ladder = {1: codes.astype(np.uint32)}
     v, p = ladder[1], 1
-    while 2 * p <= w:
+    while 2 * p <= wmax:
         v = (v[:len(v) - p] << np.uint32(2 * p)) | v[p:]
         p *= 2
         ladder[p] = v
+    return ladder
+
+
+def _pack_from_ladder(ladder: dict, n_codes: int, w: int) -> np.ndarray:
+    """Width-``w`` window values from a prebuilt ladder (w <= 2*max rung)."""
     acc, wa = None, 0
     for p in sorted(ladder, reverse=True):
         if not (w & p):
@@ -109,10 +115,19 @@ def _pack_windows_u32(codes: np.ndarray, w: int) -> np.ndarray:
         if acc is None:
             acc, wa = part, p
         else:
-            need = len(codes) - (wa + p) + 1
+            need = n_codes - (wa + p) + 1
             acc = (acc[:need] << np.uint32(2 * p)) | part[wa:wa + need]
             wa += p
     return acc
+
+
+def _pack_windows_u32(codes: np.ndarray, w: int,
+                      ladder: dict | None = None) -> np.ndarray:
+    """uint32 doubling ladder for window widths <= 16."""
+    assert w <= 16
+    if ladder is None:
+        ladder = _u32_ladder(codes, w)
+    return _pack_from_ladder(ladder, len(codes), w)
 
 
 def kmers_from_codes(codes: np.ndarray, k: int) -> np.ndarray:
@@ -256,7 +271,8 @@ def is_allowed_minimizer(values: np.ndarray, m: int) -> np.ndarray:
     return a == 0
 
 
-def strand_is_forward(codes: np.ndarray, k: int) -> np.ndarray:
+def strand_is_forward(codes: np.ndarray, k: int,
+                      ladder: dict | None = None) -> np.ndarray:
     """True per k-mer window iff the canonical strand is the forward one
     (NOT revcomp < forward — GATB comparator semantics). For k <= 32 the
     comparison runs entirely in uint32 half-mers: the first 16 codes of
@@ -271,11 +287,11 @@ def strand_is_forward(codes: np.ndarray, k: int) -> np.ndarray:
         return ~compare_lt(revcomp(fwd, k), fwd)
     a = min(16, k)
     b = k - a
-    A = _pack_windows_u32(codes, a)
+    A = _pack_windows_u32(codes, a, ladder)
     Ra = _mmer_revcomp_u32(A[k - a:], a)
     if b == 0:
         return ~(Ra[:n] < A[:n])
-    Bv = _pack_windows_u32(codes, b)
+    Bv = _pack_windows_u32(codes, b, ladder)
     Rb = _mmer_revcomp_u32(Bv[:n], b)
     B = Bv[a:a + n]
     lt = (Ra[:n] < A[:n]) | ((Ra[:n] == A[:n]) & (Rb < B))
@@ -346,7 +362,8 @@ def masked_mmers(codes: np.ndarray, m: int,
 
 def window_minimizers(codes: np.ndarray, k: int, m: int,
                       canonical_mmers: bool = True,
-                      freq_order: np.ndarray | None = None) -> np.ndarray:
+                      freq_order: np.ndarray | None = None,
+                      ladder: dict | None = None) -> np.ndarray:
     """Minimizer value of every k-mer window (pipeline routing semantics).
 
     Returns (L-k+1,) uint64: min over the k-m+1 masked canonical m-mers of
@@ -365,7 +382,7 @@ def window_minimizers(codes: np.ndarray, k: int, m: int,
     if freq_order is None and m <= 16:
         # all-u32 path: values < 4^16 and numpy 64-bit compares/shifts
         # are ~25x slower than 32-bit on SSE-only hosts
-        vals = _pack_windows_u32(codes, m)
+        vals = _pack_windows_u32(codes, m, ladder)
         cano = np.minimum(vals, _mmer_revcomp_u32(vals, m)) \
             if canonical_mmers else vals
         sentinel = np.uint32((1 << (2 * m)) - 1)

@@ -37,6 +37,39 @@ def ascii_to_codes(batch):
     return codes, valid
 
 
+def unpack_2bit(packed, vbits, L: int):
+    """Host-packed reads -> (codes uint32 (L, B), valid bool (L, B)).
+
+    ``packed``: (L/4, B) uint8, position 4*q + j in bits [2j, 2j+2);
+    ``vbits``: (L/8, B) uint8, position 8*q + j in bit j (LSB-first).
+    The packed upload is 0.375 bytes/base vs 1 for ASCII — the device
+    link is the streaming engine's bottleneck (NOTES.md).
+    """
+    p = packed.astype(U32)
+    codes = jnp.stack([(p >> U32(2 * j)) & U32(3) for j in range(4)],
+                      axis=1).reshape(L, -1)
+    v = vbits.astype(U32)
+    valid = jnp.stack([(v >> U32(j)) & U32(1) for j in range(8)],
+                      axis=1).reshape(L, -1).astype(bool)
+    return codes, valid
+
+
+def pack_2bit_host(batch: np.ndarray, pad: int = ord("N")):
+    """Host twin of :func:`unpack_2bit`: (B, L) ASCII rows ->
+    (packed (B, L/4) u8, vbits (B, L/8) u8). L must be a multiple of 8
+    (row chunks are 128-aligned)."""
+    B, L = batch.shape
+    assert L % 8 == 0
+    codes = ((batch >> 1) & 3).astype(np.uint8)
+    packed = (codes[:, 0::4] | (codes[:, 1::4] << 2)
+              | (codes[:, 2::4] << 4) | (codes[:, 3::4] << 6))
+    valid = ((batch == 65) | (batch == 67) | (batch == 71) | (batch == 84)
+             | (batch == 97) | (batch == 99) | (batch == 103)
+             | (batch == 116))
+    vbits = np.packbits(valid, axis=1, bitorder="little")
+    return packed, vbits
+
+
 def _rev2bit32(x):
     """Reverse the sixteen 2-bit groups of each uint32."""
     x = ((x >> U32(2)) & U32(0x33333333)) | ((x & U32(0x33333333)) << U32(2))
@@ -170,9 +203,14 @@ def encode_batch(batch, lengths, repart_table, k: int, m: int,
     parts : int32 partition per window
     valid : bool — window contains only ACGT and fits the read
     """
-    L = batch.shape[seq_axis]
+    if isinstance(batch, tuple):
+        # pre-unpacked (codes, char_valid) from the 2-bit upload path
+        codes, char_valid = batch
+        L = codes.shape[seq_axis]
+    else:
+        L = batch.shape[seq_axis]
+        codes, char_valid = ascii_to_codes(batch)
     W = L - k + 1
-    codes, char_valid = ascii_to_codes(batch)
     valid = _window_validity(char_valid, lengths, k, seq_axis)
 
     # packed forward k-mers, rolled in over k static slices
@@ -250,9 +288,14 @@ def encode_batch_wide(batch, lengths, repart_table, k: int, m: int,
     assert 32 < k <= 128
     nw = device_key_words(k)
     span_nt = 16 * nw
-    L = batch.shape[seq_axis]
+    if isinstance(batch, tuple):
+        # pre-unpacked (codes, char_valid) from the 2-bit upload path
+        codes, char_valid = batch
+        L = codes.shape[seq_axis]
+    else:
+        L = batch.shape[seq_axis]
+        codes, char_valid = ascii_to_codes(batch)
     W = L - k + 1
-    codes, char_valid = ascii_to_codes(batch)
     valid = _window_validity(char_valid, lengths, k, seq_axis)
 
     zero = jnp.zeros_like(_slice_seq(codes, 0, W, seq_axis))

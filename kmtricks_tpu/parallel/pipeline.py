@@ -139,6 +139,14 @@ def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
                  static_parts: int | None = None,
                  batch_layout: str = "bl",
                  mmer_canonical: bool = True):
+    if isinstance(batch, tuple) and len(batch) == 2 \
+            and batch[0].dtype == jnp.uint8:
+        # 2-bit packed upload (0.375 B/base over the device link):
+        # unpack to (codes, valid) once, then the shared encode runs
+        from kmtricks_tpu.ops.encode import unpack_2bit
+        assert batch_layout == "lb"
+        packed, vbits = batch
+        batch = unpack_2bit(packed, vbits, packed.shape[0] * 4)
     """Shared encode stage -> flat (keys tuple, samp, part, valid)
     occurrences. Keys: 2 msb-first u32 words for k <= 32, 4 for k <= 64;
     in hash mode always the 2-word window hash.
@@ -151,7 +159,8 @@ def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
         keys, parts, valid = encode_batch_wide(
             batch, lengths, repart_table, k, m, static_parts=static_parts,
             seq_axis=seq_axis, mmer_canonical=mmer_canonical)
-    elif _use_pallas(encode_impl, batch.shape[0]):
+    elif not isinstance(batch, tuple) and _use_pallas(encode_impl,
+                                                      batch.shape[0]):
         assert batch_layout == "bl", \
             "the Pallas encode kernel is (B, L)-only"
         assert mmer_canonical, \
@@ -315,7 +324,8 @@ def build_chunk_pairs_step(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                            batch_layout: str = "lb",
                            mmer_canonical: bool = True,
                            pair_cap: int = 1 << 20,
-                           encode_impl: str = "auto"):
+                           encode_impl: str = "auto",
+                           packed_input: bool = False):
     """Streaming-engine chunk step: encode one read chunk, route packed
     occurrences over the mesh, and reduce each device's slice to sorted
     unique (packed word, count) pairs (ops/table.py).
@@ -332,7 +342,12 @@ def build_chunk_pairs_step(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     assert layout is not None, "streaming engine needs a packed layout"
     from kmtricks_tpu.ops.table import chunk_count_pairs
 
-    def step(batch, lengths, samp, repart_table):
+    def step(*args):
+        if packed_input:
+            packed, vbits, lengths, samp, repart_table = args
+            batch = (packed, vbits)
+        else:
+            batch, lengths, samp, repart_table = args
         keys, sampw, parts, valid = _encode_flat(
             batch, lengths, samp, repart_table, k, m, mode, window_bits,
             encode_impl, nb_parts if static_repart else None,
@@ -362,9 +377,11 @@ def build_chunk_pairs_step(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     rep = P()
     batch_spec = sh if batch_layout == "bl" else P(None, axis)
     nw_packed = _layout_words(layout, nsamp)
+    in_specs = ((batch_spec, batch_spec, sh, sh, rep) if packed_input
+                else (batch_spec, sh, sh, rep))
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
-        in_specs=(batch_spec, sh, sh, rep),
+        in_specs=in_specs,
         out_specs=(tuple(sh for _ in range(nw_packed)), sh, sh, rep),
         check_vma=False))
 

@@ -204,6 +204,19 @@ def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
         yield state["buf"], state["ln"], state["sa"]
 
 
+def _pack_transpose_chunks(gen, threads: int = 4):
+    """(rows, L) ASCII chunks -> 2-bit packed + validity-bit chunks in the
+    transposed (L/4, rows)/(L/8, rows) device layout. The pack runs on
+    the prefetch thread and QUARTERS both the transpose work and the
+    device-link upload (0.375 B/base vs 1 for ASCII)."""
+    from kmtricks_tpu.ops.encode import pack_2bit_host
+
+    for buf, ln, sa in gen:
+        packed, vbits = pack_2bit_host(buf)
+        yield (_transpose_mt(packed, threads), _transpose_mt(vbits, threads),
+               ln, sa)
+
+
 def _transpose_chunks(gen, threads: int = 4):
     """(rows, L) chunks -> (L, rows) for the transposed-batch device layout
     (sequence along sublanes is ~20% cheaper encode on TPU). Runs on the

@@ -149,10 +149,16 @@ def _tally_kxmer_starts(bins: np.ndarray, codes: np.ndarray,
     wv = kops.window_validity(valid, k)
     if not wv.any():
         return
-    minim = kops.window_minimizers(codes, k, m, freq_order=freq_order)
+    # one shared shift-or ladder feeds the minimizer scan (width m) and
+    # both strand half-mers (widths 16 and k-16) — the ladder passes are
+    # the tally's dominant memory traffic
+    ladder = (kops._u32_ladder(codes, min(16, max(m, k if k <= 32 else m)))
+              if k <= 32 and m <= 16 else None)
+    minim = kops.window_minimizers(codes, k, m, freq_order=freq_order,
+                                   ladder=ladder)
     if m <= 16:
         minim = minim.astype(np.uint32)   # 64-bit compares are slow
-    which = kops.strand_is_forward(codes, k)
+    which = kops.strand_is_forward(codes, k, ladder=ladder)
     n = len(minim)
     idx = np.arange(n, dtype=np.int32)
     sk_break = np.ones(n, dtype=bool)     # superkmer boundaries

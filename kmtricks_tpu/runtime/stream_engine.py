@@ -75,7 +75,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         build_table_sort_collapse, _layout_words, make_mesh,
         stream_layout)
     from kmtricks_tpu.runtime.device_pipeline import (
-        _load_global_batch, _transpose_mt, _transpose_chunks,
+        _load_global_batch, _pack_transpose_chunks, _transpose_mt,
         estimate_dest_skew, prefetched, stream_row_chunks)
 
     trace = _tracer()
@@ -111,7 +111,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                              * rows_align)
         focus = opts.focus if opts.focus is not None else 0.5
         depth = max(1, int(round(focus * 4)))
-        chunks = prefetched(_transpose_chunks(
+        chunks = prefetched(_pack_transpose_chunks(
             stream_row_chunks(kmdir, opts, k, L, rows_per_chunk),
             getattr(opts, "threads", 4) or 4), depth)
     else:
@@ -139,7 +139,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                     cs = np.concatenate([cs, np.zeros(pad, np.int32)])
                 yield cb, cl, cs
 
-        chunks = prefetched(_transpose_chunks(
+        chunks = prefetched(_pack_transpose_chunks(
             _slices(), getattr(opts, "threads", 4) or 4), 2)
 
     chunk_w = rows_per_chunk * W
@@ -160,18 +160,22 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             mesh, k=k, m=config.minim_size, nb_parts=config.nb_partitions,
             cap=route_cap, nsamp=nsamp, mode=cf, window_bits=window_bits,
             static_repart=opts.static_repart, batch_layout="lb",
-            mmer_canonical=config.mmer_scheme != "forward", pair_cap=pc)
+            mmer_canonical=config.mmer_scheme != "forward", pair_cap=pc,
+            packed_input=True)
 
     table_jnp = jnp.asarray(repart.table.astype(np.int32))
 
-    pair_cap = None
-    step = None
+    import os as _os
+    _env_cap = _os.environ.get("KMTRICKS_STREAM_PAIR_CAP")
+    pair_cap = int(_env_cap) if _env_cap else None
+    step = pairs_step(pair_cap) if pair_cap else None
     runs = []             # accumulated pair runs [(words, cnt, cap, n)]
     inflight = []         # [(n_pairs dev, dropped dev, host_chunk, slot)]
     n_chunks = 0
 
-    def upload(cb, cl, cs):
-        return (jnp.asarray(cb), jnp.asarray(cl), jnp.asarray(cs))
+    def upload(pk, vb, cl, cs):
+        return (jnp.asarray(pk), jnp.asarray(vb), jnp.asarray(cl),
+                jnp.asarray(cs))
 
     def verify_inflight(keep_last: int):
         """Resolve queued (n_pairs, dropped) checks; chunk overflow
@@ -222,7 +226,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             out_cap = min(table_hbm, _pow2ceil(n_new))
         runs = [(ws, cnt, out_cap, n_new)]
 
-    for cb, cl, cs in chunks:
+    for pk, vb, cl, cs in chunks:
         trace(f"chunk {n_chunks} decoded")
         if pair_cap is None:
             # size pair_cap from the first chunk (synchronous once):
@@ -230,7 +234,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             # width — and grow exactly on overflow
             pair_cap = max(1 << 14, _pow2ceil(local) // 32)
             step = pairs_step(pair_cap)
-            pw, pc, np_d, dr_d = step(*upload(cb, cl, cs), table_jnp)
+            pw, pc, np_d, dr_d = step(*upload(pk, vb, cl, cs), table_jnp)
             n_pairs, dropped = jax.device_get((np_d, dr_d))
             if int(dropped):
                 raise ValueError("all_to_all capacity exceeded on the "
@@ -238,14 +242,14 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             if int(n_pairs.max()) > pair_cap:
                 pair_cap = _pow2ceil(int(n_pairs.max()) * 2)
                 step = pairs_step(pair_cap)
-                pw, pc, np_d, dr_d = step(*upload(cb, cl, cs), table_jnp)
+                pw, pc, np_d, dr_d = step(*upload(pk, vb, cl, cs), table_jnp)
                 n_pairs = jax.device_get(np_d)
                 assert int(n_pairs.max()) <= pair_cap
             runs.append((pw, pc, pair_cap, int(n_pairs.max())))
         else:
-            pw, pc, np_d, dr_d = step(*upload(cb, cl, cs), table_jnp)
+            pw, pc, np_d, dr_d = step(*upload(pk, vb, cl, cs), table_jnp)
             runs.append((pw, pc, pair_cap, None))
-            inflight.append((np_d, dr_d, (cb, cl, cs), len(runs) - 1))
+            inflight.append((np_d, dr_d, (pk, vb, cl, cs), len(runs) - 1))
             verify_inflight(keep_last=1)
         n_chunks += 1
         trace(f"chunk {n_chunks - 1} dispatched ({len(runs)} runs)")
