@@ -420,6 +420,31 @@ def main() -> None:
     result["extra"]["ladder5_1000samples_kmers_per_sec"] = \
         round(nwin5 / wall5, 1)
 
+    # --- repartition sampling (SampleRepart kx-mer tally) on a 1M-read
+    # bank — the device sampler keeps the (4^m,) tally resident in HBM;
+    # only 4^m counters cross the link (ops/repart_sample.py)
+    import types as _types
+    repart_bank = "/tmp/kmtricks_bench_repart1m.fasta"
+    if not os.path.exists(repart_bank):
+        rng_r = np.random.default_rng(11)
+        alph = np.frombuffer(b"ACGT", np.uint8)
+        with open(repart_bank, "wb") as f:
+            for lo in range(0, 1_000_000, 20_000):
+                blk = alph[rng_r.integers(0, 4, size=(20_000, 150))]
+                f.write(b"".join(b">r%d\n%s\n" % (lo + i, row.tobytes())
+                                 for i, row in enumerate(blk)))
+    from kmtricks_tpu.runtime.pipeline import sample_minimizer_bins
+    _rk = _types.SimpleNamespace(
+        fof=[_types.SimpleNamespace(paths=[repart_bank])])
+    _rc = _types.SimpleNamespace(kmer_size=K, minim_size=10,
+                                 seq_number=1_000_000)
+    sample_minimizer_bins(_rk, _rc)       # warm (programs cached)
+    t0 = time.perf_counter()
+    bins_r = sample_minimizer_bins(_rk, _rc)
+    result["extra"]["repart_sample_wall_s_1Mseq"] = \
+        round(time.perf_counter() - t0, 2)
+    assert int(bins_r.sum()) > 0
+
     # --- mesh backend on a 1-device mesh (all_to_all included); LAST:
     # the shard_map program is the slowest compile and the likeliest to
     # hit a tunnel stall — everything above is already in `result`

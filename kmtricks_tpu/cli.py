@@ -231,6 +231,24 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", envp)
 
+    # persistent XLA compilation cache: device-backend runs reuse compiled
+    # programs across processes (first compiles of the big streaming
+    # programs are minutes on remote-attached chips, cached loads ~0.7 s).
+    # KMTRICKS_JAX_CACHE overrides the location; "0" disables.
+    cache = os.environ.get(
+        "KMTRICKS_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "kmtricks_tpu",
+                     "jax"))
+    if cache and cache != "0":
+        try:
+            import jax
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1)
+        except Exception:  # noqa: BLE001 - cache is best-effort
+            pass
+
     args = build_parser().parse_args(argv)
     level = getattr(args, "verbose", "info")
     logging.basicConfig(

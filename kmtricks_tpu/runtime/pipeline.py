@@ -171,6 +171,118 @@ def _tally_kxmer_starts(bins: np.ndarray, codes: np.ndarray,
                         minlength=len(bins))
 
 
+def _sampler_backend() -> str:
+    """device | host — KMTRICKS_REPART_SAMPLER overrides; auto uses the
+    device tally on TPU (the host numpy tally is faster than paying jit
+    compiles on a CPU backend)."""
+    mode = os.environ.get("KMTRICKS_REPART_SAMPLER", "auto")
+    if mode in ("device", "host"):
+        return mode
+    try:
+        import jax
+        return "device" if jax.default_backend() == "tpu" else "host"
+    except Exception:  # noqa: BLE001 - no usable jax backend
+        return "host"
+
+
+def _sample_batches(kmdir: KmDir, config: Config, bam_filter):
+    """First-N sampled read batches (the reference's CancellableIterator
+    cutoff, RepartitionAlgorithm.cpp:444-475) — shared by both sampler
+    backends."""
+    total_cutoff = max(int(0.05 * max(config.seq_number, 1)), 1_000_000)
+    seen = 0
+    for entry in kmdir.fof:
+        if seen >= total_cutoff:
+            return
+        for batch, lengths in seqio.iter_batches(entry.paths, bam_filter):
+            take = min(len(lengths), total_cutoff - seen)
+            if take <= 0:
+                return
+            seen += take
+            yield batch[:take], lengths[:take]
+
+
+def _sample_minimizer_bins_device(kmdir: KmDir, config: Config,
+                                  bam_filter=None,
+                                  freq_order=None) -> np.ndarray:
+    """Device SampleRepart: read chunks ride the 2-bit packed upload, the
+    whole per-window tally (ops/repart_sample.py) runs as (W, B) array
+    passes, and the (4^m,) counter table stays resident in HBM across
+    chunks — only the final 4^m counts cross the device link. Bit-equal
+    to the host tally (tests/test_repart_sampler.py)."""
+    import queue as queue_mod
+    import threading
+
+    import jax
+
+    from kmtricks_tpu.ops import repart_sample as rs
+    from kmtricks_tpu.ops.encode import pack_2bit_host
+
+    k, m = config.kmer_size, config.minim_size
+    use_freq = freq_order is not None
+    freq_dev = (jax.device_put(np.asarray(freq_order, np.int64)
+                               .astype(np.int32))
+                if use_freq else jax.device_put(np.zeros(1, np.int32)))
+
+    BLOCK = 65536   # fixed row count per upload: stable program shapes
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+
+    def emit(pieces, nrows):
+        """Assemble ``nrows`` buffered reads into one padded (B, L) block
+        (B = BLOCK except the final partial block, L bucketed to 128)."""
+        B = BLOCK if nrows >= BLOCK else max(nrows, 128)
+        L0 = max(int(p[1].max(initial=0)) for p in pieces)
+        L = max(((L0 + 127) // 128) * 128, 128)
+        block = np.full((B, L), ord("N"), np.uint8)
+        lens = np.zeros(B, np.int32)
+        r = 0
+        for batch, lengths in pieces:
+            n = len(lengths)
+            block[r:r + n, :batch.shape[1]] = batch
+            lens[r:r + n] = lengths
+            r += n
+        packed, vbits = pack_2bit_host(block)
+        # sequence along sublanes: (L/4, B) / (L/8, B)
+        q.put((jax.device_put(np.ascontiguousarray(packed.T)),
+               jax.device_put(np.ascontiguousarray(vbits.T)),
+               jax.device_put(lens), L))
+
+    def producer():
+        try:
+            pieces, nrows = [], 0
+            for batch, lengths in _sample_batches(kmdir, config, bam_filter):
+                while len(lengths):
+                    take = min(len(lengths), BLOCK - nrows)
+                    pieces.append((batch[:take], lengths[:take]))
+                    batch, lengths = batch[take:], lengths[take:]
+                    nrows += take
+                    if nrows == BLOCK:
+                        emit(pieces, nrows)
+                        pieces, nrows = [], 0
+            if nrows:
+                emit(pieces, nrows)
+        except BaseException as e:  # noqa: BLE001 - surfaced by consumer
+            q.put(e)
+            return
+        q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    bins = rs.make_bins(m)
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        packed, vbits, lens, L = item
+        bins = rs.tally_step(bins, packed, vbits, lens, freq_dev,
+                             k=k, m=m, L=L, use_freq=use_freq)
+    t.join()
+    return np.asarray(jax.device_get(bins)).astype(np.int64)
+
+
 def sample_minimizer_bins(kmdir: KmDir, config: Config, bam_filter=None,
                           freq_order=None) -> np.ndarray:
     """Tally sampled KX-MERS per minimizer — the reference's exact LPT
@@ -180,32 +292,27 @@ def sample_minimizer_bins(kmdir: KmDir, config: Config, bam_filter=None,
     Deterministic: first-N sampling, like the reference's
     CancellableIterator cutoff.
 
-    Sampled reads stream through the native batch parser and the batched
-    host kernels as ONE flat code stream per batch — each row gets an
-    appended invalid separator byte, so windows never span reads and the
-    tally is identical to per-sequence processing (the reference fans
-    SampleRepart over a thread pool for the same reason,
-    RepartitionAlgorithm.cpp:444-475)."""
+    Two backends (KMTRICKS_REPART_SAMPLER = auto | device | host):
+    the TPU tally (`_sample_minimizer_bins_device`) and the host numpy
+    tally below. Sampled reads stream through the native batch parser
+    and the batched host kernels as ONE flat code stream per batch —
+    each row gets an appended invalid separator byte, so windows never
+    span reads and the tally is identical to per-sequence processing
+    (the reference fans SampleRepart over a thread pool for the same
+    reason, RepartitionAlgorithm.cpp:444-475)."""
     k, m = config.kmer_size, config.minim_size
+    if _sampler_backend() == "device" and m <= 12:
+        return _sample_minimizer_bins_device(kmdir, config, bam_filter,
+                                             freq_order)
     from concurrent.futures import ThreadPoolExecutor
 
     from kmtricks_tpu.core.kmer import ASCII_CODE_TABLE, ASCII_VALID_TABLE
 
-    total_cutoff = max(int(0.05 * max(config.seq_number, 1)), 1_000_000)
     nthreads = 4
 
     def batches():
-        seen = 0
-        for entry in kmdir.fof:
-            if seen >= total_cutoff:
-                return
-            for batch, lengths in seqio.iter_batches(entry.paths,
-                                                     bam_filter):
-                take = min(len(lengths), total_cutoff - seen)
-                if take <= 0:
-                    return
-                seen += take
-                yield batch[:take]
+        for batch, _lengths in _sample_batches(kmdir, config, bam_filter):
+            yield batch
 
     def tally(batch):
         # append one invalid separator column; row padding is already

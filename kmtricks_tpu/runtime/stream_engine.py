@@ -335,13 +335,26 @@ def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
             part_col = rows[:, -1].astype(np.int64)
         blocks.append((d, keys, pre, part_col))
 
+    # host tail rides a thread pool: the per-sample histogram columns and
+    # the per-partition merge+write jobs all commute (separate files, and
+    # numpy releases the GIL on the heavy kernels) — the reference fans
+    # its merge tasks over the -t pool the same way (task_scheduler.hpp)
+    from concurrent.futures import ThreadPoolExecutor
+
+    nthreads = max(1, getattr(opts, "threads", 1) or 1)
     hists = ([KHist(s, config.kmer_size) for s in range(nsamp)]
              if want_hists else None)
     if hists is not None:
-        for _d, _keys, pre, _pc in blocks:
-            for s in range(nsamp):
+        def _hist_sample(s):
+            for _d, _keys, pre, _pc in blocks:
                 col = pre[:, s]
                 hists[s].inc_counts(col[col > 0].astype(np.uint64))
+        if nthreads > 1:
+            with ThreadPoolExecutor(max_workers=nthreads) as ex:
+                list(ex.map(_hist_sample, range(nsamp)))
+        else:
+            for s in range(nsamp):
+                _hist_sample(s)
         if opts.hist:
             for s, entry in enumerate(kmdir.fof):
                 F.write_hist_file(kmdir.get_hist_path(entry.id), hists[s])
@@ -349,6 +362,7 @@ def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
         amin_vec = resolve_soft_min(opts.soft_min, kmdir, nsamp)
 
     hmv = np.asarray(hard_mins, dtype=np.uint32)[None, :]
+    jobs = []
     for d, keys, pre, part_col in blocks:
         # per-sample hard-min on RAW counts, then count-type saturation
         # (count_processor.hpp:61-72 order)
@@ -357,6 +371,17 @@ def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
                                  np.arange(config.nb_partitions + 1))
         for p in np.nonzero(part_dev == d)[0]:
             sl = slice(int(bounds[p]), int(bounds[p + 1]))
-            res = hops.merge_dense(keys[sl], pre[sl], amin_vec,
-                                   opts.recurrence_min, opts.share_min)
-            write_merge_outputs(kmdir, config, opts, p, res)
+            jobs.append((p, keys, pre, sl))
+
+    def _merge_write(job):
+        p, keys, pre, sl = job
+        res = hops.merge_dense(keys[sl], pre[sl], amin_vec,
+                               opts.recurrence_min, opts.share_min)
+        write_merge_outputs(kmdir, config, opts, p, res)
+
+    if nthreads > 1 and len(jobs) > 1:
+        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+            list(ex.map(_merge_write, jobs))
+    else:
+        for job in jobs:
+            _merge_write(job)
