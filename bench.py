@@ -344,17 +344,21 @@ def main() -> None:
     from kmtricks_tpu.runtime.pipeline import PipelineOptions
 
     def _e2e_opts(run_dir):
+        # 6 GB table budget (one v5e chip has 16 GB HBM): the pair runs
+        # accumulate without a mid-stream fold; the chunk size stays
+        # pinned at the 3 GB sort budget's 62.5M windows via the env var
         return PipelineOptions(
             fof=fof_p, run_dir=run_dir, kmer_size=31, hard_min=2,
             soft_min="2", mode="kmer:count:bin", backend="mesh",
             static_repart=True, nb_partitions=NB_PARTS, threads=4,
-            max_memory_mb=3000)
+            max_memory_mb=6000)
 
     n_e2e = 10 * (1_000_000 * 30 // 1024) * (1024 - 31 + 1)
     # pin the chunk pair capacity: chunk composition varies with decode
     # thread interleaving, and a flipped adaptive cap would recompile
     # inside the timed run
     os.environ["KMTRICKS_STREAM_PAIR_CAP"] = str(1 << 23)
+    os.environ["KMTRICKS_STREAM_CHUNK_WINDOWS"] = str(62_500_000)
     shutil.rmtree("/tmp/kmtricks_bench_e2e", ignore_errors=True)
     run_mesh_pipeline(_e2e_opts("/tmp/kmtricks_bench_e2e"))   # warm
     shutil.rmtree("/tmp/kmtricks_bench_e2e", ignore_errors=True)
@@ -366,6 +370,7 @@ def main() -> None:
     result["extra"]["pipeline_e2e_wall_s_290Mkmer_10samp"] = \
         round(e2e_wall, 2)
     del os.environ["KMTRICKS_STREAM_PAIR_CAP"]
+    del os.environ["KMTRICKS_STREAM_CHUNK_WINDOWS"]
 
     # --- BASELINE config ladder (configs 3-5) as end-to-end pipeline
     # walls: real run_pipeline invocations at compact sizes (config 1 is

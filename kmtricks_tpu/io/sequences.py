@@ -14,6 +14,7 @@ A "bank" URI may be a comma-separated list of files (composite bank).
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 import zlib
 
@@ -695,13 +696,28 @@ def _estimate_fasta_like(path: str, fmt: str, threshold: int):
     return number, total, mx
 
 
+_ESTIMATE_CACHE: dict = {}
+
+
 def estimate(uri: str | list[str], sample: int = 50000) -> BankEstimate:
     """Bank size estimation with the reference's exact semantics
     (AbstractBank threshold 50000, BankFasta.cpp estimate + gz x4 name
     sizing + 256KB-chunk gztell extrapolation) — executed-golden-verified
     (tests/test_ref_exec_golden.py). Composite banks sum per-file
-    estimates. BAM falls back to record sampling."""
+    estimates. BAM falls back to record sampling.
+
+    Results are memoized per (paths, size, mtime): a pipeline estimates
+    every bank twice (ConfigurationAlgorithm, then the streaming engine's
+    chunk sizing) and the sampled parse is ~0.5 s per 10-file collection."""
     paths = uri if isinstance(uri, list) else uri.split(",")
+    try:
+        key = (tuple(p.strip() for p in paths), sample,
+               tuple((os.path.getsize(p.strip()),
+                      os.stat(p.strip()).st_mtime_ns) for p in paths))
+    except OSError:
+        key = None
+    if key is not None and key in _ESTIMATE_CACHE:
+        return _ESTIMATE_CACHE[key]
     total_seqs = 0
     total_bases = 0
     max_size = 0
@@ -723,4 +739,9 @@ def estimate(uri: str | list[str], sample: int = 50000) -> BankEstimate:
                 break
         total_seqs += n
         total_bases += bases
-    return BankEstimate(total_seqs, total_bases, max_size)
+    res = BankEstimate(total_seqs, total_bases, max_size)
+    if key is not None:
+        if len(_ESTIMATE_CACHE) > 4096:
+            _ESTIMATE_CACHE.clear()
+        _ESTIMATE_CACHE[key] = res
+    return res

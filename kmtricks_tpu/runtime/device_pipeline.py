@@ -230,7 +230,9 @@ def _transpose_chunks(gen, threads: int = 4):
 def prefetched(gen, depth: int = 2):
     """Run a generator on a background thread with a bounded queue —
     double-buffered host decode overlapping device compute (the
-    reference's --focus superk/count overlap reborn)."""
+    reference's --focus superk/count overlap reborn). The worker starts
+    EAGERLY at call time (not at first next()), so chunk-0 decode
+    overlaps whatever setup runs between construction and the loop."""
     import queue
     import threading
 
@@ -249,15 +251,19 @@ def prefetched(gen, depth: int = 2):
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is END:
-            if err:
-                # a decode failure must fail the run, not silently
-                # truncate the input stream
-                raise err[0]
-            return
-        yield item
+
+    def iterate():
+        while True:
+            item = q.get()
+            if item is END:
+                if err:
+                    # a decode failure must fail the run, not silently
+                    # truncate the input stream
+                    raise err[0]
+                return
+            yield item
+
+    return iterate()
 
 
 def estimate_dest_skew(kmdir: KmDir, opts: PipelineOptions, config: Config,
@@ -783,6 +789,13 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
 
     ndev = make_mesh().shape["d"]
     budget_windows = int(opts.max_memory_mb * 1e6 / 48)
+    # decouple the chunk size from the memory budget when asked: a larger
+    # --max-memory raises the device TABLE budget (fewer mid-stream
+    # folds) without forcing bigger chunks (bigger chunks expose more
+    # chunk-0 decode latency and change every program shape)
+    import os as _os
+    env_cw = _os.environ.get("KMTRICKS_STREAM_CHUNK_WINDOWS")
+    chunk_windows = int(env_cw) if env_cw else budget_windows
     k = opts.kmer_size
     # file-size upper bound decides whether the collection is ever
     # materialized: far beyond the device budget -> stream chunks from the
@@ -805,11 +818,11 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
         if streamable:
             from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream
             stage_mesh_stream(kmdir, config, opts, repart, None,
-                              chunk_windows=budget_windows,
+                              chunk_windows=chunk_windows,
                               use_stream=True, ests=ests)
         else:
             stage_mesh_chunked(kmdir, config, opts, repart, None,
-                               chunk_windows=budget_windows,
+                               chunk_windows=chunk_windows,
                                use_stream=True, ests=ests)
         cf, mode, _ = parse_mode(opts.mode)
         if mode == "bft":
@@ -822,11 +835,11 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
         if streamable:
             from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream
             stage_mesh_stream(kmdir, config, opts, repart, None,
-                              chunk_windows=budget_windows,
+                              chunk_windows=chunk_windows,
                               batch=batch, lengths=lengths, sarr=sarr)
         else:
             stage_mesh_chunked(kmdir, config, opts, repart, None,
-                               chunk_windows=budget_windows,
+                               chunk_windows=chunk_windows,
                                batch=batch, lengths=lengths, sarr=sarr)
     else:
         amin_vec = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))

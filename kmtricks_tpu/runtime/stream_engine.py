@@ -81,6 +81,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     trace = _tracer()
     nsamp = len(kmdir.fof)
     mesh = make_mesh(n_devices)
+    trace("mesh up")
     ndev = mesh.shape[mesh.axis_names[0]]
     k = config.kmer_size
     cf, _mode, _out = parse_mode(opts.mode)
@@ -103,6 +104,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     if use_stream:
         if ests is None:
             ests = [seqio.estimate(e.paths) for e in kmdir.fof]
+        trace("bank estimates")
         L = max(_round128(k), min(_round128(max(e.max_size for e in ests)),
                                   4096))
         W = L - k + 1
@@ -111,9 +113,9 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                              * rows_align)
         focus = opts.focus if opts.focus is not None else 0.5
         depth = max(1, int(round(focus * 4)))
-        chunks = prefetched(_pack_transpose_chunks(
+        chunks = prefetched(_device_put_chunks(_pack_transpose_chunks(
             stream_row_chunks(kmdir, opts, k, L, rows_per_chunk),
-            getattr(opts, "threads", 4) or 4), depth)
+            getattr(opts, "threads", 4) or 4), mesh), depth)
     else:
         if batch is None:
             batch, lengths, sarr = _load_global_batch(kmdir, opts, k, ndev)
@@ -139,13 +141,14 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                     cs = np.concatenate([cs, np.zeros(pad, np.int32)])
                 yield cb, cl, cs
 
-        chunks = prefetched(_pack_transpose_chunks(
-            _slices(), getattr(opts, "threads", 4) or 4), 2)
+        chunks = prefetched(_device_put_chunks(_pack_transpose_chunks(
+            _slices(), getattr(opts, "threads", 4) or 4), mesh), 2)
 
     chunk_w = rows_per_chunk * W
     local = -(-chunk_w // ndev)
     skew = estimate_dest_skew(kmdir, opts, config, repart, ndev)
     route_cap = min(local, int(local * skew * ndev * 1.5) + 1024)
+    trace("skew estimated")
 
     # device-memory bound on table slots (words + cnt, double-buffered
     # through merges). --max-memory chiefly budgets the per-chunk
@@ -204,12 +207,16 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         """Collapse all accumulated runs into ONE compacted run — paid
         only when the accumulated pair width approaches the device
         budget (sorting duplicate-laden runs is otherwise deferred to
-        the single finalize pass)."""
+        the single finalize pass). ``out_cap`` starts at a FIXED half of
+        the table budget: a data-dependent start (e.g. the exact pair
+        total) would give every fold a fresh program signature and a
+        fresh compile — shapes must depend only on run parameters."""
         nonlocal runs
         verify_inflight(keep_last=0)
         streams = [(r[0], r[1]) for r in runs]
         n_total = sum(r[3] for r in runs)
-        out_cap = min(table_hbm, _pow2ceil(max(1 << 14, n_total)))
+        out_cap = max(min(table_hbm, _pow2ceil(sum(r[2] for r in runs)))
+                      // 2, 1 << 14)
         while True:
             ws, cnt, n_d = build_table_merge(
                 mesh, nw=nw, out_cap=out_cap, n_streams=len(streams),
@@ -250,7 +257,10 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             pw, pc, np_d, dr_d = step(*upload(pk, vb, cl, cs), table_jnp)
             runs.append((pw, pc, pair_cap, None))
             inflight.append((np_d, dr_d, (pk, vb, cl, cs), len(runs) - 1))
-            verify_inflight(keep_last=1)
+            # lag the overflow check by TWO chunks: chunk i-2's n_pairs is
+            # already materialized while chunk i-1 computes, so this
+            # device_get returns without stalling the dispatch cadence
+            verify_inflight(keep_last=2)
         n_chunks += 1
         trace(f"chunk {n_chunks - 1} dispatched ({len(runs)} runs)")
         if sum(r[2] for r in runs) + pair_cap > table_hbm:
@@ -272,7 +282,9 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         n_runs=len(runs), key_bits=key_bits, window_bits=window_bits)
     ws_d, cnt_d, nrows_a, maxc_a = sortc(
         *[x for r in runs for x in (list(r[0]) + [r[1]])])
+    trace("phase A dispatched")
     nrs_a = jax.device_get(nrows_a)
+    trace("phase A rows known")
     rows_cap = max(1 << 12, _pow2ceil(int(nrs_a.max())))
     if rows_cap * nsamp >= (1 << 31):
         raise ValueError(
@@ -285,6 +297,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         rows_cap=rows_cap, mode=cf)
     rows_d, pre_d, nrows_d, maxc_d, _npres_d = compactf(
         *(list(ws_d) + [cnt_d]))
+    trace("phase B dispatched")
     nrs, maxc = jax.device_get((nrows_d, maxc_d))
     assert int(nrs.max()) <= rows_cap
     trace(f"finalize done (nrows {int(nrs.max())})")
@@ -298,6 +311,22 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
 
 def _round128(x: int) -> int:
     return max(128, ((x + 127) // 128) * 128)
+
+
+def _device_put_chunks(gen, mesh):
+    """Ship packed chunks to the device(s) ON the prefetch thread, with
+    the shardings the chunk step expects — the transfer then overlaps the
+    previous chunk's compute instead of sitting on the dispatch path."""
+    import jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P_
+
+    (axis,) = mesh.axis_names
+    sb = NamedSharding(mesh, P_(None, axis))   # (L/4, B) batch layout
+    sv = NamedSharding(mesh, P_(axis))         # (B,) vectors
+    for pk, vb, cl, cs in gen:
+        yield (jax.device_put(pk, sb), jax.device_put(vb, sb),
+               jax.device_put(cl, sv), jax.device_put(cs, sv))
 
 
 def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
@@ -314,6 +343,7 @@ def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
     from kmtricks_tpu.parallel.pipeline import partition_to_device
     from kmtricks_tpu.runtime.device_pipeline import _keys_to_u64
 
+    trace = _tracer()
     nsamp = len(kmdir.fof)
     part_dev = partition_to_device(config.nb_partitions, ndev)
     blocks = []
@@ -334,6 +364,7 @@ def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
             keys = keys.reshape(nr, max(1, kwords.shape[1] // 2))
             part_col = rows[:, -1].astype(np.int64)
         blocks.append((d, keys, pre, part_col))
+    trace("row blocks fetched")
 
     # host tail rides a thread pool: the per-sample histogram columns and
     # the per-partition merge+write jobs all commute (separate files, and
@@ -358,6 +389,7 @@ def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
         if opts.hist:
             for s, entry in enumerate(kmdir.fof):
                 F.write_hist_file(kmdir.get_hist_path(entry.id), hists[s])
+        trace("histograms done")
     if amin_vec is None:
         amin_vec = resolve_soft_min(opts.soft_min, kmdir, nsamp)
 
