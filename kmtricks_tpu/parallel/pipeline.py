@@ -20,7 +20,7 @@ same role, SURVEY.md §7.4).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -317,6 +317,9 @@ def stream_layout(k: int, m: int, nb_parts: int, nsamp: int, mode: str,
                          part_bits if mode == "kmer" else None)
 
 
+@lru_cache(maxsize=64)   # keyed on (mesh, params): re-building a jit
+# wrapper per pipeline run re-TRACES the whole graph (~0.5-1 s for the
+# big streaming programs) even when the compile itself is cached
 def build_chunk_pairs_step(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                            cap: int, nsamp: int, mode: str = "kmer",
                            window_bits: int | None = None,
@@ -399,6 +402,9 @@ def _layout_words(layout: str, nsamp: int) -> int:
     raise ValueError(layout)
 
 
+@lru_cache(maxsize=64)   # keyed on (mesh, params): re-building a jit
+# wrapper per pipeline run re-TRACES the whole graph (~0.5-1 s for the
+# big streaming programs) even when the compile itself is cached
 def build_table_merge(mesh: Mesh, *, nw: int, out_cap: int, n_streams: int,
                       in_caps: tuple):
     """Merge ``n_streams`` per-device sorted pair streams (first is the
@@ -425,6 +431,9 @@ def build_table_merge(mesh: Mesh, *, nw: int, out_cap: int, n_streams: int,
         check_vma=False))
 
 
+@lru_cache(maxsize=64)   # keyed on (mesh, params): re-building a jit
+# wrapper per pipeline run re-TRACES the whole graph (~0.5-1 s for the
+# big streaming programs) even when the compile itself is cached
 def build_table_sort_collapse(mesh: Mesh, *, layout: str, nsamp: int,
                               hard_min: int, n_runs: int,
                               key_bits: int | None = None,
@@ -501,14 +510,20 @@ def _table_presence(layout, ws, cnt, nsamp, hard_min, key_bits,
     return present, row_head, key_head
 
 
+@lru_cache(maxsize=64)   # keyed on (mesh, params): re-building a jit
+# wrapper per pipeline run re-TRACES the whole graph (~0.5-1 s for the
+# big streaming programs) even when the compile itself is cached
 def build_table_compact(mesh: Mesh, *, layout: str, nsamp: int,
                         key_bits: int | None, window_bits: int | None,
-                        hard_min: int, rows_cap: int, mode: str):
+                        hard_min: int, rows_cap: int, mode: str,
+                        nb_parts: int | None = None):
     """Phase B: dense compaction of the sorted collapsed table at the
     EXACT row capacity phase A reported. Per-sample hard-min refinement
     and count_max clamping happen on host, matching the host chunked
     path. Returns step(ws..., cnt) -> (rows, pre, nrows (ndev,),
-    maxc (), npres (ndev,))."""
+    maxc (), npres (ndev,)[, part_rows (ndev*nb_parts,)]). The per-
+    partition row histogram lets the host pipeline per-partition fetches
+    against merge work without first fetching the key columns."""
     (axis,) = mesh.axis_names
     from kmtricks_tpu.ops.compact import compact_count_rows
     from kmtricks_tpu.ops.count_merge import unpack_sorted
@@ -524,13 +539,22 @@ def build_table_compact(mesh: Mesh, *, layout: str, nsamp: int,
             part_s, keys_s, samp_s, cnt, present, row_head,
             rows_cap=rows_cap, nsamp=nsamp, with_part=(mode == "kmer"))
         maxc = jax.lax.pmax(maxc, axis)
-        return rows, pre, nrows.reshape(1), maxc, npres.reshape(1)
+        out = (rows, pre, nrows.reshape(1), maxc, npres.reshape(1))
+        if nb_parts is not None:
+            pidx = jnp.where(row_head, part_s.astype(I32), I32(nb_parts))
+            phist = jnp.zeros((nb_parts,), I32).at[pidx].add(
+                I32(1), mode="drop")
+            out = out + (phist,)
+        return out
 
     sh = P(axis)
+    outs = (sh, sh, sh, P(), sh)
+    if nb_parts is not None:
+        outs = outs + (sh,)
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
         in_specs=tuple(sh for _ in range(nw + 1)),
-        out_specs=(sh, sh, sh, P(), sh),
+        out_specs=outs,
         check_vma=False))
 
 

@@ -206,15 +206,31 @@ def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
 
 def _pack_transpose_chunks(gen, threads: int = 4):
     """(rows, L) ASCII chunks -> 2-bit packed + validity-bit chunks in the
-    transposed (L/4, rows)/(L/8, rows) device layout. The pack runs on
-    the prefetch thread and QUARTERS both the transpose work and the
-    device-link upload (0.375 B/base vs 1 for ASCII)."""
+    transposed (L/4, rows)/(L/8, rows) device layout. The pack QUARTERS
+    both the transpose work and the device-link upload (0.375 B/base vs 1
+    for ASCII); two chunks pack concurrently on an ordered pool so the
+    pack of chunk i+1 overlaps chunk i's downstream consumption (numpy
+    releases the GIL on the big kernels)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from kmtricks_tpu.ops.encode import pack_2bit_host
 
-    for buf, ln, sa in gen:
+    tpw = max(1, threads // 2)
+
+    def work(item):
+        buf, ln, sa = item
         packed, vbits = pack_2bit_host(buf)
-        yield (_transpose_mt(packed, threads), _transpose_mt(vbits, threads),
-               ln, sa)
+        return (_transpose_mt(packed, tpw), _transpose_mt(vbits, tpw),
+                ln, sa)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        pending = []
+        for item in gen:
+            pending.append(ex.submit(work, item))
+            if len(pending) >= 2:
+                yield pending.pop(0).result()
+        for f in pending:
+            yield f.result()
 
 
 def _transpose_chunks(gen, threads: int = 4):

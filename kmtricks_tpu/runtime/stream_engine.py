@@ -91,6 +91,14 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     layout = stream_layout(k, config.minim_size, config.nb_partitions,
                            nsamp, cf, window_bits)
     assert layout is not None
+    if amin_vec is None:
+        # int / per-sample-file soft-min resolves WITHOUT the abundance
+        # histograms; only the float-quantile form needs them. Early
+        # resolution enables device-side hard-min filtering and the
+        # pipelined fetch->merge tail.
+        from kmtricks_tpu.runtime.device_pipeline import _is_float_quantile
+        if not _is_float_quantile(opts.soft_min):
+            amin_vec = resolve_soft_min(opts.soft_min, kmdir, nsamp)
     nw = _layout_words(layout, nsamp)
     key_bits = ((window_bits * config.nb_partitions - 1).bit_length()
                 if cf == "hash" else 2 * k)
@@ -294,18 +302,19 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     compactf = build_table_compact(
         mesh, layout=layout, nsamp=nsamp, key_bits=key_bits,
         window_bits=window_bits, hard_min=dev_hard_min,
-        rows_cap=rows_cap, mode=cf)
-    rows_d, pre_d, nrows_d, maxc_d, _npres_d = compactf(
+        rows_cap=rows_cap, mode=cf, nb_parts=config.nb_partitions)
+    rows_d, pre_d, nrows_d, maxc_d, _npres_d, phist_d = compactf(
         *(list(ws_d) + [cnt_d]))
     trace("phase B dispatched")
-    nrs, maxc = jax.device_get((nrows_d, maxc_d))
+    nrs, maxc, phist = jax.device_get((nrows_d, maxc_d, phist_d))
     assert int(nrs.max()) <= rows_cap
     trace(f"finalize done (nrows {int(nrs.max())})")
 
     _fetch_merge_write(
         kmdir, config, opts, cf, window_bits, rows_d, pre_d, nrs,
         int(maxc), rows_cap, ndev, amin_vec, hard_mins, count_max,
-        want_hists)
+        want_hists,
+        part_rows=np.asarray(phist).reshape(ndev, config.nb_partitions))
     trace("fetch + merge + write done")
 
 
@@ -329,19 +338,119 @@ def _device_put_chunks(gen, mesh):
                jax.device_put(cl, sv), jax.device_put(cs, sv))
 
 
+def _decode_block_keys(rows, cf, window_bits, nr):
+    """Fetched row words -> (keys, part_col) in merge_dense's layout."""
+    from kmtricks_tpu.runtime.device_pipeline import _keys_to_u64
+
+    if cf == "hash":
+        keys = _keys_to_u64(tuple(rows[:, j] for j in range(rows.shape[1])))
+        part_col = (keys // np.uint64(window_bits)).astype(np.int64)
+        return keys, part_col
+    kwords = rows[:, :-1]
+    keys = _keys_to_u64(tuple(kwords[:, j] for j in range(kwords.shape[1])))
+    keys = keys.reshape(nr, max(1, kwords.shape[1] // 2))
+    return keys, rows[:, -1].astype(np.int64)
+
+
+def _fetch_merge_write_pipelined(kmdir, config, opts, cf, window_bits,
+                                 rows_d, pre_d, nrs, maxc, rows_cap, ndev,
+                                 amin_vec, hard_mins, count_max,
+                                 want_hists, part_rows) -> None:
+    """Grouped fetch -> merge pipeline: the device-computed per-partition
+    row histogram gives partition bounds WITHOUT fetching keys first, so
+    per-partition merge+write jobs start while later row groups are still
+    riding the device link (all group copies go in flight up-front;
+    merges fan over the -t pool)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kmtricks_tpu.core.histogram import KHist
+    from kmtricks_tpu.io import formats as F
+    from kmtricks_tpu.ops.compact import _prepare_fetch, narrow_cast
+    from kmtricks_tpu.parallel.pipeline import partition_to_device
+
+    nsamp = len(kmdir.fof)
+    nb_parts = config.nb_partitions
+    part_dev = partition_to_device(nb_parts, ndev)
+    cast = narrow_cast(maxc)
+    nthreads = max(1, getattr(opts, "threads", 1) or 1)
+    hists = ([KHist(s, config.kmer_size) for s in range(nsamp)]
+             if want_hists else None)
+    hmv = np.asarray(hard_mins, dtype=np.uint32)[None, :]
+
+    # contiguous partition groups of ~target rows; ALL fetch copies are
+    # dispatched before any group is consumed
+    prepped = []
+    for d in range(ndev):
+        nr = int(nrs[d])
+        off = d * rows_cap
+        bounds = np.zeros(nb_parts + 1, np.int64)
+        np.cumsum(part_rows[d], out=bounds[1:])
+        assert bounds[-1] == nr, "partition histogram disagrees with nrows"
+        target = max(1 << 17, nr // 8)
+        p_lo = 0
+        while p_lo < nb_parts:
+            p_hi = p_lo + 1
+            while p_hi < nb_parts and bounds[p_hi + 1] - bounds[p_lo] \
+                    < target:
+                p_hi += 1
+            r_lo, r_hi = int(bounds[p_lo]), int(bounds[p_hi])
+            ta = _prepare_fetch(rows_d, r_hi - r_lo, None, None, off + r_lo)
+            tb = _prepare_fetch(pre_d, r_hi - r_lo, cast, None, off + r_lo)
+            prepped.append((d, p_lo, p_hi, r_lo, bounds, ta, tb))
+            p_lo = p_hi
+
+    def _merge_write_one(p, keys, pre_m, sl):
+        res = hops.merge_dense(keys[sl], pre_m[sl], amin_vec,
+                               opts.recurrence_min, opts.share_min)
+        write_merge_outputs(kmdir, config, opts, p, res)
+
+    with ThreadPoolExecutor(max_workers=nthreads) as ex:
+        futs = []
+        for d, p_lo, p_hi, r_lo, bounds, ta, tb in prepped:
+            rows, pre = ta(), tb()
+            nr_g = rows.shape[0]
+            pre = pre.astype(np.uint32, copy=False)
+            if hists is not None:
+                for s in range(nsamp):
+                    col = pre[:, s]
+                    hists[s].inc_counts(col[col > 0].astype(np.uint64))
+            # per-sample hard-min on RAW counts, then count-type
+            # saturation (count_processor.hpp:61-72 order)
+            pre_m = np.where(pre >= hmv, np.minimum(pre, count_max), 0)
+            keys, _pc = _decode_block_keys(rows, cf, window_bits, nr_g)
+            for p in range(p_lo, p_hi):
+                if part_dev[p] != d:
+                    continue
+                sl = slice(int(bounds[p] - r_lo), int(bounds[p + 1] - r_lo))
+                futs.append(ex.submit(_merge_write_one, p, keys, pre_m, sl))
+        for f in futs:
+            f.result()
+    if hists is not None and opts.hist:
+        for s, entry in enumerate(kmdir.fof):
+            F.write_hist_file(kmdir.get_hist_path(entry.id), hists[s])
+
+
 def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
                        nrs, maxc, rows_cap, ndev, amin_vec, hard_mins,
-                       count_max, want_hists) -> None:
+                       count_max, want_hists, part_rows=None) -> None:
     """Fetch per-device compacted row blocks, apply host-side hard-min /
     histogram / soft-min-quantile semantics, run merge_dense per
-    partition, write outputs."""
+    partition, write outputs. With a device-computed ``part_rows``
+    histogram and a pre-resolved soft-min, the pipelined variant above
+    overlaps fetch with merge work."""
     import jax
+
+    if part_rows is not None and amin_vec is not None:
+        _fetch_merge_write_pipelined(
+            kmdir, config, opts, cf, window_bits, rows_d, pre_d, nrs,
+            maxc, rows_cap, ndev, amin_vec, hard_mins, count_max,
+            want_hists, part_rows)
+        return
 
     from kmtricks_tpu.core.histogram import KHist
     from kmtricks_tpu.io import formats as F
     from kmtricks_tpu.ops.compact import fetch_many, narrow_cast
     from kmtricks_tpu.parallel.pipeline import partition_to_device
-    from kmtricks_tpu.runtime.device_pipeline import _keys_to_u64
 
     trace = _tracer()
     nsamp = len(kmdir.fof)
@@ -353,16 +462,7 @@ def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
         rows, pre = fetch_many([(rows_d, nr, None, off),
                                 (pre_d, nr, narrow_cast(maxc), off)])
         pre = pre.astype(np.uint32, copy=False)
-        if cf == "hash":
-            keys = _keys_to_u64(tuple(rows[:, j]
-                                      for j in range(rows.shape[1])))
-            part_col = (keys // np.uint64(window_bits)).astype(np.int64)
-        else:
-            kwords = rows[:, :-1]
-            keys = _keys_to_u64(tuple(kwords[:, j]
-                                      for j in range(kwords.shape[1])))
-            keys = keys.reshape(nr, max(1, kwords.shape[1] // 2))
-            part_col = rows[:, -1].astype(np.int64)
+        keys, part_col = _decode_block_keys(rows, cf, window_bits, nr)
         blocks.append((d, keys, pre, part_col))
     trace("row blocks fetched")
 
