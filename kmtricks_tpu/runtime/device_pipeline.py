@@ -819,7 +819,6 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
     # FASTA/FASTQ; gz sized x4, the reference's own name heuristic —
     # the sampled seqio.estimate costs a 50k-record parse per file, only
     # paid when the streaming path is actually taken.)
-    import os as _os
     est_bytes = sum(
         _os.path.getsize(p) * (4 if p.endswith("gz") else 1)
         for e in kmdir.fof for p in e.paths)
