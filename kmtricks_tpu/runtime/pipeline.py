@@ -224,22 +224,38 @@ def _sample_minimizer_bins_device(kmdir: KmDir, config: Config,
                                .astype(np.int32))
                 if use_freq else jax.device_put(np.zeros(1, np.int32)))
 
-    BLOCK = 65536   # fixed row count per upload: stable program shapes
+    BLOCK = int(os.environ.get("KMTRICKS_REPART_BLOCK", 65536))
+    # Host/upload memory bound per block, independent of read length:
+    # rows shrink (in power-of-two steps) as the width bucket grows, so a
+    # long-read bank never forces a BLOCK x max_len allocation while short
+    # reads keep the full BLOCK rows. Every (B, L) pair is quantized, so
+    # program shapes repeat across runs.
+    CELL_BUDGET = BLOCK * 512
+
+    def _bucket_len(maxlen: int) -> int:
+        return max(((maxlen + 127) // 128) * 128, 128)
+
+    def _cap_rows(L: int) -> int:
+        B = BLOCK
+        while B > 128 and B * L > CELL_BUDGET:
+            B //= 2
+        return B
 
     q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
 
-    def emit(pieces, nrows):
-        """Assemble ``nrows`` buffered reads into one padded (B, L) block
-        (B = BLOCK except the final partial block, L bucketed to 128)."""
-        B = BLOCK if nrows >= BLOCK else max(nrows, 128)
-        L0 = max(int(p[1].max(initial=0)) for p in pieces)
-        L = max(((L0 + 127) // 128) * 128, 128)
+    def emit(pieces, nrows, L):
+        """Assemble ``nrows`` buffered reads into one padded (B, L) block.
+        B is always the full quantized cap for this width bucket — partial
+        blocks pad with zero-length all-'N' rows (they contribute nothing
+        to the tally), so every block reuses a cached program shape."""
+        B = _cap_rows(L)
         block = np.full((B, L), ord("N"), np.uint8)
         lens = np.zeros(B, np.int32)
         r = 0
         for batch, lengths in pieces:
             n = len(lengths)
-            block[r:r + n, :batch.shape[1]] = batch
+            w = min(batch.shape[1], L)
+            block[r:r + n, :w] = batch[:, :w]
             lens[r:r + n] = lengths
             r += n
         packed, vbits = pack_2bit_host(block)
@@ -250,18 +266,28 @@ def _sample_minimizer_bins_device(kmdir: KmDir, config: Config,
 
     def producer():
         try:
-            pieces, nrows = [], 0
+            pieces, nrows, L = [], 0, 128
             for batch, lengths in _sample_batches(kmdir, config, bam_filter):
+                bL = _bucket_len(batch.shape[1])
                 while len(lengths):
-                    take = min(len(lengths), BLOCK - nrows)
+                    newL = max(L, bL)
+                    cap = _cap_rows(newL)
+                    if nrows >= cap:
+                        # widening would overflow this block — flush at the
+                        # current (narrower) shape and restart
+                        emit(pieces, nrows, L)
+                        pieces, nrows, L = [], 0, 128
+                        continue
+                    take = min(len(lengths), cap - nrows)
                     pieces.append((batch[:take], lengths[:take]))
                     batch, lengths = batch[take:], lengths[take:]
                     nrows += take
-                    if nrows == BLOCK:
-                        emit(pieces, nrows)
-                        pieces, nrows = [], 0
+                    L = newL
+                    if nrows >= _cap_rows(L):
+                        emit(pieces, nrows, L)
+                        pieces, nrows, L = [], 0, 128
             if nrows:
-                emit(pieces, nrows)
+                emit(pieces, nrows, L)
         except BaseException as e:  # noqa: BLE001 - surfaced by consumer
             q.put(e)
             return

@@ -123,3 +123,27 @@ def test_stage_repart_device_byte_identical(tmp_path):
         else:
             os.environ["KMTRICKS_REPART_SAMPLER"] = old
     assert tables["host"] == tables["device"]
+
+
+def test_tally_parity_multi_block_variable_lengths(tmp_path, monkeypatch):
+    """Blocks that split batches at the block boundary with length
+    variance across the split (advisor r3 finding: copy width must clamp
+    to the block's bucketed L) — patch the block size small so a few
+    hundred reads span many blocks, with width buckets changing between
+    them."""
+    k, m = 31, 6
+    # alternate short reads with occasional very long ones so the width
+    # bucket flips mid-buffer and blocks flush at different (B, L) shapes
+    reads = []
+    reads += _random_reads(150, 40, 100)
+    reads += _random_reads(3, 700, 900)     # forces a wider bucket
+    reads += _random_reads(150, 40, 100)
+    reads += _random_reads(2, 1200, 1500)
+    reads += _random_reads(100, 40, 100)
+    order = rng.permutation(len(reads))
+    reads = [reads[i] for i in order]
+    kmdir, config = _fake_run(tmp_path, reads, k, m)
+    monkeypatch.setenv("KMTRICKS_REPART_BLOCK", "128")
+    host, dev = _both_backends(kmdir, config)
+    assert host.sum() > 0
+    np.testing.assert_array_equal(host, dev)
