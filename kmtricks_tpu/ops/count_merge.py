@@ -78,16 +78,6 @@ def _samp_bits(nsamp: int) -> int:
     return max(1, (nsamp - 1).bit_length())
 
 
-def _use_pallas_sort() -> bool:
-    """Single-word sort backend: KMTRICKS_TPU_SORT = pallas | xla | auto
-    (auto currently resolves to lax.sort; flip when the Pallas merge
-    sort wins on hardware). Read at trace time."""
-    import os
-    mode = os.environ.get("KMTRICKS_TPU_SORT", "auto")
-    # the Mosaic kernel only lowers for TPU, so "pallas" is still gated
-    return mode == "pallas" and jax.default_backend() == "tpu"
-
-
 def _use_routed_merge(nw: int = 1) -> bool:
     """Mesh receiver backend for re-ordering the all_to_all's sorted runs:
     KMTRICKS_TPU_ROUTED_MERGE = pallas | xla | auto. Default auto = the
@@ -384,10 +374,12 @@ def unpack_sorted(layout: str, ws, nsamp: int, key_bits, window_bits):
 
 
 def sort_packed(layout: str, words):
-    """Sort packed words (all operands are keys)."""
-    if layout == "h1" and _use_pallas_sort():
-        from kmtricks_tpu.ops.pallas_sort import sort_u32
-        return (sort_u32(words[0]),)
+    """Sort packed words (all operands are keys). lax.sort is the
+    measured comparison-sort floor on this hardware — the full Pallas
+    bitonic/merge-path sort lost (16.2 vs 10.8 ms at 4.19M) and was
+    evicted in r4 (git history keeps it; NOTES.md has the accounting).
+    Only the routed-RUN merge survives (merge_sorted_runs_*), where the
+    algorithm differs (log2(ndev) merge levels vs a full sort)."""
     return jax.lax.sort(words, dimension=0, num_keys=len(words))
 
 

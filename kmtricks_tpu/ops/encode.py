@@ -41,16 +41,24 @@ def unpack_2bit(packed, vbits, L: int):
     """Host-packed reads -> (codes uint32 (L, B), valid bool (L, B)).
 
     ``packed``: (L/4, B) uint8, position 4*q + j in bits [2j, 2j+2);
-    ``vbits``: (L/8, B) uint8, position 8*q + j in bit j (LSB-first).
+    ``vbits``: (L/8, B) uint8, position 8*q + j in bit j (LSB-first),
+    or None for a chunk with no interior non-ACGT byte (the common
+    case): per-char validity is then all-True and the read-length mask
+    (already applied by window validity) is the only constraint — the
+    validity plane stays off the device link entirely (a third of the
+    chunk upload bytes).
     The packed upload is 0.375 bytes/base vs 1 for ASCII — the device
     link is the streaming engine's bottleneck (NOTES.md).
     """
     p = packed.astype(U32)
     codes = jnp.stack([(p >> U32(2 * j)) & U32(3) for j in range(4)],
                       axis=1).reshape(L, -1)
-    v = vbits.astype(U32)
-    valid = jnp.stack([(v >> U32(j)) & U32(1) for j in range(8)],
-                      axis=1).reshape(L, -1).astype(bool)
+    if vbits is None:
+        valid = jnp.ones(codes.shape, dtype=bool)
+    else:
+        v = vbits.astype(U32)
+        valid = jnp.stack([(v >> U32(j)) & U32(1) for j in range(8)],
+                          axis=1).reshape(L, -1).astype(bool)
     return codes, valid
 
 
@@ -68,6 +76,28 @@ def pack_2bit_host(batch: np.ndarray, pad: int = ord("N")):
              | (batch == 116))
     vbits = np.packbits(valid, axis=1, bitorder="little")
     return packed, vbits
+
+
+def pack_2bit_host_clean(batch: np.ndarray, lengths: np.ndarray):
+    """:func:`pack_2bit_host` + a cleanliness check: returns
+    (packed, vbits, clean) where ``clean`` means every in-length byte is
+    ACGT (rows are 'N'-padded past their length, so the per-row valid
+    count equals the length exactly when there is no interior N). Clean
+    chunks skip the vbits upload — the device derives validity from
+    ``lengths`` alone (see :func:`unpack_2bit` with vbits=None)."""
+    B, L = batch.shape
+    assert L % 8 == 0
+    codes = ((batch >> 1) & 3).astype(np.uint8)
+    packed = (codes[:, 0::4] | (codes[:, 1::4] << 2)
+              | (codes[:, 2::4] << 4) | (codes[:, 3::4] << 6))
+    valid = ((batch == 65) | (batch == 67) | (batch == 71) | (batch == 84)
+             | (batch == 97) | (batch == 99) | (batch == 103)
+             | (batch == 116))
+    clean = bool((valid.sum(axis=1, dtype=np.int64)
+                  == lengths.astype(np.int64)).all())
+    vbits = None if clean else np.packbits(valid, axis=1,
+                                           bitorder="little")
+    return packed, vbits, clean
 
 
 def _rev2bit32(x):

@@ -1,23 +1,21 @@
-"""Pallas u32 sort for the packed single-word hash keys.
+"""Pallas merge-path run merges for packed sort words.
 
-``jax.lax.sort`` of one u32 operand costs 9.6 ms at N = 4.19M on a v5e —
-the largest remaining share of the fused count+merge step. This sorter
-exploits the packed-key design (everything rides ONE u32, sentinel
-0xFFFFFFFF tail-padding is semantically invalid):
-
-1. tile kernel: full bitonic sort of 8192-element VMEM tiles (butterfly
-   exchanges = two ``pltpu.roll`` + select per stage);
-2. merge levels: pairs of sorted runs are merged with the merge-path
-   method — per 8192-wide output block, the (A, B) split point is found
-   by a vectorized binary search OUTSIDE the kernel (tiny XLA gathers),
-   prefetched, then the block's two windows are DMA'd in and merged with
-   one bitonic merge (sentinel-masked). O(1) HBM passes per level.
+The mesh receiver's routed-run merge: the all_to_all delivers one
+ascending run per peer, so log2(ndev) merge-path levels replace a full
+re-sort (measured on v5e, 8 runs x 512k: 6.1 vs 9.8 ms single-word;
+wins through 5-word layouts, NOTES.md). Per level, pairs of sorted runs
+merge block-wise: the (A, B) split point per 8192-wide output block is
+found by a vectorized binary search OUTSIDE the kernel (tiny XLA
+gathers), prefetched, then the block's two windows are DMA'd in and
+merged with one Batcher odd-even merge (sentinel-masked). O(1) HBM
+passes per level.
 
 Signed trick: u32 keys are bitcast to i32 with the sign bit flipped
 (x ^ 0x80000000), so signed min/max implement unsigned compares.
 
-Requires N padded to a power of two (callers pad with 0xFFFFFFFF; the
-fused step's tail padding makes this a few % extra at bench shapes).
+The full Pallas SORT that once shared this module (bitonic tile phase +
+these merge levels) measured 16.2 ms vs lax.sort's 10.8 ms at 4.19M and
+was evicted in r4 — git history keeps it; lax.sort is the sort floor.
 """
 
 from __future__ import annotations
@@ -58,43 +56,6 @@ def _flat_idx(shape):
     row = jax.lax.broadcasted_iota(I32, shape, 0)
     col = jax.lax.broadcasted_iota(I32, shape, 1)
     return row * shape[1] + col
-
-
-def _stage(x, idx, k: int, d: int):
-    """One compare-exchange stage of the bitonic network: partner at XOR
-    distance d, ascending iff (i & k) == 0 (k = 0 -> all ascending)."""
-    part = _butterfly(x, d)
-    lo = jnp.minimum(x, part)
-    hi = jnp.maximum(x, part)
-    upper = (idx & d) != 0          # i is the higher of the pair
-    desc = ((idx & k) != 0) if k else jnp.zeros_like(upper)
-    return jnp.where(upper ^ desc, hi, lo)
-
-
-def _bitonic_sort_tile(x):
-    """Ascending bitonic sort of one tile (flat row-major order)."""
-    idx = _flat_idx(x.shape)
-    n = x.shape[0] * x.shape[1]
-    k = 2
-    while k <= n:
-        d = k // 2
-        while d >= 1:
-            x = _stage(x, idx, 0 if k == n else k, d)
-            d //= 2
-        k *= 2
-    return x
-
-
-def _bitonic_merge_tile(x):
-    """Bitonic merge of a tile holding a bitonic sequence -> ascending."""
-    idx = _flat_idx(x.shape)
-    n = x.shape[0] * x.shape[1]
-    d = n // 2
-    while d >= 1:
-        x = _stage(x, idx, 0, d)
-        d //= 2
-    return x
-
 
 def _flat_shift_up(x, r: int):
     """y[i] = x[i+r] (memory-flat, circular — callers mask the wrap)."""
@@ -144,10 +105,6 @@ def _oem_merge_halves(x):
         x = jnp.where(act_hi, jnp.maximum(y, dn), y)
         r //= 2
     return x
-
-
-def _sort_tiles_kernel(x_ref, o_ref):
-    o_ref[...] = _bitonic_sort_tile(x_ref[...])
 
 
 ALIGN = 1024                  # HBM slice offsets must be 1024-divisible
@@ -272,53 +229,12 @@ def _merge_levels(cur, log2r: int, interpret: bool):
 
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def sort_u32_pow2(x, interpret: bool = False):
-    """Ascending sort of a power-of-two-length u32 array (>= TILE)."""
-    n = x.shape[0]
-    assert n & (n - 1) == 0 and n >= TILE, "power-of-two length required"
-    xs = jax.lax.bitcast_convert_type(x ^ SIGN, jnp.int32)
-
-    tiles = n // TILE
-    shape2 = (n // LANES, LANES)
-    tspec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    cur = pl.pallas_call(
-        _sort_tiles_kernel,
-        grid=(tiles,),
-        in_specs=[tspec],
-        out_specs=tspec,
-        out_shape=jax.ShapeDtypeStruct(shape2, jnp.int32),
-        interpret=interpret,
-    )(xs.reshape(shape2)).reshape(n)
-
-    return jax.lax.bitcast_convert_type(
-        _merge_levels(cur, TILE.bit_length() - 1, interpret),
-        jnp.uint32) ^ SIGN
-
-
-def sort_u32(x, interpret: bool = False):
-    """Ascending u32 sort; pads to the next power of two with the
-    0xFFFFFFFF sentinel (the fused step's invalid marker) and slices
-    back. Falls back to lax.sort below one tile."""
-    n = x.shape[0]
-    if n < TILE:
-        (s,) = jax.lax.sort((x,), dimension=0, num_keys=1)
-        return s
-    npad = 1 << (n - 1).bit_length()
-    if npad != n:
-        x = jnp.concatenate(
-            [x, jnp.full((npad - n,), 0xFFFFFFFF, dtype=U32)])
-    s = sort_u32_pow2(x, interpret=interpret)
-    return s[:n]
-
-
 @partial(jax.jit, static_argnames=("run_len", "interpret"))
 def _merge_runs_pow2(x, run_len: int, interpret: bool = False):
     """Merge ``n // run_len`` ascending runs (everything a power of two,
     run_len >= TILE) into one ascending array: just the top
-    log2(n / run_len) merge-path levels of :func:`sort_u32_pow2` — the
-    tile-sort phase and the lower levels are already paid."""
+    log2(n / run_len) top merge-path levels (each incoming run is
+    already ascending)."""
     n = x.shape[0]
     assert n & (n - 1) == 0 and run_len & (run_len - 1) == 0
     assert run_len >= TILE and n > run_len and n % run_len == 0

@@ -126,14 +126,6 @@ def _route_sorted(layout: str, words, ndev: int, cap: int, axis: str,
     return tuple(recv[:, i] for i in range(len(ws))), dropped
 
 
-def _use_pallas(encode_impl: str, batch_rows: int) -> bool:
-    # "auto" currently resolves to the jnp encode: the Pallas kernel is
-    # opt-in ("pallas") until it is validated on every target generation.
-    if encode_impl == "pallas":
-        return True
-    return False
-
-
 def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
                  mode: str, window_bits, encode_impl: str = "auto",
                  static_parts: int | None = None,
@@ -142,7 +134,8 @@ def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
     if isinstance(batch, tuple) and len(batch) == 2 \
             and batch[0].dtype == jnp.uint8:
         # 2-bit packed upload (0.375 B/base over the device link):
-        # unpack to (codes, valid) once, then the shared encode runs
+        # unpack to (codes, valid) once, then the shared encode runs.
+        # vbits may be None (clean chunk): validity derives from lengths
         from kmtricks_tpu.ops.encode import unpack_2bit
         assert batch_layout == "lb"
         packed, vbits = batch
@@ -159,17 +152,6 @@ def _encode_flat(batch, lengths, samp, repart_table, k: int, m: int,
         keys, parts, valid = encode_batch_wide(
             batch, lengths, repart_table, k, m, static_parts=static_parts,
             seq_axis=seq_axis, mmer_canonical=mmer_canonical)
-    elif not isinstance(batch, tuple) and _use_pallas(encode_impl,
-                                                      batch.shape[0]):
-        assert batch_layout == "bl", \
-            "the Pallas encode kernel is (B, L)-only"
-        assert mmer_canonical, \
-            "the Pallas encode kernel only implements canonical m-mers"
-        from kmtricks_tpu.ops.experiments.pallas_encode import \
-            encode_batch_pallas
-        hi, lo, parts, valid = encode_batch_pallas(
-            batch, lengths, repart_table, k, m)
-        keys = (hi, lo)
     else:
         hi, lo, parts, valid = encode_batch(batch, lengths, repart_table,
                                             k, m, static_parts=static_parts,
@@ -328,7 +310,8 @@ def build_chunk_pairs_step(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                            mmer_canonical: bool = True,
                            pair_cap: int = 1 << 20,
                            encode_impl: str = "auto",
-                           packed_input: bool = False):
+                           packed_input: bool = False,
+                           with_vbits: bool = True):
     """Streaming-engine chunk step: encode one read chunk, route packed
     occurrences over the mesh, and reduce each device's slice to sorted
     unique (packed word, count) pairs (ops/table.py).
@@ -346,7 +329,12 @@ def build_chunk_pairs_step(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     from kmtricks_tpu.ops.table import chunk_count_pairs
 
     def step(*args):
-        if packed_input:
+        if packed_input and not with_vbits:
+            # clean chunk: no validity plane crossed the link — per-char
+            # validity is all-True, window validity comes from lengths
+            packed, lengths, samp, repart_table = args
+            batch = (packed, None)
+        elif packed_input:
             packed, vbits, lengths, samp, repart_table = args
             batch = (packed, vbits)
         else:
@@ -380,8 +368,12 @@ def build_chunk_pairs_step(mesh: Mesh, *, k: int, m: int, nb_parts: int,
     rep = P()
     batch_spec = sh if batch_layout == "bl" else P(None, axis)
     nw_packed = _layout_words(layout, nsamp)
-    in_specs = ((batch_spec, batch_spec, sh, sh, rep) if packed_input
-                else (batch_spec, sh, sh, rep))
+    if packed_input and not with_vbits:
+        in_specs = (batch_spec, sh, sh, rep)
+    elif packed_input:
+        in_specs = (batch_spec, batch_spec, sh, sh, rep)
+    else:
+        in_specs = (batch_spec, sh, sh, rep)
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
         in_specs=in_specs,
@@ -437,14 +429,19 @@ def build_table_merge(mesh: Mesh, *, nw: int, out_cap: int, n_streams: int,
 def build_table_sort_collapse(mesh: Mesh, *, layout: str, nsamp: int,
                               hard_min: int, n_runs: int,
                               key_bits: int | None = None,
-                              window_bits: int | None = None):
+                              window_bits: int | None = None,
+                              nb_parts: int | None = None):
     """Phase A of the table finalize: concatenate ``n_runs`` per-device
     pair runs, sort, collapse duplicate (key, sample) entries (a pair
     split across chunk runs sums here — suffix-sum doubling over at most
     n_runs duplicates; later duplicates become count-0 shadows), and
     count the EXACT distinct rows (keys present in >= 1 sample at
     ``hard_min``) so phase B sizes its buffers without retries. Returns
-    step(w0...,cnt0, ...) -> (ws tuple, cnt, nrows (ndev,), maxc ())."""
+    step(w0...,cnt0, ...) -> (ws tuple, cnt, nrows (ndev,), maxc ()).
+    With ``nb_parts`` set, also emits the per-partition row histogram
+    (ndev*nb_parts,) — phase A then carries EVERYTHING the host needs to
+    size and slice the fetch, so phase B's outputs never require a
+    host round-trip and the fetch overlaps phase B's compute."""
     (axis,) = mesh.axis_names
     from kmtricks_tpu.ops.count_merge import unpack_sorted
     from kmtricks_tpu.ops.table import _sat_add, _words_equal_next
@@ -484,13 +481,23 @@ def build_table_sort_collapse(mesh: Mesh, *, layout: str, nsamp: int,
         nrows = jnp.sum(row_head.astype(I32))
         maxc = jax.lax.pmax(
             jnp.max(jnp.where(present, cnt, U32(0))), axis)
-        return ws, cnt, nrows.reshape(1), maxc
+        if nb_parts is None:
+            return ws, cnt, nrows.reshape(1), maxc
+        part_s = unpack_sorted(layout, ws, nsamp, key_bits,
+                               window_bits)[0]
+        pidx = jnp.where(row_head, part_s.astype(I32), I32(nb_parts))
+        phist = jnp.zeros((nb_parts,), I32).at[pidx].add(
+            I32(1), mode="drop")
+        return ws, cnt, nrows.reshape(1), maxc, phist
 
     sh = P(axis)
+    outs = (tuple(sh for _ in range(nw)), sh, sh, P())
+    if nb_parts is not None:
+        outs = outs + (sh,)
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
         in_specs=tuple(sh for _ in range(n_runs * (nw + 1))),
-        out_specs=(tuple(sh for _ in range(nw)), sh, sh, P()),
+        out_specs=outs,
         check_vma=False))
 
 

@@ -137,7 +137,8 @@ def _stream_sample_blocks(kmdir: KmDir, opts: PipelineOptions,
 
 
 def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
-                      rows: int, pad: int = ord("N")):
+                      rows: int, pad: int = ord("N"),
+                      first_rows: tuple = ()):
     """Stream the whole collection as fixed-shape (rows, L) chunks.
 
     Reads longer than L are split into overlapping segments (overlap
@@ -145,32 +146,46 @@ def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
     chunks are padded with 'N' rows (masked on device). Host RSS is
     bounded by one chunk — the replacement for materializing the whole
     collection (the reference streams banks the same way,
-    BankFasta.cpp 256KB buffers)."""
+    BankFasta.cpp 256KB buffers).
+
+    ``first_rows``: row counts for the FIRST flushes (then ``rows``
+    thereafter) — the engine stripes the first chunk into quarters so
+    decode/pack/upload pipeline from ~t=0 instead of serializing one
+    full chunk before the device sees anything. All values must be
+    derived from run parameters (shape determinism)."""
     step_over = L - k + 1
-    state = {"buf": np.full((rows, L), pad, np.uint8),
-             "ln": np.zeros(rows, np.int32),
-             "sa": np.zeros(rows, np.int32), "fill": 0}
+    pending = list(first_rows)
+
+    def _next_cap() -> int:
+        return pending.pop(0) if pending else rows
+
+    cap0 = _next_cap()
+    state = {"buf": np.full((cap0, L), pad, np.uint8),
+             "ln": np.zeros(cap0, np.int32),
+             "sa": np.zeros(cap0, np.int32), "fill": 0, "cap": cap0}
 
     def flush_full():
         out = (state["buf"], state["ln"], state["sa"])
-        state["buf"] = np.full((rows, L), pad, np.uint8)
-        state["ln"] = np.zeros(rows, np.int32)
-        state["sa"] = np.zeros(rows, np.int32)
+        c = _next_cap()
+        state["buf"] = np.full((c, L), pad, np.uint8)
+        state["ln"] = np.zeros(c, np.int32)
+        state["sa"] = np.zeros(c, np.int32)
         state["fill"] = 0
+        state["cap"] = c
         return out
 
     def place(block, lengths, si):
         """Bulk-copy (B, Lb<=L) rows into the chunk buffer."""
         i = 0
         while i < len(lengths):
-            take = min(rows - state["fill"], len(lengths) - i)
+            take = min(state["cap"] - state["fill"], len(lengths) - i)
             f0 = state["fill"]
             state["buf"][f0:f0 + take, :block.shape[1]] = block[i:i + take]
             state["ln"][f0:f0 + take] = lengths[i:i + take]
             state["sa"][f0:f0 + take] = si
             state["fill"] += take
             i += take
-            if state["fill"] == rows:
+            if state["fill"] == state["cap"]:
                 yield flush_full()
 
     for si, batch, lengths in _stream_sample_blocks(kmdir, opts, pad):
@@ -213,14 +228,18 @@ def _pack_transpose_chunks(gen, threads: int = 4):
     releases the GIL on the big kernels)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from kmtricks_tpu.ops.encode import pack_2bit_host
+    from kmtricks_tpu.ops.encode import pack_2bit_host_clean
 
     tpw = max(1, threads // 2)
 
     def work(item):
         buf, ln, sa = item
-        packed, vbits = pack_2bit_host(buf)
-        return (_transpose_mt(packed, tpw), _transpose_mt(vbits, tpw),
+        packed, vbits, _clean = pack_2bit_host_clean(buf, ln)
+        # clean chunk (no interior non-ACGT byte): the validity plane
+        # stays host-side — the device derives it from lengths, cutting
+        # the chunk upload by a third (the link is the e2e bottleneck)
+        return (_transpose_mt(packed, tpw),
+                None if vbits is None else _transpose_mt(vbits, tpw),
                 ln, sa)
 
     with ThreadPoolExecutor(max_workers=2) as ex:
@@ -814,11 +833,14 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
     chunk_windows = int(env_cw) if env_cw else budget_windows
     k = opts.kmer_size
     # file-size upper bound decides whether the collection is ever
-    # materialized: far beyond the device budget -> stream chunks from the
-    # banks with bounded host RSS. (Total bases <= file bytes for
-    # FASTA/FASTQ; gz sized x4, the reference's own name heuristic —
-    # the sampled seqio.estimate costs a 50k-record parse per file, only
-    # paid when the streaming path is actually taken.)
+    # materialized: beyond the single-step device budget -> stream chunks
+    # from the banks with bounded host RSS (total bases <= file bytes for
+    # FASTA/FASTQ; gz sized x4, the reference's own name heuristic — the
+    # sampled seqio.estimate costs a 50k-record parse per file, only paid
+    # when the streaming path is actually taken). Any bank that would be
+    # chunked anyway streams: decoding then overlaps device compute
+    # instead of materializing the whole collection up-front (measured
+    # 1.2-2.1 s of idle device on the 290 MB e2e bench bank).
     est_bytes = sum(
         _os.path.getsize(p) * (4 if p.endswith("gz") else 1)
         for e in kmdir.fof for p in e.paths)
@@ -828,7 +850,7 @@ def run_mesh_pipeline(opts: PipelineOptions) -> KmDir:
           if cfm == "hash" else None)
     streamable = stream_layout(k, config.minim_size, config.nb_partitions,
                                len(kmdir.fof), cfm, wb) is not None
-    if est_bytes > 4 * budget_windows:
+    if est_bytes > budget_windows:
         ests = [seqio.estimate(e.paths) for e in kmdir.fof]
         if streamable:
             from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream

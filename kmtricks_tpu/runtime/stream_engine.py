@@ -121,8 +121,18 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                              * rows_align)
         focus = opts.focus if opts.focus is not None else 0.5
         depth = max(1, int(round(focus * 4)))
+        # stripe the FIRST chunk into quarters: decode, pack and upload
+        # pipeline from ~t=0 instead of serializing one full chunk
+        # before the device sees anything (~2.5 s of idle device on the
+        # e2e bench through the tunnel). Quarter shapes and their pair
+        # caps derive from run parameters only (shape determinism).
+        prologue = ()
+        q = (rows_per_chunk // 4) // rows_align * rows_align
+        if q >= max(rows_align, 1024):
+            prologue = (q, q, q, q)
         chunks = prefetched(_device_put_chunks(_pack_transpose_chunks(
-            stream_row_chunks(kmdir, opts, k, L, rows_per_chunk),
+            stream_row_chunks(kmdir, opts, k, L, rows_per_chunk,
+                              first_rows=prologue),
             getattr(opts, "threads", 4) or 4), mesh), depth)
     else:
         if batch is None:
@@ -155,7 +165,6 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     chunk_w = rows_per_chunk * W
     local = -(-chunk_w // ndev)
     skew = estimate_dest_skew(kmdir, opts, config, repart, ndev)
-    route_cap = min(local, int(local * skew * ndev * 1.5) + 1024)
     trace("skew estimated")
 
     # device-memory bound on table slots (words + cnt, double-buffered
@@ -166,32 +175,52 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     table_hbm = max(1 << 25, _pow2ceil(int(
         opts.max_memory_mb * 1e6 / 3 / (4 * (nw + 1))) + 1) // 2)
 
-    def pairs_step(pc):
+    def pairs_step(pc, with_vb, cap):
         return build_chunk_pairs_step(
             mesh, k=k, m=config.minim_size, nb_parts=config.nb_partitions,
-            cap=route_cap, nsamp=nsamp, mode=cf, window_bits=window_bits,
+            cap=cap, nsamp=nsamp, mode=cf, window_bits=window_bits,
             static_repart=opts.static_repart, batch_layout="lb",
             mmer_canonical=config.mmer_scheme != "forward", pair_cap=pc,
-            packed_input=True)
+            packed_input=True, with_vbits=with_vb)
 
     table_jnp = jnp.asarray(repart.table.astype(np.int32))
 
     import os as _os
     _env_cap = _os.environ.get("KMTRICKS_STREAM_PAIR_CAP")
     pair_cap = int(_env_cap) if _env_cap else None
-    step = pairs_step(pair_cap) if pair_cap else None
     runs = []             # accumulated pair runs [(words, cnt, cap, n)]
     inflight = []         # [(n_pairs dev, dropped dev, host_chunk, slot)]
     n_chunks = 0
 
-    def upload(pk, vb, cl, cs):
-        return (jnp.asarray(pk), jnp.asarray(vb), jnp.asarray(cl),
-                jnp.asarray(cs))
+    def _chunk_caps(chunk):
+        """Per-chunk program capacities. The all_to_all route capacity
+        scales with the chunk's row count, but the PAIR cap does not:
+        distinct (key, sample) pairs are genome-bound, not read-bound,
+        so a striped prologue quarter can hold as many distinct pairs as
+        a full chunk (measured: 4 interleaved samples x 1M genome in one
+        quarter)."""
+        local_b = -(-(chunk[0].shape[1] * W) // ndev)
+        cap_b = min(local_b, int(local_b * skew * ndev * 1.5) + 1024)
+        return pair_cap, cap_b
 
-    def verify_inflight(keep_last: int):
+    def call_step(chunk):
+        """Dispatch the chunk program matching this chunk's shape: clean
+        chunks (vbits None) use the no-validity-plane variant — a third
+        fewer upload bytes on the link, the e2e bottleneck."""
+        pk, vb, cl, cs = chunk
+        pc, cap_b = _chunk_caps(chunk)
+        f = pairs_step(pc, vb is not None, cap_b)
+        args = ((pk, cl, cs, table_jnp) if vb is None
+                else (pk, vb, cl, cs, table_jnp))
+        return f(*args), pc
+
+    def verify_inflight(keep_last: int) -> bool:
         """Resolve queued (n_pairs, dropped) checks; chunk overflow
-        re-runs the kept host chunk with a doubled pair_cap program."""
-        nonlocal pair_cap, step
+        re-runs the kept host chunk with a doubled pair_cap program.
+        Returns True if any run slot was replaced (callers that already
+        dispatched downstream programs must re-dispatch)."""
+        nonlocal pair_cap
+        replaced = False
         while len(inflight) > keep_last:
             n_pairs_d, dropped_d, host_chunk, slot = inflight.pop(0)
             n_pairs, dropped = jax.device_get((n_pairs_d, dropped_d))
@@ -200,16 +229,17 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                     "all_to_all capacity exceeded in the streaming "
                     "engine; re-run with more partitions or a larger "
                     "--max-memory")
-            if int(n_pairs.max()) > pair_cap:
+            if int(n_pairs.max()) > runs[slot][2]:
                 pair_cap = _pow2ceil(int(n_pairs.max()) * 2)
                 log.warning("chunk pair overflow - re-running chunk with "
                             "pair_cap %d", pair_cap)
-                step = pairs_step(pair_cap)
-                pw, pc2, np_d, dr_d = step(*upload(*host_chunk), table_jnp)
-                runs[slot] = (pw, pc2, pair_cap, None)
+                (pw, pc2, np_d, dr_d), pc_used = call_step(host_chunk)
+                runs[slot] = (pw, pc2, pc_used, None)
                 inflight.append((np_d, dr_d, host_chunk, slot))
+                replaced = True
             else:
                 runs[slot] = runs[slot][:3] + (int(n_pairs.max()),)
+        return replaced
 
     def fold_runs():
         """Collapse all accumulated runs into ONE compacted run — paid
@@ -241,30 +271,29 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             out_cap = min(table_hbm, _pow2ceil(n_new))
         runs = [(ws, cnt, out_cap, n_new)]
 
-    for pk, vb, cl, cs in chunks:
+    for chunk in chunks:
         trace(f"chunk {n_chunks} decoded")
+        pk, vb, cl, cs = chunk
         if pair_cap is None:
             # size pair_cap from the first chunk (synchronous once):
             # start small — oversized pair runs bloat the finalize sort
             # width — and grow exactly on overflow
             pair_cap = max(1 << 14, _pow2ceil(local) // 32)
-            step = pairs_step(pair_cap)
-            pw, pc, np_d, dr_d = step(*upload(pk, vb, cl, cs), table_jnp)
+            (pw, pc, np_d, dr_d), pc_used = call_step(chunk)
             n_pairs, dropped = jax.device_get((np_d, dr_d))
             if int(dropped):
                 raise ValueError("all_to_all capacity exceeded on the "
                                  "first streamed chunk")
-            if int(n_pairs.max()) > pair_cap:
+            if int(n_pairs.max()) > pc_used:
                 pair_cap = _pow2ceil(int(n_pairs.max()) * 2)
-                step = pairs_step(pair_cap)
-                pw, pc, np_d, dr_d = step(*upload(pk, vb, cl, cs), table_jnp)
+                (pw, pc, np_d, dr_d), pc_used = call_step(chunk)
                 n_pairs = jax.device_get(np_d)
-                assert int(n_pairs.max()) <= pair_cap
-            runs.append((pw, pc, pair_cap, int(n_pairs.max())))
+                assert int(n_pairs.max()) <= pc_used
+            runs.append((pw, pc, pc_used, int(n_pairs.max())))
         else:
-            pw, pc, np_d, dr_d = step(*upload(pk, vb, cl, cs), table_jnp)
-            runs.append((pw, pc, pair_cap, None))
-            inflight.append((np_d, dr_d, (pk, vb, cl, cs), len(runs) - 1))
+            (pw, pc, np_d, dr_d), pc_used = call_step(chunk)
+            runs.append((pw, pc, pc_used, None))
+            inflight.append((np_d, dr_d, chunk, len(runs) - 1))
             # lag the overflow check by TWO chunks: chunk i-2's n_pairs is
             # already materialized while chunk i-1 computes, so this
             # device_get returns without stalling the dispatch cadence
@@ -274,26 +303,39 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         if sum(r[2] for r in runs) + pair_cap > table_hbm:
             fold_runs()
             trace(f"folded -> {runs[0][3]} entries")
-    verify_inflight(keep_last=0)
     if not runs:
         raise ValueError("no sequences")
+
+    # final pass: ONE concat+sort+collapse over every accumulated run,
+    # then presence + row heads + dense compaction, then fetch.
+    # phase A: sort + collapse + EXACT row count + max count + the
+    # per-partition row histogram — everything the host needs to size
+    # phase B and slice the fetch, in ONE device round-trip;
+    # phase B: dense compaction at that capacity, its outputs consumed
+    # by device-side fetch slices dispatched WITHOUT waiting for it.
+    def dispatch_phase_a():
+        sortc = build_table_sort_collapse(
+            mesh, layout=layout, nsamp=nsamp, hard_min=dev_hard_min,
+            n_runs=len(runs), key_bits=key_bits, window_bits=window_bits,
+            nb_parts=config.nb_partitions)
+        return sortc(*[x for r in runs for x in (list(r[0]) + [r[1]])])
+
+    # dispatch OPTIMISTICALLY before draining the lagged overflow checks:
+    # the device queues phase A behind the remaining chunk steps while
+    # the host waits on their n_pairs; a (rare) chunk re-run replaces a
+    # run slot and simply re-dispatches phase A
+    phase_a = dispatch_phase_a()
+    trace("phase A dispatched")
+    if verify_inflight(keep_last=0):
+        phase_a = dispatch_phase_a()
+        trace("phase A re-dispatched (chunk overflow)")
     n_total = sum(r[3] for r in runs)
     log.info("streamed %d chunks -> %d pair runs, %d entries/device",
              n_chunks, len(runs), n_total)
-
-    # final pass: ONE concat+sort+collapse over every accumulated run,
-    # then presence + row heads + dense compaction, then fetch
-    # phase A: sort + collapse + EXACT row count (no sizing retries);
-    # phase B: dense compaction at that capacity
-    sortc = build_table_sort_collapse(
-        mesh, layout=layout, nsamp=nsamp, hard_min=dev_hard_min,
-        n_runs=len(runs), key_bits=key_bits, window_bits=window_bits)
-    ws_d, cnt_d, nrows_a, maxc_a = sortc(
-        *[x for r in runs for x in (list(r[0]) + [r[1]])])
-    trace("phase A dispatched")
-    nrs_a = jax.device_get(nrows_a)
+    ws_d, cnt_d, nrows_a, maxc_a, phist_a = phase_a
+    nrs, maxc, phist = jax.device_get((nrows_a, maxc_a, phist_a))
     trace("phase A rows known")
-    rows_cap = max(1 << 12, _pow2ceil(int(nrs_a.max())))
+    rows_cap = max(1 << 12, _pow2ceil(int(nrs.max())))
     if rows_cap * nsamp >= (1 << 31):
         raise ValueError(
             f"dense output matrix too large ({rows_cap} rows x "
@@ -302,13 +344,10 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     compactf = build_table_compact(
         mesh, layout=layout, nsamp=nsamp, key_bits=key_bits,
         window_bits=window_bits, hard_min=dev_hard_min,
-        rows_cap=rows_cap, mode=cf, nb_parts=config.nb_partitions)
-    rows_d, pre_d, nrows_d, maxc_d, _npres_d, phist_d = compactf(
+        rows_cap=rows_cap, mode=cf)
+    rows_d, pre_d, _nrows_d, _maxc_d, _npres_d = compactf(
         *(list(ws_d) + [cnt_d]))
-    trace("phase B dispatched")
-    nrs, maxc, phist = jax.device_get((nrows_d, maxc_d, phist_d))
-    assert int(nrs.max()) <= rows_cap
-    trace(f"finalize done (nrows {int(nrs.max())})")
+    trace(f"phase B dispatched (nrows {int(nrs.max())})")
 
     _fetch_merge_write(
         kmdir, config, opts, cf, window_bits, rows_d, pre_d, nrs,
@@ -334,7 +373,8 @@ def _device_put_chunks(gen, mesh):
     sb = NamedSharding(mesh, P_(None, axis))   # (L/4, B) batch layout
     sv = NamedSharding(mesh, P_(axis))         # (B,) vectors
     for pk, vb, cl, cs in gen:
-        yield (jax.device_put(pk, sb), jax.device_put(vb, sb),
+        yield (jax.device_put(pk, sb),
+               None if vb is None else jax.device_put(vb, sb),
                jax.device_put(cl, sv), jax.device_put(cs, sv))
 
 

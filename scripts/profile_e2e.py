@@ -1,111 +1,53 @@
-"""Stage-level timing of the mesh pipeline e2e run (plain flags — extra
-jax debug options change the compile-cache key and force recompiles)."""
+"""Profile the streaming-engine e2e bench config with stage tracing.
 
+Reproduces bench.py's pipeline_e2e run (same env caps -> same program
+shapes -> persistent-cache hits) and prints the KMTRICKS_STREAM_TRACE
+stage marks plus total wall, for warm and cold-in-process runs.
+"""
 import os
+import shutil
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                ".."))
+os.environ.setdefault("KMTRICKS_STREAM_TRACE", "1")
+os.environ["KMTRICKS_STREAM_PAIR_CAP"] = str(1 << 23)
+os.environ["KMTRICKS_STREAM_CHUNK_WINDOWS"] = str(62_500_000)
 
-import jax
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo)
+sys.path.insert(0, os.path.join(repo, "scripts"))
 
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                 ".jax_cache")))
+import jax  # noqa: E402
+
+cache = os.path.join(repo, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-import numpy as np
-import jax.numpy as jnp
+from gen_synth_bank import gen_bank  # noqa: E402
 
-from kmtricks_tpu.runtime.pipeline import PipelineOptions, parse_mode
-from kmtricks_tpu.runtime import device_pipeline as dp
+from kmtricks_tpu.runtime.device_pipeline import run_mesh_pipeline  # noqa: E402
+from kmtricks_tpu.runtime.pipeline import PipelineOptions  # noqa: E402
 
-T0 = time.perf_counter()
-
-
-def mark(label):
-    print(f"[{time.perf_counter() - T0:7.2f}s] {label}", flush=True)
-
-
-def main():
-    import shutil
-    shutil.rmtree("/tmp/e2e_run", ignore_errors=True)
-    opts = PipelineOptions(
-        fof=os.environ.get("FOF", "/tmp/synth_bank/bank.fof"),
-        run_dir="/tmp/e2e_run", kmer_size=31, hard_min=2, soft_min="2",
-        mode="kmer:count:bin", backend="mesh", static_repart=True,
-        nb_partitions=64, threads=4)
-
-    from kmtricks_tpu.runtime.pipeline import (resolve_soft_min,
-                                               stage_config, stage_repart)
-    mark("start")
-    kmdir, config = stage_config(opts)
-    mark("config")
-    repart = stage_repart(kmdir, config, opts)
-    mark("repart")
-    from kmtricks_tpu.io import sequences as seqio
-    ests = [seqio.estimate(e.paths) for e in kmdir.fof]
-    mark("estimates")
-    batch, lengths, sarr = dp._load_global_batch(kmdir, opts,
-                                                 opts.kmer_size, 1)
-    mark(f"decode+assemble batch {batch.shape}")
-    amin_vec = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
-
-    # inline stage_mesh_count_merge with timers
-    from kmtricks_tpu.ops.compact import fetch_matrix, fetch_rows
-    from kmtricks_tpu.parallel.pipeline import (build_sharded_pipeline,
-                                                make_mesh)
-    from kmtricks_tpu.host import ops as hops
-    from kmtricks_tpu.runtime.pipeline import write_merge_outputs
-
-    nsamp = len(kmdir.fof)
-    mesh = make_mesh(1)
-    n_windows = batch.shape[0] * (batch.shape[1] - config.kmer_size + 1)
-    cf, window_bits, count_max, hard_mins = dp._mesh_common(
-        kmdir, config, opts, uniform_hard_min=False)
-    skew = dp.estimate_dest_skew(kmdir, opts, config, repart, 1)
-    mark("skew estimate")
-    local = n_windows
-    cap = min(local, int(local * skew * 1.5) + 1024)
-    rows_cap = 1 << 21
-    step = build_sharded_pipeline(
-        mesh, k=config.kmer_size, m=config.minim_size,
-        nb_parts=config.nb_partitions, cap=cap, nsamp=nsamp,
-        hard_min=hard_mins[0], rmin=1, save_if=0, mode=cf,
-        window_bits=window_bits, count_max=count_max, static_repart=True,
-        with_stats=True, batch_layout="lb", compact_rows=rows_cap)
-    bt = np.ascontiguousarray(batch.T)
-    mark("host transpose")
-    args = (jnp.asarray(bt), jnp.asarray(lengths), jnp.asarray(sarr),
-            jnp.asarray(repart.table.astype(np.int32)),
-            jnp.asarray(amin_vec, dtype=np.uint32))
-    jax.block_until_ready(args[0])
-    mark(f"upload {bt.nbytes/1e6:.0f}MB batch")
-    rows_d, pre_d, nrows_d, maxc_d, npres_d, dropped_d = step(*args)
-    nrs, maxc, nd = jax.device_get((nrows_d, maxc_d, dropped_d))
-    mark(f"step exec (nrows={int(nrs[0])} maxc={int(maxc)} "
-         f"dropped={int(nd)})")
-    nr = int(nrs[0])
-    rows = fetch_rows(rows_d, nr)
-    mark(f"fetch rows {rows.nbytes/1e6:.1f}MB")
-    pre = fetch_matrix(pre_d, nr, int(maxc))
-    mark(f"fetch pre (narrowed {'u8' if int(maxc)<256 else 'u16/u32'})")
-    kwords = rows[:, :-1]
-    keys = dp._keys_to_u64(tuple(kwords[:, j]
-                                 for j in range(kwords.shape[1])))
-    keys = keys.reshape(nr, max(1, kwords.shape[1] // 2))
-    part_col = rows[:, -1].astype(np.int64)
-    bounds = np.searchsorted(part_col, np.arange(config.nb_partitions + 1))
-    mark("host keys/bounds")
-    for p in range(config.nb_partitions):
-        sl = slice(int(bounds[p]), int(bounds[p + 1]))
-        res = hops.merge_dense(keys[sl], pre[sl], amin_vec, 1, 0)
-        write_merge_outputs(kmdir, config, opts, p, res)
-    mark("merge_dense + write 64 partitions")
-    rate = n_windows / (time.perf_counter() - T0)
-    print(f"TOTAL {time.perf_counter()-T0:.2f}s  {rate/1e6:.1f}M kmers/s")
+bank_dir = "/tmp/kmtricks_bench_bank_v1"
+fof_p = os.path.join(bank_dir, "bank.fof")
+if not os.path.exists(fof_p):
+    gen_bank(bank_dir, nsamp=10, genome=1_000_000, coverage=30.0,
+             read_len=1024, seed=42)
 
 
-if __name__ == "__main__":
-    main()
+def opts(run_dir):
+    return PipelineOptions(
+        fof=fof_p, run_dir=run_dir, kmer_size=31, hard_min=2,
+        soft_min="2", mode="kmer:count:bin", backend="mesh",
+        static_repart=True, nb_partitions=64, threads=4,
+        max_memory_mb=6000)
+
+
+n_e2e = 10 * (1_000_000 * 30 // 1024) * (1024 - 31 + 1)
+for tag in ("warm0", "warm1", "warm2"):
+    shutil.rmtree("/tmp/kmtricks_bench_e2e", ignore_errors=True)
+    t0 = time.perf_counter()
+    run_mesh_pipeline(opts("/tmp/kmtricks_bench_e2e"))
+    wall = time.perf_counter() - t0
+    print(f"[{tag}] wall {wall:.2f}s = {n_e2e / wall / 1e6:.1f}M kmers/s",
+          flush=True)

@@ -193,3 +193,32 @@ def test_streaming_bam_input(tmp_path):
     stage_mesh_chunked(kmdir, config, opts, repart, amin,
                        chunk_windows=2000, use_stream=True)
     assert _matrices(kmdir) == _matrices(host)
+
+
+def test_stream_engine_mixed_clean_and_n_chunks(tmp_path):
+    """Streaming ENGINE (device-resident tables) with chunks that
+    alternate between clean (no validity plane uploaded — derived from
+    lengths on device) and N-containing (full vbits upload): byte-equal
+    to the host backend. Covers both chunk-program variants in one run."""
+    rng = np.random.default_rng(123)
+    genome = rng.choice(list("ACGT"), size=6000)
+    lines = []
+    for s in range(3):
+        p = tmp_path / f"S{s}.fasta"
+        reads = []
+        for r in range(150):
+            start = int(rng.integers(0, len(genome) - 120))
+            read = list(genome[start:start + 120])
+            # sample 1: sprinkle interior Ns so some chunks are dirty
+            if s == 1 and r % 3 == 0:
+                read[int(rng.integers(5, 110))] = "N"
+            reads.append("".join(read))
+        write_fasta(p, reads)
+        lines.append(f"S{s} : {p}")
+    fof = tmp_path / "n.fof"
+    fof.write_text("\n".join(lines) + "\n")
+
+    host = run_pipeline(_opts(str(fof), tmp_path / "host", backend="host"))
+    mesh = run_pipeline(_opts(str(fof), tmp_path / "mesh", backend="mesh",
+                              max_memory_mb=1))
+    assert _matrices(mesh) == _matrices(host)
