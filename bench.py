@@ -136,13 +136,20 @@ def main() -> None:
     rows50 = rng.integers(0, 256, (window, (nsamp50 + 7) // 8),
                           dtype=np.uint8)
     transpose_bits(rows50[:1024])     # warm numpy path
-    t0 = time.perf_counter()
-    out50 = transpose_bits(rows50)
-    bft_wall = time.perf_counter() - t0
+    # median of 7: this VM's host timings swing 2-5x with external load
+    # (the r2->r3 269M->122M regression was contention, not code)
+    walls = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        out50 = transpose_bits(rows50)
+        walls.append(time.perf_counter() - t0)
+    bft_wall = sorted(walls)[len(walls) // 2]
     assert out50.shape[0] >= nsamp50
     bft_bits_per_sec = window * nsamp50 / bft_wall
     result["extra"]["bft_transpose_bits_per_sec_50samp"] = \
         round(bft_bits_per_sec, 1)
+    result["extra"]["bft_transpose_host_minmax_ratio"] = \
+        round(max(walls) / min(walls), 2)
 
     repart = Repartition.from_xxh(NB_PARTS, M)
     args = make_args(B, NSAMP)
@@ -231,28 +238,40 @@ def main() -> None:
         round(Nt * St / dt_t, 1)
 
     # --- the REAL write_as_bf path: dense window row materialization
-    # (host/ops.bf_rows_from_merge) + the .cmbf file write, from a
-    # realistic per-partition merge result (~50% window occupancy)
+    # (host/ops.bf_rows_from_merge) + the .cmbf file write, at a
+    # bloom-realistic window (16.7M hash rows x 50 samples, ~50% window
+    # occupancy — the r3 shape of 250k x 8 measured per-call overhead,
+    # not the op). Two denominators: set bits (continuity with r2/r3)
+    # and TOTAL dense window bits — write_as_bf emits every bit of the
+    # window including zeros (merge.hpp:575-600), so window*nsamp is
+    # what the op actually produces. Median of 3 (host-timing variance).
     import tempfile
     from kmtricks_tpu.host.ops import MergeResult as _MR, \
         MergeStats as _MS, bf_rows_from_merge
     from kmtricks_tpu.io import formats as F
-    occ = WINDOW_BITS // 2
-    hsel = np.sort(rng.choice(WINDOW_BITS, occ, replace=False).astype(
-        np.uint64))
-    cnts = rng.integers(0, 5, (occ, NSAMP)).astype(np.uint32)
-    z6 = [np.zeros(NSAMP, np.uint64) for _ in range(6)]
+    bfw, bfs = 1 << 24, 50
+    occ = bfw // 2
+    hsel = np.sort(rng.choice(bfw, occ, replace=False).astype(np.uint64))
+    # u8 counts: the pipeline hands bf_rows_from_merge the NARROWED
+    # fetch (ops/compact.narrow_cast), not u32
+    cnts = rng.integers(0, 5, (occ, bfs)).astype(np.uint8)
+    z6 = [np.zeros(bfs, np.uint64) for _ in range(6)]
     mres = _MR(keys=hsel, counts=cnts, keep=np.ones(occ, bool),
                stats=_MS(*z6))
-    with tempfile.TemporaryDirectory() as td:
-        t0 = time.perf_counter()
-        rows_bf = bf_rows_from_merge(mres, 0, WINDOW_BITS - 1, NSAMP)
-        F.write_vector_matrix_file(os.path.join(td, "m.cmbf"), rows_bf,
-                                   NSAMP, 0, 0, 0, WINDOW_BITS)
-        bf_write_wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(3):
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            rows_bf = bf_rows_from_merge(mres, 0, bfw - 1, bfs)
+            F.write_vector_matrix_file(os.path.join(td, "m.cmbf"),
+                                       rows_bf, bfs, 0, 0, 0, bfw)
+            walls.append(time.perf_counter() - t0)
+    bf_write_wall = sorted(walls)[1]
     set_bits = int((cnts > 0).sum())
     result["extra"]["bf_write_bits_per_sec"] = \
         round(set_bits / bf_write_wall, 1)
+    result["extra"]["bf_write_window_bits_per_sec"] = \
+        round(bfw * bfs / bf_write_wall, 1)
 
     # --- k-mer mode
     kmer_step = jax.jit(build_single_chip_step(
@@ -396,14 +415,22 @@ def main() -> None:
         return fof, nsamp * nreads * (rlen - K + 1)
 
     def _ladder(label, nsamp, nreads, rlen, genome_sz, **opts_kw):
+        """Run a BASELINE config ladder COLD then WARM (VERDICT r3: one
+        cold wall conflates tool speed with one-time program load/compile
+        cost — the reference binary has zero per-run compile cost, so
+        the warm wall is the comparable number; cold is listed
+        alongside)."""
         with _tf2.TemporaryDirectory() as td:
             fof, nwin = _gen_bank(td, nsamp, nreads, rlen, genome_sz)
-            t0 = time.perf_counter()
-            _rp(_PO(fof=fof, run_dir=os.path.join(td, "run"),
-                    kmer_size=K, threads=4, **opts_kw))
-            wall = time.perf_counter() - t0
-            result["extra"][label] = round(wall, 2)
-            return nwin, wall
+            walls = []
+            for tag in ("cold", "warm"):
+                t0 = time.perf_counter()
+                _rp(_PO(fof=fof, run_dir=os.path.join(td, f"run_{tag}"),
+                        kmer_size=K, threads=4, **opts_kw))
+                walls.append(time.perf_counter() - t0)
+            result["extra"][label + "_cold"] = round(walls[0], 2)
+            result["extra"][label] = round(walls[1], 2)
+            return nwin, walls[1]
 
     # config 3: 50-sample BF vectors + bit-transpose + per-sample
     # HowDe-SBT BFs (hash:bft + filters/)

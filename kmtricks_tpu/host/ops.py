@@ -413,8 +413,12 @@ def bf_rows_from_merge(result: MergeResult, lower: int, upper: int,
     kept = result.keep
     if kept.any():
         hashes = result.keys[kept].astype(np.int64) - lower
-        bits = (result.counts[kept] > 0)
-        rows[hashes] = np.packbits(bits, axis=1, bitorder="little")
+        cs = result.counts if kept.all() else result.counts[kept]
+        if cs.dtype != np.uint8 and cs.dtype != np.bool_:
+            # packbits only takes u8/bool; the pipeline hands the
+            # narrowed (u8) fetch here so this copy is the exception
+            cs = (cs > 0)
+        rows[hashes] = np.packbits(cs, axis=1, bitorder="little")
     return rows
 
 

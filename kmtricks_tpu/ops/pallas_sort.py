@@ -57,6 +57,17 @@ def _flat_idx(shape):
     col = jax.lax.broadcasted_iota(I32, shape, 1)
     return row * shape[1] + col
 
+def _stage(x, idx, k: int, d: int):
+    """One compare-exchange stage of the bitonic network: partner at XOR
+    distance d, ascending iff (i & k) == 0 (k = 0 -> all ascending)."""
+    part = _butterfly(x, d)
+    lo = jnp.minimum(x, part)
+    hi = jnp.maximum(x, part)
+    upper = (idx & d) != 0          # i is the higher of the pair
+    desc = ((idx & k) != 0) if k else jnp.zeros_like(upper)
+    return jnp.where(upper ^ desc, hi, lo)
+
+
 def _flat_shift_up(x, r: int):
     """y[i] = x[i+r] (memory-flat, circular — callers mask the wrap)."""
     R, C = x.shape

@@ -66,6 +66,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     docstring). Mirrors stage_mesh_chunked's interface; requires a packed
     sort layout (callers check stream_layout first)."""
     import math
+    import os as _os
 
     import jax
     import jax.numpy as jnp
@@ -80,7 +81,12 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
 
     trace = _tracer()
     nsamp = len(kmdir.fof)
-    mesh = make_mesh(n_devices)
+    nproc = jax.process_count()
+    if nproc > 1 and n_devices is None:
+        from kmtricks_tpu.parallel import multihost as mh
+        mesh = mh.global_mesh()
+    else:
+        mesh = make_mesh(n_devices)
     trace("mesh up")
     ndev = mesh.shape[mesh.axis_names[0]]
     k = config.kmer_size
@@ -106,9 +112,15 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     hard_mins = np.asarray(kmdir.fof.abundance_mins(opts.hard_min),
                            dtype=np.uint32)
     want_hists = opts.hist or (amin_vec is None)
+    if want_hists and nproc > 1:
+        raise NotImplementedError(
+            "multi-process streaming runs need a pre-resolved soft-min "
+            "and --hist off (per-sample abundance histograms are not "
+            "gathered across hosts yet)")
     dev_hard_min = 1 if want_hists else int(hard_mins.min())
 
     rows_align = math.lcm(ndev, 8)
+    prologue = ()
     if use_stream:
         if ests is None:
             ests = [seqio.estimate(e.paths) for e in kmdir.fof]
@@ -126,12 +138,19 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         # before the device sees anything (~2.5 s of idle device on the
         # e2e bench through the tunnel). Quarter shapes and their pair
         # caps derive from run parameters only (shape determinism).
-        prologue = ()
         q = (rows_per_chunk // 4) // rows_align * rows_align
-        if q >= max(rows_align, 1024):
+        if (q >= max(rows_align, 1024)
+                and _os.environ.get("KMTRICKS_STREAM_PROLOGUE", "1")
+                != "0"):
             prologue = (q, q, q, q)
+        dec_opts = opts
+        if nproc > 1:
+            # every process must assemble IDENTICAL chunks: sample-
+            # parallel decode interleaves blocks nondeterministically
+            from dataclasses import replace as _dc_replace
+            dec_opts = _dc_replace(opts, threads=1)
         chunks = prefetched(_device_put_chunks(_pack_transpose_chunks(
-            stream_row_chunks(kmdir, opts, k, L, rows_per_chunk,
+            stream_row_chunks(kmdir, dec_opts, k, L, rows_per_chunk,
                               first_rows=prologue),
             getattr(opts, "threads", 4) or 4), mesh), depth)
     else:
@@ -174,6 +193,9 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     # otherwise a small chunk budget would also strangle the table.
     table_hbm = max(1 << 25, _pow2ceil(int(
         opts.max_memory_mb * 1e6 / 3 / (4 * (nw + 1))) + 1) // 2)
+    _env_hbm = _os.environ.get("KMTRICKS_STREAM_TABLE_CAP")
+    if _env_hbm:
+        table_hbm = int(_env_hbm)    # tests: force mid-stream folds
 
     def pairs_step(pc, with_vb, cap):
         return build_chunk_pairs_step(
@@ -183,9 +205,13 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             mmer_canonical=config.mmer_scheme != "forward", pair_cap=pc,
             packed_input=True, with_vbits=with_vb)
 
-    table_jnp = jnp.asarray(repart.table.astype(np.int32))
+    if nproc > 1:
+        # jit inputs must be global arrays on a multi-process mesh
+        from kmtricks_tpu.parallel import multihost as mh
+        table_jnp = mh.replicated(repart.table.astype(np.int32), mesh)
+    else:
+        table_jnp = jnp.asarray(repart.table.astype(np.int32))
 
-    import os as _os
     _env_cap = _os.environ.get("KMTRICKS_STREAM_PAIR_CAP")
     pair_cap = int(_env_cap) if _env_cap else None
     runs = []             # accumulated pair runs [(words, cnt, cap, n)]
@@ -241,20 +267,22 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                 runs[slot] = runs[slot][:3] + (int(n_pairs.max()),)
         return replaced
 
-    def fold_runs():
+    def fold_runs(start_cap: int | None = None):
         """Collapse all accumulated runs into ONE compacted run — paid
-        only when the accumulated pair width approaches the device
-        budget (sorting duplicate-laden runs is otherwise deferred to
-        the single finalize pass). ``out_cap`` starts at a FIXED half of
-        the table budget: a data-dependent start (e.g. the exact pair
-        total) would give every fold a fresh program signature and a
-        fresh compile — shapes must depend only on run parameters."""
+        when the accumulated pair width approaches the device budget,
+        and once right after the striped prologue (the four quarter
+        runs merge into a single full-cap run so the prologue doesn't
+        widen the finalize sort or trip the memory fold). ``out_cap``
+        starts at a FIXED half of the table budget (or ``start_cap``):
+        a data-dependent start (e.g. the exact pair total) would give
+        every fold a fresh program signature and a fresh compile —
+        shapes must depend only on run parameters."""
         nonlocal runs
         verify_inflight(keep_last=0)
         streams = [(r[0], r[1]) for r in runs]
-        n_total = sum(r[3] for r in runs)
-        out_cap = max(min(table_hbm, _pow2ceil(sum(r[2] for r in runs)))
-                      // 2, 1 << 14)
+        out_cap = (start_cap if start_cap is not None else
+                   max(min(table_hbm, _pow2ceil(sum(r[2] for r in runs)))
+                       // 2, 1 << 14))
         while True:
             ws, cnt, n_d = build_table_merge(
                 mesh, nw=nw, out_cap=out_cap, n_streams=len(streams),
@@ -300,7 +328,12 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             verify_inflight(keep_last=2)
         n_chunks += 1
         trace(f"chunk {n_chunks - 1} dispatched ({len(runs)} runs)")
-        if sum(r[2] for r in runs) + pair_cap > table_hbm:
+        if prologue and n_chunks == len(prologue):
+            # consolidate the quarter runs while the first full chunks
+            # decode/upload on the prefetch thread
+            fold_runs(start_cap=pair_cap)
+            trace(f"prologue consolidated -> {runs[0][3]} entries")
+        elif sum(r[2] for r in runs) + pair_cap > table_hbm:
             fold_runs()
             trace(f"folded -> {runs[0][3]} entries")
     if not runs:
@@ -353,7 +386,8 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         kmdir, config, opts, cf, window_bits, rows_d, pre_d, nrs,
         int(maxc), rows_cap, ndev, amin_vec, hard_mins, count_max,
         want_hists,
-        part_rows=np.asarray(phist).reshape(ndev, config.nb_partitions))
+        part_rows=np.asarray(phist).reshape(ndev, config.nb_partitions),
+        mesh=mesh)
     trace("fetch + merge + write done")
 
 
@@ -370,12 +404,34 @@ def _device_put_chunks(gen, mesh):
     from jax.sharding import PartitionSpec as P_
 
     (axis,) = mesh.axis_names
+    trace = _tracer()
     sb = NamedSharding(mesh, P_(None, axis))   # (L/4, B) batch layout
     sv = NamedSharding(mesh, P_(axis))         # (B,) vectors
-    for pk, vb, cl, cs in gen:
-        yield (jax.device_put(pk, sb),
+    nproc = jax.process_count()
+    if nproc > 1:
+        # multi-process mesh: every process decodes the SAME chunks
+        # (decode is forced single-threaded for determinism) and feeds
+        # its addressable column/row shard of each
+        pi = jax.process_index()
+
+        def put2(arr, shd, dim):
+            B = arr.shape[dim]
+            lo, hi = pi * B // nproc, (pi + 1) * B // nproc
+            loc = arr[:, lo:hi] if dim == 1 else arr[lo:hi]
+            return jax.make_array_from_process_local_data(
+                shd, np.ascontiguousarray(loc))
+
+        for pk, vb, cl, cs in gen:
+            yield (put2(pk, sb, 1),
+                   None if vb is None else put2(vb, sb, 1),
+                   put2(cl, sv, 0), put2(cs, sv, 0))
+        return
+    for i, (pk, vb, cl, cs) in enumerate(gen):
+        out = (jax.device_put(pk, sb),
                None if vb is None else jax.device_put(vb, sb),
                jax.device_put(cl, sv), jax.device_put(cs, sv))
+        trace(f"upload {i} dispatched ({pk.nbytes >> 20} MB)")
+        yield out
 
 
 def _decode_block_keys(rows, cf, window_bits, nr):
@@ -470,15 +526,145 @@ def _fetch_merge_write_pipelined(kmdir, config, opts, cf, window_bits,
             F.write_hist_file(kmdir.get_hist_path(entry.id), hists[s])
 
 
+def _fetch_merge_write_pa_bits(kmdir, config, opts, cf, window_bits, mesh,
+                               rows_d, pre_d, nrs, rows_cap, ndev,
+                               amin_vec, hard_mins, count_max,
+                               part_rows) -> None:
+    """Presence/absence fast tail: the merge semantics run ON DEVICE
+    (build_merge_finalize_bits) and only packed pa bit rows + keep flags
+    + exact per-partition stats cross the link — ~30x fewer bytes than
+    the dense count matrix at 1000 samples (the many-sample regime the
+    reference handles by never materializing N columns,
+    merge.hpp:102-361)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmtricks_tpu.host.ops import MergeStats
+    from kmtricks_tpu.io import formats as F
+    from kmtricks_tpu.ops.compact import _prepare_fetch
+    from kmtricks_tpu.parallel.pipeline import (build_merge_finalize_bits,
+                                                partition_to_device)
+
+    nsamp = len(kmdir.fof)
+    nb_parts = config.nb_partitions
+    cb = config.count_bytes
+    part_dev = partition_to_device(nb_parts, ndev)
+    mb = build_merge_finalize_bits(
+        mesh, nsamp=nsamp, rows_cap=rows_cap, rmin=opts.recurrence_min,
+        save_if=opts.share_min, count_max=count_max, nb_parts=nb_parts,
+        count_bytes=cb)
+    bounds = np.zeros((ndev, nb_parts + 1), np.int32)
+    np.cumsum(part_rows, axis=1, out=bounds[:, 1:])
+    packed_d, keep_d, stats_d = mb(
+        pre_d, jnp.asarray(np.minimum(amin_vec, count_max)
+                           .astype(np.uint32)),
+        jnp.asarray(np.asarray(hard_mins, np.uint32)),
+        jnp.asarray(bounds.reshape(-1)))
+
+    n_planes = 4 + 2 * cb
+    stats = np.asarray(jax.device_get(stats_d)).reshape(
+        ndev, n_planes, nb_parts, nsamp).astype(np.uint64)
+    for d in range(ndev):
+        nr = int(nrs[d])
+        off = d * rows_cap
+        ta = _prepare_fetch(rows_d, nr, None, None, off)
+        tb = _prepare_fetch(packed_d, nr, None, None, off)
+        tc = _prepare_fetch(keep_d, nr, None, None, off)
+        rows, packed, keepv = ta(), tb(), tc()
+        keys, _pc = _decode_block_keys(rows, cf, window_bits, nr)
+        for p in range(nb_parts):
+            if part_dev[p] != d:
+                continue
+            sl = slice(int(bounds[d, p]), int(bounds[d, p + 1]))
+            kept = keepv[sl] > 0
+            pk = keys[sl][kept]
+            pb = packed[sl][kept]
+            out_path = kmdir.get_matrix_path(p, "pa", "bin", cf, opts.cpr)
+            if cf == "kmer":
+                F.write_pa_matrix_file(out_path, pk, pb, config.kmer_size,
+                                       nsamp, 0, p, compressed=opts.cpr)
+            else:
+                F.write_pa_hash_matrix_file(out_path, pk, pb, nsamp, 0, p,
+                                            compressed=opts.cpr)
+            S = stats[d, :, p, :]
+            tot_wo = sum(S[4 + i] << np.uint64(8 * i) for i in range(cb))
+            tot_rs = sum(S[4 + cb + i] << np.uint64(8 * i)
+                         for i in range(cb))
+            MergeStats(non_solid=S[0], rescued=S[1], uniq_wo_rescue=S[2],
+                       uniq_w_rescue=S[3], total_wo_rescue=tot_wo,
+                       total_w_rescue=tot_wo + tot_rs).serialize(
+                kmdir.get_merge_info_path(p))
+
+
+def _fetch_merge_write_multiproc(kmdir, config, opts, cf, window_bits,
+                                 rows_d, pre_d, nrs, rows_cap,
+                                 amin_vec, hard_mins, count_max,
+                                 part_rows) -> None:
+    """Multi-process tail: each process reads its ADDRESSABLE shards of
+    the compacted rows and writes the partitions its devices own to the
+    shared run directory — the reference's multi-node contract reborn
+    (module processes coordinating only through the run dir,
+    cli.cpp:456-539)."""
+    from kmtricks_tpu.parallel.pipeline import partition_to_device
+
+    nb_parts = config.nb_partitions
+    ndev = part_rows.shape[0]
+    part_dev = partition_to_device(nb_parts, ndev)
+    hmv = np.asarray(hard_mins, dtype=np.uint32)[None, :]
+    shards_pre = {sh.index[0].start // rows_cap: np.asarray(sh.data)
+                  for sh in pre_d.addressable_shards}
+    for sh in rows_d.addressable_shards:
+        d = sh.index[0].start // rows_cap
+        nr = int(nrs[d])
+        rows = np.asarray(sh.data)[:nr]
+        pre = shards_pre[d][:nr].astype(np.uint32, copy=False)
+        # per-sample hard-min on RAW counts, then count-type saturation
+        # (count_processor.hpp:61-72 order)
+        pre = np.where(pre >= hmv, np.minimum(pre, count_max), 0)
+        keys, _pc = _decode_block_keys(rows, cf, window_bits, nr)
+        bounds = np.zeros(nb_parts + 1, np.int64)
+        np.cumsum(part_rows[d], out=bounds[1:])
+        assert bounds[-1] == nr, "partition histogram disagrees with nrows"
+        for p in range(nb_parts):
+            if part_dev[p] != d:
+                continue
+            sl = slice(int(bounds[p]), int(bounds[p + 1]))
+            res = hops.merge_dense(keys[sl], pre[sl], amin_vec,
+                                   opts.recurrence_min, opts.share_min)
+            write_merge_outputs(kmdir, config, opts, p, res)
+
+
 def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
                        nrs, maxc, rows_cap, ndev, amin_vec, hard_mins,
-                       count_max, want_hists, part_rows=None) -> None:
+                       count_max, want_hists, part_rows=None,
+                       mesh=None) -> None:
     """Fetch per-device compacted row blocks, apply host-side hard-min /
     histogram / soft-min-quantile semantics, run merge_dense per
     partition, write outputs. With a device-computed ``part_rows``
     histogram and a pre-resolved soft-min, the pipelined variant above
-    overlaps fetch with merge work."""
+    overlaps fetch with merge work; pa:bin outputs additionally run the
+    whole merge on device and fetch packed BITS (~30x fewer bytes at
+    many samples)."""
+    import os
+
     import jax
+
+    if jax.process_count() > 1:
+        assert part_rows is not None and amin_vec is not None
+        _fetch_merge_write_multiproc(
+            kmdir, config, opts, cf, window_bits, rows_d, pre_d, nrs,
+            rows_cap, amin_vec, hard_mins, count_max, part_rows)
+        return
+    _mode, _out = parse_mode(opts.mode)[1:]
+    if (_mode == "pa" and _out == "bin" and not opts.plugin
+            and not want_hists and amin_vec is not None
+            and part_rows is not None and mesh is not None
+            and os.environ.get("KMTRICKS_PA_DEVICE", "1") != "0"):
+        _fetch_merge_write_pa_bits(
+            kmdir, config, opts, cf, window_bits, mesh, rows_d, pre_d,
+            nrs, rows_cap, ndev, amin_vec, hard_mins, count_max,
+            part_rows)
+        return
 
     if part_rows is not None and amin_vec is not None:
         _fetch_merge_write_pipelined(

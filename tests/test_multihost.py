@@ -79,3 +79,72 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     for d in loaded:
         assert np.array_equal(d["stats"], np.asarray(out[8]))
         assert int(d["dropped"]) == int(np.asarray(out[9]))
+
+
+def test_two_process_streaming_engine_matches_single_process(tmp_path):
+    """The PRODUCTION streaming engine (stage_mesh_stream: chunked input,
+    device-resident table, forced mid-stream folds) over a real
+    two-process gloo mesh, coordinating through a SHARED run directory.
+    The run-dir matrices and merge stats must byte-equal a
+    single-process 8-device run of the same engine (VERDICT r3 item 3)."""
+    rng = np.random.default_rng(99)
+    genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=9000)
+    lines = []
+    for s in range(3):
+        p = tmp_path / f"S{s}.fasta"
+        with open(p, "wb") as f:
+            for r in range(200):
+                start = int(rng.integers(0, len(genome) - 130))
+                f.write(b">r%d\n" % r)
+                f.write(genome[start:start + 130].tobytes() + b"\n")
+        lines.append(f"S{s} : {p}")
+    fof = tmp_path / "s.fof"
+    fof.write_text("\n".join(lines) + "\n")
+
+    # two-process run against a shared run dir
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_stream_worker.py")
+    port = _free_port()
+    run_mp = tmp_path / "run_mp"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(fof),
+         str(run_mp)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=570)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+
+    # single-process 8-device run of the same engine + parameters
+    from kmtricks_tpu.runtime.pipeline import (PipelineOptions,
+                                               resolve_soft_min,
+                                               stage_config, stage_repart)
+    from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream
+
+    os.environ["KMTRICKS_STREAM_TABLE_CAP"] = "4096"
+    try:
+        opts = PipelineOptions(
+            fof=str(fof), run_dir=str(tmp_path / "run_sp"), kmer_size=31,
+            hard_min=1, soft_min="2", share_min=2, mode="kmer:count:bin",
+            static_repart=True, nb_partitions=8, backend="mesh",
+            max_memory_mb=64)
+        kmdir, config = stage_config(opts)
+        repart = stage_repart(kmdir, config, opts)
+        amin = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
+        stage_mesh_stream(kmdir, config, opts, repart, amin,
+                          chunk_windows=3000, use_stream=True,
+                          n_devices=8)
+    finally:
+        del os.environ["KMTRICKS_STREAM_TABLE_CAP"]
+
+    for p in range(8):
+        a = open(run_mp / "matrices" / f"matrix_{p}.count", "rb").read()
+        b = open(tmp_path / "run_sp" / "matrices" / f"matrix_{p}.count",
+                 "rb").read()
+        assert a == b, f"partition {p}: multi-process != single-process"
+        sa = open(run_mp / "merge_infos" / f"partition{p}.merge_info").read()
+        sb = open(tmp_path / "run_sp" / "merge_infos" /
+                  f"partition{p}.merge_info").read()
+        assert sa == sb, f"partition {p} stats differ"
