@@ -262,7 +262,8 @@ def main() -> None:
     for _ in range(3):
         with tempfile.TemporaryDirectory() as td:
             t0 = time.perf_counter()
-            rows_bf = bf_rows_from_merge(mres, 0, bfw - 1, bfs)
+            rows_bf = bf_rows_from_merge(mres, 0, bfw - 1, bfs,
+                                          threads=4)
             F.write_vector_matrix_file(os.path.join(td, "m.cmbf"),
                                        rows_bf, bfs, 0, 0, 0, bfw)
             walls.append(time.perf_counter() - t0)

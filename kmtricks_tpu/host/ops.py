@@ -401,24 +401,43 @@ def saturate_counts(counts: np.ndarray, count_bytes: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def bf_rows_from_merge(result: MergeResult, lower: int, upper: int,
-                       nb_samples: int) -> np.ndarray:
+                       nb_samples: int, threads: int = 1) -> np.ndarray:
     """Dense vertical BF rows for hashes in [lower, upper].
 
     Row index == hash - lower; rows for absent or non-kept hashes are zero
     (write_as_bf semantics, merge.hpp:575-600).
+
+    ``threads`` parallelizes the packbits + row scatter over contiguous
+    hash slices (keys are sorted and unique, so target row ranges are
+    disjoint; numpy releases the GIL on both kernels) — bloom-scale
+    windows (16M rows x 50 samples) are memory-bandwidth bound.
     """
     window = upper - lower + 1
     nb = (nb_samples + 7) // 8
     rows = np.zeros((window, nb), dtype=np.uint8)
     kept = result.keep
-    if kept.any():
-        hashes = result.keys[kept].astype(np.int64) - lower
-        cs = result.counts if kept.all() else result.counts[kept]
-        if cs.dtype != np.uint8 and cs.dtype != np.bool_:
-            # packbits only takes u8/bool; the pipeline hands the
-            # narrowed (u8) fetch here so this copy is the exception
-            cs = (cs > 0)
-        rows[hashes] = np.packbits(cs, axis=1, bitorder="little")
+    if not kept.any():
+        return rows
+    hashes = result.keys[kept].astype(np.int64) - lower
+    cs = result.counts if kept.all() else result.counts[kept]
+    if cs.dtype != np.uint8 and cs.dtype != np.bool_:
+        # packbits only takes u8/bool; the pipeline hands the
+        # narrowed (u8) fetch here so this copy is the exception
+        cs = (cs > 0)
+
+    def fill(lo, hi):
+        rows[hashes[lo:hi]] = np.packbits(cs[lo:hi], axis=1,
+                                          bitorder="little")
+
+    n = len(hashes)
+    if threads <= 1 or n < (1 << 18):
+        fill(0, n)
+        return rows
+    from concurrent.futures import ThreadPoolExecutor
+    step = -(-n // threads)
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(lambda lo: fill(lo, min(n, lo + step)),
+                    range(0, n, step)))
     return rows
 
 

@@ -627,14 +627,22 @@ def build_merge_finalize_bits(mesh: Mesh, *, nsamp: int, rows_cap: int,
                 [jnp.zeros((1, nsamp), U32), c], axis=0)
             return cz[bounds[1:]] - cz[bounds[:-1]]
 
-        planes = [seg(present & ~solid), seg(rescued), seg(solid),
-                  seg(finalb)]
+        # save_if == 0: rescued is a constant zero matrix — emitting its
+        # segment sums as literal zeros avoids XLA constant-folding five
+        # (rows_cap x nsamp) cumsums at compile time (minutes at 5000
+        # samples)
+        zseg = jnp.zeros((nb_parts, nsamp), U32)
+        planes = [seg(present & ~solid),
+                  seg(rescued) if save_if > 0 else zseg,
+                  seg(solid),
+                  seg(finalb) if save_if > 0 else seg(solid)]
         for shift in range(0, 8 * count_bytes, 8):
             planes.append(seg(jnp.where(
                 solid, (sat >> U32(shift)) & U32(0xFF), U32(0))))
         for shift in range(0, 8 * count_bytes, 8):
             planes.append(seg(jnp.where(
-                rescued, (sat >> U32(shift)) & U32(0xFF), U32(0))))
+                rescued, (sat >> U32(shift)) & U32(0xFF), U32(0)))
+                if save_if > 0 else zseg)
         return packed, keep, jnp.stack(planes)
 
     sh = P(axis)

@@ -681,7 +681,9 @@ def write_merge_outputs(kmdir: KmDir, config: Config, opts: PipelineOptions,
             F.write_vector_matrix_file(out_path, rows, nsamp * opts.bitw,
                                        0, partition, lower, window)
         else:
-            rows = hops.bf_rows_from_merge(res, lower, upper, nsamp)
+            rows = hops.bf_rows_from_merge(
+                res, lower, upper, nsamp,
+                threads=max(1, getattr(opts, 'threads', 1) or 1))
             if mode == "bft":
                 # merge.hpp:631-644. KMTRICKS_TPU_BFT=device routes the
                 # bit-transpose through the TPU kernel (31.5e9 bits/s
