@@ -43,6 +43,61 @@ def _sat_add(a, b):
     return jnp.where(s < a, FF, s)
 
 
+def _use_pair_merge(n_words: int) -> bool:
+    """Backend for re-ordering concatenated SORTED pair runs:
+    KMTRICKS_TPU_PAIR_MERGE = pallas | xla | auto. Default auto = the
+    Pallas log2(R)-level run merge on TPU up to 5 compare words (same
+    envelope as the routed merge; on-chip at 4 runs x 8.4M x 4 words:
+    124.6 vs 226.6 ms lax.sort — scripts/profile_phase_a_merge.py)."""
+    import os
+    mode = os.environ.get("KMTRICKS_TPU_PAIR_MERGE", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() == "tpu" and n_words <= 5
+
+
+def merged_sorted_ops(streams):
+    """Globally sorted (ws..., cnt) across R sorted pair runs.
+
+    Each stream is (words tuple, cnt), ascending with all-ones sentinel
+    word tails (cnt pads are 0 — lexicographically still tail-ordered,
+    since any valid entry's word0 has the top validity bit clear). On
+    TPU the runs ride the Pallas merge-path kernel with ``cnt`` as an
+    extra LAST compare word — ties on the key words only reorder equal
+    keys by count, which the duplicate collapse sums anyway — instead
+    of a from-scratch lax.sort over the concatenation. Run count pads
+    to a power of two with all-sentinel runs; runs pad to the longest
+    cap; the merged tail (all sentinels) is sliced back off."""
+    R = len(streams)
+    nw = len(streams[0][0])
+    total = sum(int(s[1].shape[0]) for s in streams)
+    if R >= 2 and _use_pair_merge(nw + 1):
+        from kmtricks_tpu.ops.pallas_sort import merge_sorted_runs_words
+        capmax = max(int(s[1].shape[0]) for s in streams)
+        R2 = 1 << max(0, (R - 1).bit_length())
+
+        def row(x, fill):
+            pad = capmax - x.shape[0]
+            return x if not pad else jnp.concatenate(
+                [x, jnp.full((pad,), fill, x.dtype)])
+
+        stacked = []
+        for j in range(nw + 1):
+            rows = [row(s[0][j] if j < nw else s[1],
+                        FF if j < nw else U32(0)) for s in streams]
+            rows += [jnp.full((capmax,), FF, U32)] * (R2 - R)
+            stacked.append(jnp.stack(rows))
+        merged = merge_sorted_runs_words(tuple(stacked))
+        return tuple(w[:total] for w in merged[:nw]), merged[nw][:total]
+    cat_w = tuple(jnp.concatenate([s[0][j] for s in streams])
+                  for j in range(nw))
+    cat_c = jnp.concatenate([s[1] for s in streams])
+    sorted_ops = jax.lax.sort(cat_w + (cat_c,), dimension=0, num_keys=nw)
+    return sorted_ops[:nw], sorted_ops[nw]
+
+
 def chunk_count_pairs(ws, pair_cap: int):
     """SORTED packed words -> unique (packed, count) pairs, compacted.
 
@@ -101,12 +156,7 @@ def merge_pair_streams(streams, out_cap: int):
     Entries beyond out_cap are dropped (callers check n).
     """
     R = len(streams)
-    nw = len(streams[0][0])
-    cat_w = tuple(jnp.concatenate([s[0][j] for s in streams])
-                  for j in range(nw))
-    cat_c = jnp.concatenate([s[1] for s in streams])
-    sorted_ops = jax.lax.sort(cat_w + (cat_c,), dimension=0, num_keys=nw)
-    ws, cnt = sorted_ops[:nw], sorted_ops[nw]
+    ws, cnt = merged_sorted_ops(streams)
     n = ws[0].shape[0]
 
     # collapse equal-key runs (length <= R): segmented suffix sum by

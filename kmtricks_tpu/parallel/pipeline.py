@@ -457,12 +457,8 @@ def build_table_sort_collapse(mesh: Mesh, *, layout: str, nsamp: int,
         if n_runs == 1:
             ws, cnt = tuple(runs[0][0]), runs[0][1]
         else:
-            cat_w = tuple(jnp.concatenate([r[0][j] for r in runs])
-                          for j in range(nw))
-            cat_c = jnp.concatenate([r[1] for r in runs])
-            sorted_ops = jax.lax.sort(cat_w + (cat_c,), dimension=0,
-                                      num_keys=nw)
-            ws, cnt = sorted_ops[:nw], sorted_ops[nw]
+            from kmtricks_tpu.ops.table import merged_sorted_ops
+            ws, cnt = merged_sorted_ops(runs)
             n = cnt.shape[0]
             eq_prev = jnp.zeros((n,), dtype=bool).at[1:].set(
                 _words_equal_next(ws))
@@ -486,11 +482,8 @@ def build_table_sort_collapse(mesh: Mesh, *, layout: str, nsamp: int,
         nrows_g = jax.lax.all_gather(nrows, axis)
         if nb_parts is None:
             return ws, cnt, nrows_g, maxc
-        part_s = unpack_sorted(layout, ws, nsamp, key_bits,
-                               window_bits)[0]
-        pidx = jnp.where(row_head, part_s.astype(I32), I32(nb_parts))
-        phist = jnp.zeros((nb_parts,), I32).at[pidx].add(
-            I32(1), mode="drop")
+        ups = unpack_sorted(layout, ws, nsamp, key_bits, window_bits)
+        phist = _sorted_part_hist(ups[0], ups[3], row_head, nb_parts)
         return ws, cnt, nrows_g, maxc, jax.lax.all_gather(phist, axis)
 
     sh = P(axis)
@@ -502,6 +495,24 @@ def build_table_sort_collapse(mesh: Mesh, *, layout: str, nsamp: int,
         in_specs=tuple(sh for _ in range(n_runs * (nw + 1))),
         out_specs=outs,
         check_vma=False))
+
+
+def _sorted_part_hist(part_s, valid_s, row_head, nb_parts: int):
+    """Per-partition row-head counts over entries SORTED by partition.
+
+    A 64-bin scatter-add at full table width costs ~315 ms at 42M
+    entries on a v5e (the phase A hog, scripts/profile_phase_a_parts.py);
+    partitions are contiguous runs of the sort order, so boundary
+    searchsorted + a row-head cumsum replace it (~10 ms). unpack_sorted
+    zeroes the part field of sentinel entries — they sort to the TAIL,
+    so clamping them to ``nb_parts`` restores monotonicity (they carry
+    row_head=False either way)."""
+    part_m = jnp.where(valid_s, part_s.astype(U32), U32(nb_parts))
+    cum = jnp.cumsum(row_head.astype(I32))
+    q = jnp.arange(0, nb_parts + 1, dtype=U32)
+    b = jnp.searchsorted(part_m, q, side="left")
+    cum_at = jnp.where(b > 0, cum[jnp.maximum(b - 1, 0)], I32(0))
+    return cum_at[1:] - cum_at[:-1]
 
 
 def _table_presence(layout, ws, cnt, nsamp, hard_min, key_bits,
@@ -551,10 +562,8 @@ def build_table_compact(mesh: Mesh, *, layout: str, nsamp: int,
         maxc = jax.lax.pmax(maxc, axis)
         out = (rows, pre, nrows.reshape(1), maxc, npres.reshape(1))
         if nb_parts is not None:
-            pidx = jnp.where(row_head, part_s.astype(I32), I32(nb_parts))
-            phist = jnp.zeros((nb_parts,), I32).at[pidx].add(
-                I32(1), mode="drop")
-            out = out + (phist,)
+            out = out + (_sorted_part_hist(part_s, valid_s, row_head,
+                                           nb_parts),)
         return out
 
     sh = P(axis)

@@ -138,7 +138,8 @@ def _stream_sample_blocks(kmdir: KmDir, opts: PipelineOptions,
 
 def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
                       rows: int, pad: int = ord("N"),
-                      first_rows: tuple = ()):
+                      first_rows: tuple = (),
+                      tail_rows: int | None = None):
     """Stream the whole collection as fixed-shape (rows, L) chunks.
 
     Reads longer than L are split into overlapping segments (overlap
@@ -152,7 +153,13 @@ def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
     thereafter) — the engine stripes the first chunk into quarters so
     decode/pack/upload pipeline from ~t=0 instead of serializing one
     full chunk before the device sees anything. All values must be
-    derived from run parameters (shape determinism)."""
+    derived from run parameters (shape determinism).
+
+    ``tail_rows``: re-emit the FINAL partial chunk as ceil(fill/q)
+    blocks of q rows (the prologue quarter shape — its programs are
+    already compiled) instead of one padded full-cap chunk: a 2/3-empty
+    final chunk otherwise uploads its padding over the device link, the
+    e2e bottleneck (~20 MB/s through the axon tunnel)."""
     step_over = L - k + 1
     pending = list(first_rows)
 
@@ -162,9 +169,13 @@ def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
     cap0 = _next_cap()
     state = {"buf": np.full((cap0, L), pad, np.uint8),
              "ln": np.zeros(cap0, np.int32),
-             "sa": np.zeros(cap0, np.int32), "fill": 0, "cap": cap0}
+             "sa": np.zeros(cap0, np.int32), "fill": 0, "cap": cap0,
+             "n": 0}
 
     def flush_full():
+        from kmtricks_tpu.runtime._trace import mark
+        mark(f"parse flush {state['n']} ({state['cap']} rows)")
+        state["n"] += 1
         out = (state["buf"], state["ln"], state["sa"])
         c = _next_cap()
         state["buf"] = np.full((c, L), pad, np.uint8)
@@ -215,8 +226,16 @@ def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
                 slens.append(m)
             yield from place(np.asarray(segs),
                              np.asarray(slens, np.int32), si)
-    if state["fill"]:
-        yield state["buf"], state["ln"], state["sa"]
+    f, cap = state["fill"], state["cap"]
+    if f:
+        q = tail_rows
+        if q and q < cap and f <= cap - q:
+            # padding rows already carry 'N' fill + length 0
+            for lo in range(0, f, q):
+                yield (state["buf"][lo:lo + q], state["ln"][lo:lo + q],
+                       state["sa"][lo:lo + q])
+        else:
+            yield state["buf"], state["ln"], state["sa"]
 
 
 def _pack_transpose_chunks(gen, threads: int = 4):
@@ -232,20 +251,26 @@ def _pack_transpose_chunks(gen, threads: int = 4):
 
     tpw = max(1, threads // 2)
 
-    def work(item):
+    def work(item, idx):
+        from kmtricks_tpu.runtime._trace import mark
         buf, ln, sa = item
+        mark(f"pack {idx} start")
         packed, vbits, _clean = pack_2bit_host_clean(buf, ln)
         # clean chunk (no interior non-ACGT byte): the validity plane
         # stays host-side — the device derives it from lengths, cutting
         # the chunk upload by a third (the link is the e2e bottleneck)
-        return (_transpose_mt(packed, tpw),
-                None if vbits is None else _transpose_mt(vbits, tpw),
-                ln, sa)
+        out = (_transpose_mt(packed, tpw),
+               None if vbits is None else _transpose_mt(vbits, tpw),
+               ln, sa)
+        mark(f"pack {idx} done")
+        return out
 
     with ThreadPoolExecutor(max_workers=2) as ex:
         pending = []
+        idx = 0
         for item in gen:
-            pending.append(ex.submit(work, item))
+            pending.append(ex.submit(work, item, idx))
+            idx += 1
             if len(pending) >= 2:
                 yield pending.pop(0).result()
         for f in pending:

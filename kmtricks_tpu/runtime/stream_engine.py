@@ -40,16 +40,7 @@ log = logging.getLogger("kmtricks_tpu")
 
 def _tracer():
     """Env-gated wall-clock tracer (KMTRICKS_STREAM_TRACE=1)."""
-    import os
-    import time
-
-    if not os.environ.get("KMTRICKS_STREAM_TRACE"):
-        return lambda *_: None
-    t0 = time.perf_counter()
-
-    def mark(label):
-        print(f"[stream {time.perf_counter() - t0:7.2f}s] {label}",
-              flush=True)
+    from kmtricks_tpu.runtime._trace import mark
     return mark
 
 
@@ -151,7 +142,8 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             dec_opts = _dc_replace(opts, threads=1)
         chunks = prefetched(_device_put_chunks(_pack_transpose_chunks(
             stream_row_chunks(kmdir, dec_opts, k, L, rows_per_chunk,
-                              first_rows=prologue),
+                              first_rows=prologue,
+                              tail_rows=prologue[0] if prologue else None),
             getattr(opts, "threads", 4) or 4), mesh), depth)
     else:
         if batch is None:

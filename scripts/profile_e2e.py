@@ -45,7 +45,7 @@ def opts(run_dir):
 
 n_e2e = 10 * (1_000_000 * 30 // 1024) * (1024 - 31 + 1)
 import itertools
-for tag in ("warm0", "warm1", "noprologue", "warm2"):
+for tag in ("warm0", "warm1"):
     os.environ["KMTRICKS_STREAM_PROLOGUE"] = "0" if tag == "noprologue" else "1"
     shutil.rmtree("/tmp/kmtricks_bench_e2e", ignore_errors=True)
     t0 = time.perf_counter()

@@ -96,3 +96,34 @@ def test_merge_saturates():
     out_w, out_c, n = merge_pair_streams([s, s, s], out_cap=4)
     assert int(n) == 1
     assert int(np.asarray(out_c)[0]) == 0xFFFFFFFF
+
+
+def test_merged_sorted_ops_pallas_parity(monkeypatch):
+    """The Pallas multi-run pair merge (KMTRICKS_TPU_PAIR_MERGE=pallas,
+    interpret mode off-TPU) returns the identical globally sorted
+    (words, cnt) stream as the lax.sort fallback — including uneven run
+    caps (padded to the longest), non-power-of-two run counts (padded
+    with sentinel runs) and zero-cnt sentinel tails."""
+    from kmtricks_tpu.ops.table import merged_sorted_ops
+
+    rng = np.random.default_rng(7)
+    caps = (1 << 13, 1 << 13, 1 << 12)   # 3 runs -> pads to 4
+    streams = []
+    for i, cap in enumerate(caps):
+        nvalid = cap - (i + 1) * 100
+        vals = np.sort(rng.integers(0, 1 << 40, nvalid).astype(np.uint64))
+        hi, lo = pack2(vals)
+        hi = np.concatenate([hi, np.full(cap - nvalid, FF)])
+        lo = np.concatenate([lo, np.full(cap - nvalid, FF)])
+        cnt = np.concatenate([
+            rng.integers(1, 100, nvalid).astype(np.uint32),
+            np.zeros(cap - nvalid, np.uint32)])
+        streams.append(((jnp.asarray(hi), jnp.asarray(lo)),
+                        jnp.asarray(cnt)))
+
+    monkeypatch.setenv("KMTRICKS_TPU_PAIR_MERGE", "xla")
+    ws_x, cnt_x = jax.jit(lambda: merged_sorted_ops(streams))()
+    monkeypatch.setenv("KMTRICKS_TPU_PAIR_MERGE", "pallas")
+    ws_p, cnt_p = jax.jit(lambda: merged_sorted_ops(streams))()
+    for a, b in zip(ws_x + (cnt_x,), ws_p + (cnt_p,)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
