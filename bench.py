@@ -373,6 +373,24 @@ def main() -> None:
             static_repart=True, nb_partitions=NB_PARTS, threads=4,
             max_memory_mb=6000)
 
+    # the e2e run ships ~75 MB of 2-bit packed chunks + ~30 MB of fetched
+    # rows over the host<->device link; through the axon tunnel that link
+    # runs at ~15-45 MB/s depending on the day, which caps the metric —
+    # record the measured link rate alongside so the e2e number can be
+    # read against its physical ceiling
+    _lk = np.random.default_rng(3).integers(0, 256, 15 << 20,
+                                            dtype=np.uint8)
+    _ld = jax.device_put(_lk); np.asarray(_ld[-8:])
+    _lw = []
+    for _ in range(3):
+        _t = time.perf_counter()
+        _ld = jax.device_put(_lk)
+        np.asarray(_ld[-8:])
+        _lw.append(time.perf_counter() - _t)
+    _lw.sort()
+    result["extra"]["device_link_mb_per_sec"] = round(15 / _lw[1], 1)
+    del _lk, _ld
+
     n_e2e = 10 * (1_000_000 * 30 // 1024) * (1024 - 31 + 1)
     # pin the chunk pair capacity: chunk composition varies with decode
     # thread interleaving, and a flipped adaptive cap would recompile

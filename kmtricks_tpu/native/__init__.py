@@ -94,11 +94,46 @@ def lib():
             ctypes.c_uint32, ctypes.c_uint32,            # -f, -F flags
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # batch, rows, L
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        L.km_pack2bit_t.restype = ctypes.c_int64
+        L.km_pack2bit_t.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # batch, B, L
+            ctypes.c_void_p, ctypes.c_void_p,         # out (L/4,B), counts
+            ctypes.c_int64, ctypes.c_int64]           # row range
         _lib = L
         return _lib
 
 
 # -- typed wrappers ---------------------------------------------------------
+
+def pack2bit_t(batch: np.ndarray, threads: int = 1):
+    """ASCII (B, L) rows -> ((L/4, B) 2-bit packed TRANSPOSED uint8,
+    (B,) int32 per-row ACGT byte counts) in one fused native pass —
+    the streaming engine's chunk pack (replaces numpy's
+    code/valid/pack/transpose passes; the chunk decode pipeline is
+    host-CPU-bound on a 4-core bench host). Threads split disjoint row
+    ranges (the C loop releases the GIL). None when unavailable."""
+    L = lib()
+    if L is None or batch.shape[1] % 4:
+        return None
+    batch = np.ascontiguousarray(batch, dtype=np.uint8)
+    B, W = batch.shape
+    out = np.empty((W // 4, B), dtype=np.uint8)
+    cnt = np.empty(B, dtype=np.int32)
+    threads = max(1, min(threads, B // 4096 or 1))
+    if threads == 1:
+        r = L.km_pack2bit_t(batch.ctypes.data, B, W, out.ctypes.data,
+                            cnt.ctypes.data, 0, B)
+        return (out, cnt) if r >= 0 else None
+    from concurrent.futures import ThreadPoolExecutor
+    step = -(-B // threads)
+    rngs = [(i, min(B, i + step)) for i in range(0, B, step)]
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        rs = list(ex.map(
+            lambda ab: L.km_pack2bit_t(batch.ctypes.data, B, W,
+                                       out.ctypes.data, cnt.ctypes.data,
+                                       ab[0], ab[1]), rngs))
+    return (out, cnt) if all(r >= 0 for r in rs) else None
+
 
 def xxh64(data: bytes, seed: int = 0) -> int | None:
     L = lib()

@@ -553,3 +553,61 @@ int64_t km_bam_batch(const uint8_t* data, size_t len,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Fused 2-bit pack + transpose for the streaming engine's chunk uploads
+// (the reference packs per-superkmer on its count path, superk.hpp; here
+// whole read chunks pack into the TRANSPOSED (L/4, B) device layout the
+// chunk step consumes). One pass over the ASCII batch replaces numpy's
+// code/valid/pack/transpose passes (~530 ms -> ~60 ms per 64 MB chunk on
+// the bench host, scripts/profile_link.py follow-ups). Codes follow the
+// numpy path exactly: (c >> 1) & 3 for EVERY byte ('N' packs as 3 and is
+// masked on device); valid_cnt[i] counts ACGT/acgt bytes of the whole
+// row — equal to lengths[i] iff the row is clean ('N' padding past the
+// length contributes nothing).
+//
+// Caller threads over disjoint [row_lo, row_hi) ranges (ctypes releases
+// the GIL). Row tiles of 128 transpose through an L2-resident scratch so
+// the (L/4, B) column writes stay sequential per output row.
+int64_t km_pack2bit_t(const uint8_t* batch, int64_t B, int64_t L,
+                      uint8_t* out, int32_t* valid_cnt,
+                      int64_t row_lo, int64_t row_hi) {
+  if (L % 4 != 0 || row_lo < 0 || row_hi > B || row_lo > row_hi) return -1;
+  const int64_t P = L / 4;
+  static uint8_t code[256], isv[256];
+  static bool init = false;
+  if (!init) {   // idempotent: concurrent writers store identical bytes
+    for (int c = 0; c < 256; c++) {
+      code[c] = (uint8_t)((c >> 1) & 3);
+      isv[c] = (c == 'A' || c == 'C' || c == 'G' || c == 'T' ||
+                c == 'a' || c == 'c' || c == 'g' || c == 't');
+    }
+    init = true;
+  }
+  const int64_t T = 128;
+  uint8_t* tmp = (uint8_t*)malloc((size_t)(P * T));
+  if (!tmp) return -2;
+  for (int64_t r0 = row_lo; r0 < row_hi; r0 += T) {
+    const int64_t tn = (row_hi - r0 < T) ? (row_hi - r0) : T;
+    for (int64_t i = 0; i < tn; i++) {
+      const uint8_t* src = batch + (r0 + i) * L;
+      int32_t cnt = 0;
+      for (int64_t p = 0; p < P; p++) {
+        const uint8_t a = src[4 * p], b = src[4 * p + 1];
+        const uint8_t c = src[4 * p + 2], d = src[4 * p + 3];
+        tmp[p * T + i] = (uint8_t)(code[a] | (code[b] << 2) |
+                                   (code[c] << 4) | (code[d] << 6));
+        cnt += isv[a] + isv[b] + isv[c] + isv[d];
+      }
+      valid_cnt[r0 + i] = cnt;
+    }
+    for (int64_t p = 0; p < P; p++)
+      memcpy(out + p * B + r0, tmp + p * T, (size_t)tn);
+  }
+  free(tmp);
+  return row_hi - row_lo;
+}
+
+}  // extern "C"
