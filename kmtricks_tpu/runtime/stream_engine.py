@@ -259,7 +259,39 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                 runs[slot] = runs[slot][:3] + (int(n_pairs.max()),)
         return replaced
 
-    def fold_runs(start_cap: int | None = None):
+    fold_pending = []     # deferred fold checks [(n_d, streams, caps, cap)]
+
+    def _dispatch_fold(streams, in_caps, out_cap):
+        return build_table_merge(
+            mesh, nw=nw, out_cap=out_cap, n_streams=len(streams),
+            in_caps=in_caps)(
+            *[x for s_ in streams for x in (list(s_[0]) + [s_[1]])])
+
+    def resolve_fold():
+        """Resolve a deferred fold's out_cap check. Overflow (rare: the
+        async fold starts at the full pair cap) re-merges synchronously
+        from the RETAINED inputs at a doubled cap — nothing downstream
+        has consumed the truncated run yet (only independent chunk steps
+        dispatch between the fold and its resolution)."""
+        nonlocal runs
+        if not fold_pending:
+            return
+        n_d, streams, in_caps, out_cap = fold_pending.pop()
+        n_new = int(np.asarray(n_d).max())
+        while n_new > out_cap:
+            if out_cap >= table_hbm:
+                raise ValueError(
+                    f"device table overflow ({n_new} entries > "
+                    f"{table_hbm} budget at --max-memory "
+                    f"{opts.max_memory_mb} MB)")
+            out_cap = min(table_hbm, _pow2ceil(n_new))
+            ws, cnt, n_d2 = _dispatch_fold(streams, in_caps, out_cap)
+            n_new = int(np.asarray(n_d2).max())
+            runs[0] = (ws, cnt, out_cap, None)
+            trace(f"fold overflow -> re-merged at cap {out_cap}")
+        runs[0] = runs[0][:3] + (n_new,)
+
+    def fold_runs(start_cap: int | None = None, deferred: bool = False):
         """Collapse all accumulated runs into ONE compacted run — paid
         when the accumulated pair width approaches the device budget,
         and once right after the striped prologue (the four quarter
@@ -268,28 +300,27 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         starts at a FIXED half of the table budget (or ``start_cap``):
         a data-dependent start (e.g. the exact pair total) would give
         every fold a fresh program signature and a fresh compile —
-        shapes must depend only on run parameters."""
+        shapes must depend only on run parameters.
+
+        ``deferred``: dispatch the merge and return WITHOUT waiting for
+        its entry count — the synchronous wait after the prologue cost
+        ~1.9 s of dispatch-loop stall (the device must drain the quarter
+        steps first, and transfers do NOT overlap compute through the
+        tunnel). The cap check resolves at the next fold / before
+        phase A (resolve_fold)."""
         nonlocal runs
+        resolve_fold()
         verify_inflight(keep_last=0)
         streams = [(r[0], r[1]) for r in runs]
+        in_caps = tuple(r[2] for r in runs)
         out_cap = (start_cap if start_cap is not None else
-                   max(min(table_hbm, _pow2ceil(sum(r[2] for r in runs)))
-                       // 2, 1 << 14))
-        while True:
-            ws, cnt, n_d = build_table_merge(
-                mesh, nw=nw, out_cap=out_cap, n_streams=len(streams),
-                in_caps=tuple(r[2] for r in runs))(
-                *[x for s_ in streams for x in (list(s_[0]) + [s_[1]])])
-            n_new = int(np.asarray(n_d).max())
-            if n_new <= out_cap:
-                break
-            if out_cap >= table_hbm:
-                raise ValueError(
-                    f"device table overflow ({n_new} entries > "
-                    f"{table_hbm} budget at --max-memory "
-                    f"{opts.max_memory_mb} MB)")
-            out_cap = min(table_hbm, _pow2ceil(n_new))
-        runs = [(ws, cnt, out_cap, n_new)]
+                   max(min(table_hbm, _pow2ceil(sum(in_caps))) // 2,
+                       1 << 14))
+        ws, cnt, n_d = _dispatch_fold(streams, in_caps, out_cap)
+        runs = [(ws, cnt, out_cap, None)]
+        fold_pending.append((n_d, streams, in_caps, out_cap))
+        if not deferred:
+            resolve_fold()
 
     for chunk in chunks:
         trace(f"chunk {n_chunks} decoded")
@@ -322,9 +353,10 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         trace(f"chunk {n_chunks - 1} dispatched ({len(runs)} runs)")
         if prologue and n_chunks == len(prologue):
             # consolidate the quarter runs while the first full chunks
-            # decode/upload on the prefetch thread
-            fold_runs(start_cap=pair_cap)
-            trace(f"prologue consolidated -> {runs[0][3]} entries")
+            # decode/upload on the prefetch thread; deferred — the cap
+            # check resolves at the next fold or before phase A
+            fold_runs(start_cap=pair_cap, deferred=True)
+            trace(f"prologue consolidation dispatched (cap {runs[0][2]})")
         elif sum(r[2] for r in runs) + pair_cap > table_hbm:
             fold_runs()
             trace(f"folded -> {runs[0][3]} entries")
@@ -349,6 +381,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     # the device queues phase A behind the remaining chunk steps while
     # the host waits on their n_pairs; a (rare) chunk re-run replaces a
     # run slot and simply re-dispatches phase A
+    resolve_fold()
     phase_a = dispatch_phase_a()
     trace("phase A dispatched")
     if verify_inflight(keep_last=0):

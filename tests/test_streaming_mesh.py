@@ -319,3 +319,43 @@ def test_stream_engine_pa_5000_samples(tmp_path):
         sc = open(dense.get_merge_info_path(p)).read()
         assert sb == sc, f"partition {p} merge stats differ"
     assert n_nonempty > 0
+
+
+def test_streaming_prologue_and_tail_quarters(tmp_path, monkeypatch):
+    """Chunk sizes large enough for the striped prologue: the four
+    quarter chunks, the DEFERRED consolidation fold (incl. its overflow
+    re-merge at a doubled cap: the pinned pair cap holds one quarter's
+    pairs but not the merged four), full-cap chunks, and the
+    quarter-shaped tail re-emission all byte-match the host backend.
+    CPU tests otherwise never reach these paths (their chunk budgets
+    are far below the 1024-row quarter minimum)."""
+    from kmtricks_tpu.runtime.device_pipeline import stage_mesh_chunked
+    from kmtricks_tpu.runtime.pipeline import (
+        resolve_soft_min, stage_config, stage_repart)
+
+    rng = np.random.default_rng(11)
+    lines = []
+    for s in range(3):
+        p = tmp_path / f"S{s}.fasta"
+        write_fasta(p, random_reads(rng, 4200, 64, 81))
+        lines.append(f"S{s} : {p}")
+    fof = tmp_path / "t.fof"
+    fof.write_text("\n".join(lines) + "\n")
+
+    host = run_pipeline(_opts(str(fof), tmp_path / "host", backend="host",
+                              soft_min="1", share_min=0))
+
+    # caps are PER-DEVICE (8-device test mesh): one quarter holds ~5.4k
+    # pairs/device — under the pinned 8k cap; the merged four quarters
+    # (~21k/device) exceed it, so resolve_fold must re-merge at a
+    # doubled cap (the deferred-overflow path)
+    monkeypatch.setenv("KMTRICKS_STREAM_PAIR_CAP", str(1 << 13))
+    opts = _opts(str(fof), tmp_path / "stream", soft_min="1", share_min=0,
+                 threads=2)
+    kmdir, config = stage_config(opts)
+    repart = stage_repart(kmdir, config, opts)
+    amin = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
+    from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream
+    stage_mesh_stream(kmdir, config, opts, repart, amin,
+                      chunk_windows=401_408, use_stream=True)
+    assert _matrices(kmdir) == _matrices(host)
