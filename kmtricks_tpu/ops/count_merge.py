@@ -78,27 +78,37 @@ def _samp_bits(nsamp: int) -> int:
     return max(1, (nsamp - 1).bit_length())
 
 
-def _use_routed_merge(nw: int = 1) -> bool:
+def _use_routed_merge(nw: int = 1, n_runs: int = 8) -> bool:
     """Mesh receiver backend for re-ordering the all_to_all's sorted runs:
-    KMTRICKS_TPU_ROUTED_MERGE = pallas | xla | auto. Default auto = the
-    Pallas log2(ndev)-level run merge on TPU for packed layouts up to 5
-    words — on-chip measurements (scripts/profile_routed_merge.py, v5e,
-    8 runs x 512k): 6.1 vs 9.8 ms (1w), 8.4/12.6 (2w), 12.0/15.5 (3w),
-    21.2/23.7 (5w), but 41.6 vs 40.1 at 9w (k=128 kw) — lax.sort there.
-    "pallas" forces every layout. Read at trace time."""
+    KMTRICKS_TPU_ROUTED_MERGE = pallas | xla | auto. "pallas" forces
+    every layout; auto follows the (nw, n_runs) sweep
+    (scripts/profile_routed_merge_sweep.py, v5e, 4.2M total entries,
+    median of 3x10 amortized dispatches, round-4 re-measurement of the
+    r2 single-shape cutoff):
+
+        nw\\runs      8        16        32
+        1        6.2/9.6   7.1/9.7   8.3/9.7    merge/sort ms
+        2        8.5/12.8  10.9/12.9 12.4/12.8
+        3        13.5/17.0 15.2/15.9 18.4/15.7
+        5        21.1/23.8 27.8/24.0 33.5/24.1
+
+    Merge cost grows ~nw * log2(n_runs) (levels x word traffic); the
+    sort is ~flat in run count. Auto = merge when nw <= 2, 3-word up to
+    16 runs, 4-5 words only at <= 8 runs (9-word kw stays lax.sort:
+    41.6 vs 40.1 ms, r2). Read at trace time."""
     import os
     mode = os.environ.get("KMTRICKS_TPU_ROUTED_MERGE", "auto")
     if mode == "pallas":
         return True
     if mode == "xla":
         return False
-    # CAVEAT: the <= 5 cutoff was measured at ONE shape (8 runs x 512k,
-    # v5e) and merge cost grows with log2(sorted_runs) levels while the
-    # 3-5 word margins are thin (12.0 vs 15.5 ms, 21.2 vs 23.7 ms); on
-    # bigger meshes or very different run sizes re-measure
-    # (scripts/profile_routed_merge.py) or force
-    # KMTRICKS_TPU_ROUTED_MERGE=xla.
-    return jax.default_backend() == "tpu" and nw <= 5
+    if jax.default_backend() != "tpu":
+        return False
+    if nw <= 2:
+        return True
+    if nw == 3:
+        return n_runs <= 16
+    return nw <= 5 and n_runs <= 8
 
 
 def _use_pallas_segscan() -> bool:
@@ -631,7 +641,7 @@ def count_merge_packed(words, amin_vec, *, layout: str, nsamp: int,
         ws = tuple(words)
     elif (sorted_runs is not None
             and words[0].shape[0] % sorted_runs == 0
-            and _use_routed_merge(len(words))):
+            and _use_routed_merge(len(words), sorted_runs)):
         from kmtricks_tpu.ops.pallas_sort import merge_sorted_runs_words
         ws = merge_sorted_runs_words(
             tuple(w.reshape(sorted_runs, -1) for w in words))

@@ -353,7 +353,7 @@ def build_chunk_pairs_step(mesh: Mesh, *, k: int, m: int, nb_parts: int,
                 window_bits if mode == "hash" else None, nb_parts)
             from kmtricks_tpu.ops.count_merge import _use_routed_merge
             if (rwords[0].shape[0] % ndev == 0
-                    and _use_routed_merge(len(rwords))):
+                    and _use_routed_merge(len(rwords), ndev)):
                 from kmtricks_tpu.ops.pallas_sort import \
                     merge_sorted_runs_words
                 ws = merge_sorted_runs_words(

@@ -42,13 +42,18 @@ def mk(nw, nruns):
     return tuple(ws)
 
 
-def timed(fn, sync, reps=5):
+def timed(fn, sync, reps=3, iters=10):
+    """Median of ``reps`` batches of ``iters`` dispatches with one sync:
+    a single dispatch+fetch pays the ~30-40 ms tunnel round trip, which
+    swamps ms-scale kernels."""
     r = fn(); np.asarray(sync(r))
     walls = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        r = fn(); np.asarray(sync(r))
-        walls.append(time.perf_counter() - t0)
+        for _ in range(iters):
+            r = fn()
+        np.asarray(sync(r))
+        walls.append((time.perf_counter() - t0) / iters)
     walls.sort()
     return walls[len(walls) // 2]
 
