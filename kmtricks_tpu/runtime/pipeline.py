@@ -802,6 +802,16 @@ def _resolve_backend(opts: PipelineOptions) -> str:
 
 
 def run_pipeline(opts: PipelineOptions) -> KmDir:
+    from kmtricks_tpu.runtime.device_pipeline import _is_float_quantile
+    if _is_float_quantile(opts.soft_min) and not opts.hist:
+        # the quantile thresholds need per-sample histograms (the
+        # reference requires counting with --hist first; we enable it
+        # implicitly). MUST precede the mesh dispatch: the streaming
+        # tail resolves quantiles from the written hist files
+        # (fuzz_backends case 2/seed 424 caught the mesh path missing
+        # them)
+        log.info("float --soft-min: enabling histograms")
+        opts.hist = True
     opts.backend = _resolve_backend(opts)
     if opts.backend == "mesh":
         from kmtricks_tpu.runtime.device_pipeline import run_mesh_pipeline
@@ -814,14 +824,6 @@ def run_pipeline(opts: PipelineOptions) -> KmDir:
                                          or opts.restrict_to_list):
         raise ValueError("bf modes require all partitions")
 
-    from kmtricks_tpu.runtime.device_pipeline import _is_float_quantile
-
-    if _is_float_quantile(opts.soft_min) and not opts.hist:
-        # the quantile thresholds need per-sample histograms (the reference
-        # requires counting with --hist first; we enable it implicitly,
-        # like the mesh backend's host-aggregation path)
-        log.info("float --soft-min: enabling histograms")
-        opts.hist = True
     kmdir, config = stage_config(opts)
     log.info("config: k=%d m=%d partitions=%d (estimated %d k-mers)",
              config.kmer_size, config.minim_size, config.nb_partitions,

@@ -10,8 +10,8 @@ import sys
 import time
 
 os.environ.setdefault("KMTRICKS_STREAM_TRACE", "1")
-os.environ["KMTRICKS_STREAM_PAIR_CAP"] = str(1 << 23)
-os.environ["KMTRICKS_STREAM_CHUNK_WINDOWS"] = str(62_500_000)
+os.environ.setdefault("KMTRICKS_STREAM_PAIR_CAP", str(1 << 23))
+os.environ.setdefault("KMTRICKS_STREAM_CHUNK_WINDOWS", str(62_500_000))
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, repo)
@@ -45,7 +45,7 @@ def opts(run_dir):
 
 n_e2e = 10 * (1_000_000 * 30 // 1024) * (1024 - 31 + 1)
 import itertools
-for tag in ("warm0", "warm1"):
+for tag in ("warm0", "warm1", "warm2"):
     os.environ["KMTRICKS_STREAM_PROLOGUE"] = "0" if tag == "noprologue" else "1"
     shutil.rmtree("/tmp/kmtricks_bench_e2e", ignore_errors=True)
     t0 = time.perf_counter()

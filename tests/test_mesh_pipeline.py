@@ -54,3 +54,27 @@ def test_mesh_matches_host(tmp_path, fof_path, repart_src, mode, extra):
         if m == "bf":
             assert (open(kh.get_fpr_path(p)).read()
                     == open(km.get_fpr_path(p)).read())
+
+
+def test_mesh_float_quantile_writes_hists(tmp_path, fof_path, repart_src):
+    """Float-quantile --soft-min implicitly enables histograms on EVERY
+    backend: run_pipeline used to dispatch to the mesh backend before
+    the implicit --hist enable, so the streaming tail's quantile
+    resolution found no hist files (fuzz_backends case 2 / seed 424).
+    Hist files AND matrices must byte-match the host backend."""
+    base = dict(fof=fof_path, kmer_size=31, hard_min=1, soft_min="0.4",
+                share_min=1, repart_from=repart_src, mode="kmer:count:bin")
+    kh = run_pipeline(PipelineOptions(run_dir=str(tmp_path / "host"),
+                                      backend="host", **base))
+    km = run_pipeline(PipelineOptions(run_dir=str(tmp_path / "mesh"),
+                                      backend="mesh", **base))
+    for s in ("D1", "D2"):
+        a = open(kh.get_hist_path(s), "rb").read()
+        b = open(km.get_hist_path(s), "rb").read()
+        assert a == b, f"hist {s} differs"
+    for p in range(4):
+        a = open(kh.get_matrix_path(p, "count", "bin", "kmer", False),
+                 "rb").read()
+        b = open(km.get_matrix_path(p, "count", "bin", "kmer", False),
+                 "rb").read()
+        assert a == b, f"partition {p} matrix differs"
