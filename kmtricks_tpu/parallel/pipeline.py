@@ -578,6 +578,20 @@ def build_table_compact(mesh: Mesh, *, layout: str, nsamp: int,
 
 
 @lru_cache(maxsize=64)
+def build_col_slice(mesh: Mesh, ncols: int):
+    """Per-device column slice ``a[:, :ncols]`` — strips the padded
+    sample columns of a shape-bucketed dense matrix BEFORE it rides the
+    device link (fetching a 1024-bucket matrix for 700 real samples
+    would cost ~46% extra link bytes). Compiles per (shape, ncols) but
+    is a trivial program — the expensive engine programs stay at the
+    bucketed shape."""
+    (axis,) = mesh.axis_names
+    return jax.jit(jax.shard_map(
+        lambda a: a[:, :ncols], mesh=mesh, in_specs=P(axis),
+        out_specs=P(axis), check_vma=False))
+
+
+@lru_cache(maxsize=64)
 def build_merge_finalize_bits(mesh: Mesh, *, nsamp: int, rows_cap: int,
                               rmin: int, save_if: int, count_max: int,
                               nb_parts: int, count_bytes: int):

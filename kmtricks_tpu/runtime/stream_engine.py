@@ -85,8 +85,26 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     window_bits = None
     if cf == "hash":
         window_bits = HashWindow.load(kmdir.hash_win).window_size_bits
+    # program-shape sample bucket: every big program is built at the
+    # sample count rounded up to 8 buckets per octave (step = 2^(b-3)
+    # of its power-of-two ceiling: 700 -> 768, 1000 -> 1024,
+    # 5000 -> 5120), so nearby collection sizes reuse compiled programs
+    # (the reference binary has zero per-shape cost,
+    # src/kmtricks.cpp:32-126; here a fresh nsamp used to recompile the
+    # whole engine, minutes through a remote tunnel) at <= 1/8 padding
+    # overhead. The packed sort layouts are bucket-stable: rounding
+    # stays below the same power of two, so samp_bits =
+    # (nsamp-1).bit_length() is unchanged. Pad samples never occur in
+    # the data, so they are never present, and padded planes slice back
+    # off before or at fetch. KMTRICKS_SHAPE_BUCKET=0 disables (must
+    # match across processes).
+    if _os.environ.get("KMTRICKS_SHAPE_BUCKET", "1") != "0":
+        _step = 1 << max(0, max(1, (nsamp - 1).bit_length()) - 3)
+        nsamp_p = -(-nsamp // _step) * _step
+    else:
+        nsamp_p = nsamp
     layout = stream_layout(k, config.minim_size, config.nb_partitions,
-                           nsamp, cf, window_bits)
+                           nsamp_p, cf, window_bits)
     assert layout is not None
     if amin_vec is None:
         # int / per-sample-file soft-min resolves WITHOUT the abundance
@@ -96,7 +114,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         from kmtricks_tpu.runtime.device_pipeline import _is_float_quantile
         if not _is_float_quantile(opts.soft_min):
             amin_vec = resolve_soft_min(opts.soft_min, kmdir, nsamp)
-    nw = _layout_words(layout, nsamp)
+    nw = _layout_words(layout, nsamp_p)
     key_bits = ((window_bits * config.nb_partitions - 1).bit_length()
                 if cf == "hash" else 2 * k)
     count_max = (1 << (8 * config.count_bytes)) - 1
@@ -192,7 +210,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     def pairs_step(pc, with_vb, cap):
         return build_chunk_pairs_step(
             mesh, k=k, m=config.minim_size, nb_parts=config.nb_partitions,
-            cap=cap, nsamp=nsamp, mode=cf, window_bits=window_bits,
+            cap=cap, nsamp=nsamp_p, mode=cf, window_bits=window_bits,
             static_repart=opts.static_repart, batch_layout="lb",
             mmer_canonical=config.mmer_scheme != "forward", pair_cap=pc,
             packed_input=True, with_vbits=with_vb)
@@ -216,9 +234,15 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         distinct (key, sample) pairs are genome-bound, not read-bound,
         so a striped prologue quarter can hold as many distinct pairs as
         a full chunk (measured: 4 interleaved samples x 1M genome in one
-        quarter)."""
+        quarter). The skew-derived capacity quantizes to 8 buckets per
+        octave — a raw ``int(local_b * skew * ...)`` would give every
+        BANK its own chunk-program shape (shape determinism is the perf
+        law through the tunnel; <= 1/8 capacity overhead instead)."""
         local_b = -(-(chunk[0].shape[1] * W) // ndev)
-        cap_b = min(local_b, int(local_b * skew * ndev * 1.5) + 1024)
+        raw = int(local_b * skew * ndev * 1.5) + 1024
+        _b = max(1, (raw - 1).bit_length())
+        _step = 1 << max(0, _b - 3)
+        cap_b = min(local_b, -(-raw // _step) * _step)
         return pair_cap, cap_b
 
     def call_step(chunk):
@@ -372,7 +396,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     # by device-side fetch slices dispatched WITHOUT waiting for it.
     def dispatch_phase_a():
         sortc = build_table_sort_collapse(
-            mesh, layout=layout, nsamp=nsamp, hard_min=dev_hard_min,
+            mesh, layout=layout, nsamp=nsamp_p, hard_min=dev_hard_min,
             n_runs=len(runs), key_bits=key_bits, window_bits=window_bits,
             nb_parts=config.nb_partitions)
         return sortc(*[x for r in runs for x in (list(r[0]) + [r[1]])])
@@ -394,13 +418,13 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     nrs, maxc, phist = jax.device_get((nrows_a, maxc_a, phist_a))
     trace("phase A rows known")
     rows_cap = max(1 << 12, _pow2ceil(int(nrs.max())))
-    if rows_cap * nsamp >= (1 << 31):
+    if rows_cap * nsamp_p >= (1 << 31):
         raise ValueError(
             f"dense output matrix too large ({rows_cap} rows x "
             f"{nsamp} samples); raise --nb-partitions so partitions "
             "shard the key space")
     compactf = build_table_compact(
-        mesh, layout=layout, nsamp=nsamp, key_bits=key_bits,
+        mesh, layout=layout, nsamp=nsamp_p, key_bits=key_bits,
         window_bits=window_bits, hard_min=dev_hard_min,
         rows_cap=rows_cap, mode=cf)
     rows_d, pre_d, _nrows_d, _maxc_d, _npres_d = compactf(
@@ -571,24 +595,33 @@ def _fetch_merge_write_pa_bits(kmdir, config, opts, cf, window_bits, mesh,
                                                 partition_to_device)
 
     nsamp = len(kmdir.fof)
+    # program shapes at the bucketed width pre_d carries (shape
+    # bucketing, stage_mesh_stream): pad samples get hard_min/amin
+    # sentinels so they are never present; padded bit/stat planes
+    # slice back off below
+    nsamp_p = pre_d.shape[1]
     nb_parts = config.nb_partitions
     cb = config.count_bytes
     part_dev = partition_to_device(nb_parts, ndev)
     mb = build_merge_finalize_bits(
-        mesh, nsamp=nsamp, rows_cap=rows_cap, rmin=opts.recurrence_min,
+        mesh, nsamp=nsamp_p, rows_cap=rows_cap, rmin=opts.recurrence_min,
         save_if=opts.share_min, count_max=count_max, nb_parts=nb_parts,
         count_bytes=cb)
+    pad = nsamp_p - nsamp
+    amin_p = np.concatenate([np.minimum(amin_vec, count_max),
+                             np.full(pad, count_max)]).astype(np.uint32)
+    hard_p = np.concatenate([np.asarray(hard_mins, np.uint32),
+                             np.full(pad, 0xFFFFFFFF, np.uint32)])
     bounds = np.zeros((ndev, nb_parts + 1), np.int32)
     np.cumsum(part_rows, axis=1, out=bounds[:, 1:])
     packed_d, keep_d, stats_d = mb(
-        pre_d, jnp.asarray(np.minimum(amin_vec, count_max)
-                           .astype(np.uint32)),
-        jnp.asarray(np.asarray(hard_mins, np.uint32)),
+        pre_d, jnp.asarray(amin_p), jnp.asarray(hard_p),
         jnp.asarray(bounds.reshape(-1)))
 
+    nb8 = (nsamp + 7) // 8
     n_planes = 4 + 2 * cb
     stats = np.asarray(jax.device_get(stats_d)).reshape(
-        ndev, n_planes, nb_parts, nsamp).astype(np.uint64)
+        ndev, n_planes, nb_parts, nsamp_p)[..., :nsamp].astype(np.uint64)
     for d in range(ndev):
         nr = int(nrs[d])
         off = d * rows_cap
@@ -603,7 +636,7 @@ def _fetch_merge_write_pa_bits(kmdir, config, opts, cf, window_bits, mesh,
             sl = slice(int(bounds[d, p]), int(bounds[d, p + 1]))
             kept = keepv[sl] > 0
             pk = keys[sl][kept]
-            pb = packed[sl][kept]
+            pb = packed[sl][kept][:, :nb8]
             out_path = kmdir.get_matrix_path(p, "pa", "bin", cf, opts.cpr)
             if cf == "kmer":
                 F.write_pa_matrix_file(out_path, pk, pb, config.kmer_size,
@@ -638,11 +671,14 @@ def _fetch_merge_write_multiproc(kmdir, config, opts, cf, window_bits,
     hmv = np.asarray(hard_mins, dtype=np.uint32)[None, :]
     shards_pre = {sh.index[0].start // rows_cap: np.asarray(sh.data)
                   for sh in pre_d.addressable_shards}
+    nsamp = len(kmdir.fof)
     for sh in rows_d.addressable_shards:
         d = sh.index[0].start // rows_cap
         nr = int(nrs[d])
         rows = np.asarray(sh.data)[:nr]
-        pre = shards_pre[d][:nr].astype(np.uint32, copy=False)
+        # [:, :nsamp]: strip shape-bucket sample padding (local shards —
+        # a host slice, no link cost)
+        pre = shards_pre[d][:nr, :nsamp].astype(np.uint32, copy=False)
         # per-sample hard-min on RAW counts, then count-type saturation
         # (count_processor.hpp:61-72 order)
         pre = np.where(pre >= hmv, np.minimum(pre, count_max), 0)
@@ -685,11 +721,20 @@ def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
             and not want_hists and amin_vec is not None
             and part_rows is not None and mesh is not None
             and os.environ.get("KMTRICKS_PA_DEVICE", "1") != "0"):
+        # the device finalize consumes pre at the BUCKETED width (its
+        # program is shape-bucketed too); padded outputs slice on fetch
         _fetch_merge_write_pa_bits(
             kmdir, config, opts, cf, window_bits, mesh, rows_d, pre_d,
             nrs, rows_cap, ndev, amin_vec, hard_mins, count_max,
             part_rows)
         return
+
+    nsamp = len(kmdir.fof)
+    if mesh is not None and pre_d.shape[1] != nsamp:
+        # shape-bucketed pre: strip the padded sample columns on device
+        # before anything rides the link
+        from kmtricks_tpu.parallel.pipeline import build_col_slice
+        pre_d = build_col_slice(mesh, nsamp)(pre_d)
 
     if part_rows is not None and amin_vec is not None:
         _fetch_merge_write_pipelined(

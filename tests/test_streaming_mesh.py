@@ -359,3 +359,41 @@ def test_streaming_prologue_and_tail_quarters(tmp_path, monkeypatch):
     stage_mesh_stream(kmdir, config, opts, repart, amin,
                       chunk_windows=401_408, use_stream=True)
     assert _matrices(kmdir) == _matrices(host)
+
+
+def test_shape_bucket_program_reuse(tmp_path):
+    """Sample-count shape bucketing: a 10-sample collection reuses every
+    big program a 9-sample run compiled (both bucket to 10; the packed
+    layouts are bucket-stable) — without bucketing each nsamp recompiled
+    the whole engine (minutes per program through a remote tunnel)."""
+    from kmtricks_tpu.parallel import pipeline as pp
+    from kmtricks_tpu.runtime.device_pipeline import run_mesh_pipeline
+
+    rng = np.random.default_rng(3)
+    genome = "".join(rng.choice(list("ACGT"), 1000))
+
+    def mk(n_samp, reads_each, d):
+        d.mkdir()
+        lines = []
+        for s in range(n_samp):
+            p = d / f"S{s}.fasta"
+            starts = rng.integers(0, 900, reads_each)
+            write_fasta(p, [genome[st:st + 100] for st in starts])
+            lines.append(f"S{s} : {p}")
+        fof = d / "t.fof"
+        fof.write_text("\n".join(lines) + "\n")
+        return str(fof)
+
+    builders = (pp.build_chunk_pairs_step, pp.build_table_sort_collapse,
+                pp.build_table_compact, pp.build_table_merge)
+    # equal TOTAL rows (270) so chunking and run counts match exactly
+    for i, (ns, each) in enumerate(((9, 30), (10, 27))):
+        fof = mk(ns, each, tmp_path / f"b{i}")
+        opts = _opts(fof, tmp_path / f"run{i}", soft_min="1", share_min=0)
+        run_mesh_pipeline(opts)
+        if i == 0:
+            before = [b.cache_info().misses for b in builders]
+    after = [b.cache_info().misses for b in builders]
+    assert after == before, (
+        "shape bucketing failed: builders re-traced for nsamp=10 after "
+        f"nsamp=9 (misses {before} -> {after})")
