@@ -577,6 +577,20 @@ def build_table_compact(mesh: Mesh, *, layout: str, nsamp: int,
         check_vma=False))
 
 
+def shape_bucket(n: int) -> int:
+    """Round ``n`` up to 8 buckets per octave (step = 2^(b-3) of its
+    power-of-two ceiling: 700 -> 768, 1000 -> 1024, 5000 -> 5120).
+
+    Program shapes quantized this way repeat across nearby runs (shape
+    determinism is the perf law through a remote tunnel: every fresh
+    shape is a fresh multi-minute compile) at <= 1/8 padding overhead.
+    Rounding never crosses the next power of two, so bit-width-derived
+    quantities (samp_bits, packed layouts) are bucket-stable."""
+    b = max(1, (n - 1).bit_length())
+    step = 1 << max(0, b - 3)
+    return -(-n // step) * step
+
+
 @lru_cache(maxsize=64)
 def build_col_slice(mesh: Mesh, ncols: int):
     """Per-device column slice ``a[:, :ncols]`` — strips the padded

@@ -476,11 +476,21 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     import jax
     import jax.numpy as jnp
 
+    import os as _os
+
     from kmtricks_tpu.ops.compact import fetch_many, narrow_cast
     from kmtricks_tpu.parallel.pipeline import (
-        build_sharded_pipeline, make_mesh, partition_to_device)
+        build_col_slice, build_sharded_pipeline, make_mesh,
+        partition_to_device, shape_bucket)
 
     nsamp = len(kmdir.fof)
+    # program-shape sample bucket (see stage_mesh_stream): nearby sample
+    # counts share the fused-step programs; pad samples carry sentinel
+    # hard-min/amin so they are never present, and the padded pre
+    # columns strip on device before the fetch
+    nsamp_p = (shape_bucket(nsamp)
+               if _os.environ.get("KMTRICKS_SHAPE_BUCKET", "1") != "0"
+               else nsamp)
     mesh = make_mesh(n_devices)
     ndev = mesh.shape[mesh.axis_names[0]]
     if batch is None:
@@ -492,14 +502,19 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
         kmdir, config, opts, uniform_hard_min=False)
     hard_min = hard_mins[0]
     # per-sample `! amin` fof overrides ride the fused kernel directly
-    hard_min_vec = (np.asarray(hard_mins, dtype=np.uint32)
-                    if len(set(hard_mins)) != 1 else None)
+    # (padded to the sample bucket with never-passing sentinels)
+    hard_min_vec = (np.concatenate([
+        np.asarray(hard_mins, dtype=np.uint32),
+        np.full(nsamp_p - nsamp, 0xFFFFFFFF, np.uint32)])
+        if len(set(hard_mins)) != 1 else None)
 
     # size the per-peer all_to_all capacity from measured minimizer skew
     # (PartiInfo pre-sizing analogue) with 1.5x headroom; overflow
     # self-heals by doubling the cap and recompiling (never a hard error)
     skew = estimate_dest_skew(kmdir, opts, config, repart, ndev)
-    cap = min(local, int(local * skew * ndev * 1.5) + 1024)
+    # quantized (shape_bucket): a raw skew-scaled int would give every
+    # bank its own step-program shape
+    cap = min(local, shape_bucket(int(local * skew * ndev * 1.5) + 1024))
     # per-device distinct-row capacity: distinct rows are typically far
     # below the window count (coverage deduplicates), so start at 1/32 of
     # the worst case (power of two for compile-cache hits) and double on
@@ -509,13 +524,13 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     # with rows_cap: 1.5 s at 2M rows vs 3.5 s at 16M for a 78M step).
     from kmtricks_tpu.ops.encode import device_key_words
     nw = 2 if cf == "hash" else device_key_words(config.kmer_size)
-    row_bytes = 4 * (nsamp + nw + 2)
+    row_bytes = 4 * (nsamp_p + nw + 2)
     # --max-memory budgets the occurrence sort; the compaction buffers
     # get their own floor (4M rows) bounded by the int32 flat-scatter
     # index space (rows_cap * nsamp < 2^31)
     rows_hbm = max(1 << 22, _pow2ceil(
         int(opts.max_memory_mb * 1e6 / 2 / row_bytes) + 1) // 2)
-    rows_hbm = min(rows_hbm, _pow2ceil((1 << 31) // max(1, nsamp)) // 2)
+    rows_hbm = min(rows_hbm, _pow2ceil((1 << 31) // max(1, nsamp_p)) // 2)
     rows_cap = min(_pow2ceil(local), max(1 << 14, _pow2ceil(local) // 32),
                    rows_hbm)
     log.info("mesh step: %d reads x %d (windows %d) over %d device(s), "
@@ -526,7 +541,7 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
     def build(c, rc):
         return build_sharded_pipeline(
             mesh, k=config.kmer_size, m=config.minim_size,
-            nb_parts=config.nb_partitions, cap=c, nsamp=nsamp,
+            nb_parts=config.nb_partitions, cap=c, nsamp=nsamp_p,
             hard_min=hard_min, rmin=opts.recurrence_min,
             save_if=opts.share_min, mode=cf, window_bits=window_bits,
             count_max=count_max, static_repart=opts.static_repart,
@@ -535,10 +550,13 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
             mmer_canonical=config.mmer_scheme != "forward",
             compact_rows=rc)
 
+    amin_p = np.concatenate([np.asarray(amin_vec, np.uint32),
+                             np.full(nsamp_p - nsamp, 0xFFFFFFFF,
+                                     np.uint32)])
     args = (jnp.asarray(_transpose_mt(batch, getattr(opts, "threads", 4))),
             jnp.asarray(lengths), jnp.asarray(sarr),
             jnp.asarray(repart.table.astype(np.int32)),
-            jnp.asarray(amin_vec, dtype=np.uint32))
+            jnp.asarray(amin_p))
     while True:
         rows_d, pre_d, nrows_d, maxc_d, _npres_d, dropped_d = build(
             cap, rows_cap)(*args)
@@ -565,6 +583,10 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
             continue
         break
 
+    if nsamp_p != nsamp:
+        # strip the shape-bucket sample padding on device before the
+        # dense matrix rides the link
+        pre_d = build_col_slice(mesh, nsamp)(pre_d)
     part_dev = partition_to_device(config.nb_partitions, ndev)
     maxc = int(maxc)
     for d in range(ndev):
@@ -716,14 +738,24 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
     cf, window_bits, count_max, hard_mins = _mesh_common(
         kmdir, config, opts, uniform_hard_min=False)
 
+    from kmtricks_tpu.parallel.pipeline import shape_bucket as _sb
     local = -(-(rows_per_chunk * W) // ndev)
     skew = estimate_dest_skew(kmdir, opts, config, repart, ndev)
-    cap = min(local, int(local * skew * ndev * 1.5) + 1024)
+    # quantized: a raw skew-scaled int gives every bank its own shape
+    cap = min(local, _sb(int(local * skew * ndev * 1.5) + 1024))
+
+    # sample bucket (see stage_mesh_count_merge): the step only uses
+    # nsamp through bucket-stable samp_bits and the amin input length;
+    # sample ids in the outputs stay < the real nsamp
+    import os as _os2
+    nsamp_p = (_sb(nsamp)
+               if _os2.environ.get("KMTRICKS_SHAPE_BUCKET", "1") != "0"
+               else nsamp)
 
     def build(c):
         return build_sharded_pipeline(
             mesh, k=k, m=config.minim_size,
-            nb_parts=config.nb_partitions, cap=c, nsamp=nsamp,
+            nb_parts=config.nb_partitions, cap=c, nsamp=nsamp_p,
             hard_min=1, rmin=1, save_if=0, mode=cf, window_bits=window_bits,
             count_max=0xFFFFFFFF, static_repart=opts.static_repart,
             with_stats=False, batch_layout="lb",
@@ -731,7 +763,7 @@ def stage_mesh_chunked(kmdir: KmDir, config: Config, opts: PipelineOptions,
 
     step = build(cap)
     table = jnp.asarray(repart.table.astype(np.int32))
-    ones = jnp.ones(nsamp, dtype=jnp.uint32)
+    ones = jnp.ones(nsamp_p, dtype=jnp.uint32)
 
     partials: list[tuple] = []       # (part, keys, samp, cnt) per chunk
     for cb, cl, cs in chunks:

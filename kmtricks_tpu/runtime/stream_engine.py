@@ -98,11 +98,10 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     # the data, so they are never present, and padded planes slice back
     # off before or at fetch. KMTRICKS_SHAPE_BUCKET=0 disables (must
     # match across processes).
-    if _os.environ.get("KMTRICKS_SHAPE_BUCKET", "1") != "0":
-        _step = 1 << max(0, max(1, (nsamp - 1).bit_length()) - 3)
-        nsamp_p = -(-nsamp // _step) * _step
-    else:
-        nsamp_p = nsamp
+    from kmtricks_tpu.parallel.pipeline import shape_bucket
+    nsamp_p = (shape_bucket(nsamp)
+               if _os.environ.get("KMTRICKS_SHAPE_BUCKET", "1") != "0"
+               else nsamp)
     layout = stream_layout(k, config.minim_size, config.nb_partitions,
                            nsamp_p, cf, window_bits)
     assert layout is not None
@@ -238,11 +237,10 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         octave — a raw ``int(local_b * skew * ...)`` would give every
         BANK its own chunk-program shape (shape determinism is the perf
         law through the tunnel; <= 1/8 capacity overhead instead)."""
+        from kmtricks_tpu.parallel.pipeline import shape_bucket
         local_b = -(-(chunk[0].shape[1] * W) // ndev)
-        raw = int(local_b * skew * ndev * 1.5) + 1024
-        _b = max(1, (raw - 1).bit_length())
-        _step = 1 << max(0, _b - 3)
-        cap_b = min(local_b, -(-raw // _step) * _step)
+        cap_b = min(local_b,
+                    shape_bucket(int(local_b * skew * ndev * 1.5) + 1024))
         return pair_cap, cap_b
 
     def call_step(chunk):
