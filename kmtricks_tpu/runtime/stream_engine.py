@@ -227,6 +227,63 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     inflight = []         # [(n_pairs dev, dropped dev, host_chunk, slot)]
     n_chunks = 0
 
+    # --- compile-ahead ------------------------------------------------
+    # Remote compiles parallelize ~linearly (2 threads = 2.00x wall,
+    # scripts/profile_compile_concurrency.py) but the engine's first
+    # calls would serialize them (~40-90 s EACH through the tunnel, the
+    # bulk of every cold wall). Fire the predicted initial program
+    # shapes on background threads with zero dummies — zeros ride the
+    # compressing transport at 3-4x the random-byte rate, and zero
+    # lengths mean no valid windows, so the dummy steps are inert.
+    # call_step / the prologue fold WAIT on the matching future before
+    # their first real call, so same-signature compiles never race; on
+    # warm runs the dummies execute in the device's initial idle window.
+    prefetch_futs: dict = {}
+    if (nproc == 1 and use_stream
+            and _os.environ.get("KMTRICKS_COMPILE_PREFETCH", "1") != "0"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from kmtricks_tpu.parallel.pipeline import shape_bucket as _sb
+        pc0 = (pair_cap if pair_cap
+               else max(1 << 14, _pow2ceil(local) // 32))
+
+        def _dummy_chunk(rows_n):
+            local_b = -(-(rows_n * W) // ndev)
+            cap_b = min(local_b,
+                        _sb(int(local_b * skew * ndev * 1.5) + 1024))
+            out = pairs_step(pc0, False, cap_b)(
+                np.zeros((L // 4, rows_n), np.uint8),
+                np.zeros(rows_n, np.int32), np.zeros(rows_n, np.int32),
+                table_jnp)
+            jax.device_get(out[2])
+
+        def _dummy_fold():
+            m = build_table_merge(mesh, nw=nw, out_cap=pc0, n_streams=4,
+                                  in_caps=(pc0,) * 4)
+            zw = np.full(ndev * pc0, 0xFFFFFFFF, np.uint32)
+            zc = np.zeros(ndev * pc0, np.uint32)
+            args = []
+            for _ in range(4):
+                args.extend([zw] * nw + [zc])
+            jax.device_get(m(*args)[2])
+
+        _pex = ThreadPoolExecutor(max_workers=3)
+        for rn in ({rows_per_chunk} | ({prologue[0]} if prologue
+                                       else set())):
+            prefetch_futs[("chunk", rn, pc0)] = _pex.submit(
+                _dummy_chunk, rn)
+        if prologue:
+            prefetch_futs[("fold4", pc0)] = _pex.submit(_dummy_fold)
+        _pex.shutdown(wait=False)
+
+    def _await_prefetch(key):
+        fut = prefetch_futs.pop(key, None)
+        if fut is not None:
+            try:
+                fut.result()
+            except Exception:   # noqa: BLE001 - best-effort warmup; the
+                pass            # real call surfaces any genuine error
+
     def _chunk_caps(chunk):
         """Per-chunk program capacities. The all_to_all route capacity
         scales with the chunk's row count, but the PAIR cap does not:
@@ -249,6 +306,8 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         fewer upload bytes on the link, the e2e bottleneck."""
         pk, vb, cl, cs = chunk
         pc, cap_b = _chunk_caps(chunk)
+        if vb is None:
+            _await_prefetch(("chunk", pk.shape[1], pc))
         f = pairs_step(pc, vb is not None, cap_b)
         args = ((pk, cl, cs, table_jnp) if vb is None
                 else (pk, vb, cl, cs, table_jnp))
@@ -284,6 +343,8 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     fold_pending = []     # deferred fold checks [(n_d, streams, caps, cap)]
 
     def _dispatch_fold(streams, in_caps, out_cap):
+        if len(streams) == 4 and in_caps == (out_cap,) * 4:
+            _await_prefetch(("fold4", out_cap))
         return build_table_merge(
             mesh, nw=nw, out_cap=out_cap, n_streams=len(streams),
             in_caps=in_caps)(
