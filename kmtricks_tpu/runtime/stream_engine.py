@@ -247,25 +247,76 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         pc0 = (pair_cap if pair_cap
                else max(1 << 14, _pow2ceil(local) // 32))
 
+        # dummies materialize ON DEVICE (eager jnp fills — no host
+        # payload: device_put of the 8.4M-cap zero runs measured ~20 s
+        # of tunnel time per run, swamping the compile win)
         def _dummy_chunk(rows_n):
             local_b = -(-(rows_n * W) // ndev)
             cap_b = min(local_b,
                         _sb(int(local_b * skew * ndev * 1.5) + 1024))
             out = pairs_step(pc0, False, cap_b)(
-                np.zeros((L // 4, rows_n), np.uint8),
-                np.zeros(rows_n, np.int32), np.zeros(rows_n, np.int32),
+                jnp.zeros((L // 4, rows_n), jnp.uint8),
+                jnp.zeros(rows_n, jnp.int32), jnp.zeros(rows_n, jnp.int32),
                 table_jnp)
             jax.device_get(out[2])
 
         def _dummy_fold():
             m = build_table_merge(mesh, nw=nw, out_cap=pc0, n_streams=4,
                                   in_caps=(pc0,) * 4)
-            zw = np.full(ndev * pc0, 0xFFFFFFFF, np.uint32)
-            zc = np.zeros(ndev * pc0, np.uint32)
+            zw = jnp.full((ndev * pc0,), 0xFFFFFFFF, jnp.uint32)
+            zc = jnp.zeros((ndev * pc0,), jnp.uint32)
             args = []
             for _ in range(4):
                 args.extend([zw] * nw + [zc])
             jax.device_get(m(*args)[2])
+
+        def _sim_final_caps():
+            """Replay the chunk/fold arithmetic to predict phase A's
+            (n_runs, in_caps) — exact when the bank row estimates are
+            exact, reads fit L, and no pair-cap overflow fires; any
+            misprediction only wastes this compile thread."""
+            if use_stream:
+                if any(e.max_size > L for e in ests):
+                    return None        # long-read splits: rows unknowable
+                rows_total = sum(e.sequences for e in ests)
+            else:
+                rows_total = batch.shape[0]
+            qq = prologue[0] if prologue else None
+            if qq and rows_total < 4 * qq + 1:
+                return None            # tiny bank: loads are cheap anyway
+            seq = []
+            rt = rows_total
+            if qq:
+                seq += [qq] * 4
+                rt -= 4 * qq
+            nf, rem = divmod(max(0, rt), rows_per_chunk)
+            seq += [rows_per_chunk] * nf
+            if rem:
+                if qq and rem <= rows_per_chunk - qq:
+                    seq += [qq] * (-(-rem // qq))
+                else:
+                    seq += [rows_per_chunk]
+            caps: list = []
+            for i in range(len(seq)):
+                caps.append(pc0)
+                if qq and i == 3:
+                    caps = [pc0]       # prologue consolidation
+                elif sum(caps) + pc0 > table_hbm:
+                    caps = [max(min(table_hbm, _pow2ceil(sum(caps))) // 2,
+                                1 << 14)]
+            return tuple(caps)
+
+        def _dummy_phase_a(caps):
+            f = build_table_sort_collapse(
+                mesh, layout=layout, nsamp=nsamp_p, hard_min=dev_hard_min,
+                n_runs=len(caps), key_bits=key_bits,
+                window_bits=window_bits, nb_parts=config.nb_partitions)
+            args = []
+            for c in caps:
+                zw = jnp.full((ndev * c,), 0xFFFFFFFF, jnp.uint32)
+                args.extend([zw] * nw
+                            + [jnp.zeros((ndev * c,), jnp.uint32)])
+            jax.device_get(f(*args)[2])
 
         _pex = ThreadPoolExecutor(max_workers=3)
         for rn in ({rows_per_chunk} | ({prologue[0]} if prologue
@@ -274,6 +325,10 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                 _dummy_chunk, rn)
         if prologue:
             prefetch_futs[("fold4", pc0)] = _pex.submit(_dummy_fold)
+        _caps = _sim_final_caps()
+        if _caps:
+            prefetch_futs[("phaseA", _caps)] = _pex.submit(
+                _dummy_phase_a, _caps)
         _pex.shutdown(wait=False)
 
     def _await_prefetch(key):
@@ -281,6 +336,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         if fut is not None:
             try:
                 fut.result()
+                trace(f"compile-prefetch hit: {key[0]}")
             except Exception:   # noqa: BLE001 - best-effort warmup; the
                 pass            # real call surfaces any genuine error
 
@@ -454,6 +510,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     # phase B: dense compaction at that capacity, its outputs consumed
     # by device-side fetch slices dispatched WITHOUT waiting for it.
     def dispatch_phase_a():
+        _await_prefetch(("phaseA", tuple(r[2] for r in runs)))
         sortc = build_table_sort_collapse(
             mesh, layout=layout, nsamp=nsamp_p, hard_min=dev_hard_min,
             n_runs=len(runs), key_bits=key_bits, window_bits=window_bits,
