@@ -587,25 +587,37 @@ def stage_mesh_count_merge(kmdir: KmDir, config: Config,
         # strip the shape-bucket sample padding on device before the
         # dense matrix rides the link
         pre_d = build_col_slice(mesh, nsamp)(pre_d)
+    part8_d = None
+    if cf == "kmer" and config.nb_partitions <= 256:
+        # the partition id occupies a full u32 column of every fetched
+        # row; split it into a u8 plane on device (12 -> 9 B/row)
+        from kmtricks_tpu.parallel.pipeline import build_rows_narrow
+        rows_d, part8_d = build_rows_narrow(mesh)(rows_d)
     part_dev = partition_to_device(config.nb_partitions, ndev)
     maxc = int(maxc)
     for d in range(ndev):
         nr = int(nrs[d])
         off = d * rows_cap
-        rows, pre = fetch_many([(rows_d, nr, None, off),
-                                (pre_d, nr, narrow_cast(maxc), off)])
+        specs = [(rows_d, nr, None, off), (pre_d, nr, narrow_cast(maxc),
+                                           off)]
+        if part8_d is not None:
+            specs.append((part8_d, nr, None, off))
+            rows, pre, part8 = fetch_many(specs)
+        else:
+            rows, pre = fetch_many(specs)
         pre = pre.astype(np.uint32, copy=False)
         if cf == "hash":
             keys = _keys_to_u64(tuple(rows[:, j]
                                       for j in range(rows.shape[1])))
             part_col = (keys // np.uint64(window_bits)).astype(np.int64)
         else:
-            kwords = rows[:, :-1]
+            kwords = rows if part8_d is not None else rows[:, :-1]
             keys = _keys_to_u64(tuple(kwords[:, j]
                                       for j in range(kwords.shape[1])))
             slots = max(1, kwords.shape[1] // 2)
             keys = keys.reshape(nr, slots)
-            part_col = rows[:, -1].astype(np.int64)
+            part_col = (part8.astype(np.int64) if part8_d is not None
+                        else rows[:, -1].astype(np.int64))
         # rows are sorted by (partition, key): partition blocks are
         # contiguous; rescue/keep/stats reconstructed from the dense
         # pre-merge counts (host/ops.py merge_dense)

@@ -599,24 +599,32 @@ def _device_put_chunks(gen, mesh):
         yield out
 
 
-def _decode_block_keys(rows, cf, window_bits, nr):
-    """Fetched row words -> (keys, part_col) in merge_dense's layout."""
+def _decode_block_keys(rows, cf, window_bits, nr, has_part_col=True):
+    """Fetched row words -> (keys, part_col) in merge_dense's layout.
+
+    ``has_part_col=False``: kmer-mode rows carry only the key words —
+    the partition column was sliced off on device (callers that slice
+    by the phase-A histogram never need it; fetching it costs a full
+    u32 column per row on the thin link). part_col is then None."""
     from kmtricks_tpu.runtime.device_pipeline import _keys_to_u64
 
     if cf == "hash":
         keys = _keys_to_u64(tuple(rows[:, j] for j in range(rows.shape[1])))
         part_col = (keys // np.uint64(window_bits)).astype(np.int64)
         return keys, part_col
-    kwords = rows[:, :-1]
+    kwords = rows if not has_part_col else rows[:, :-1]
     keys = _keys_to_u64(tuple(kwords[:, j] for j in range(kwords.shape[1])))
     keys = keys.reshape(nr, max(1, kwords.shape[1] // 2))
+    if not has_part_col:
+        return keys, None
     return keys, rows[:, -1].astype(np.int64)
 
 
 def _fetch_merge_write_pipelined(kmdir, config, opts, cf, window_bits,
                                  rows_d, pre_d, nrs, maxc, rows_cap, ndev,
                                  amin_vec, hard_mins, count_max,
-                                 want_hists, part_rows) -> None:
+                                 want_hists, part_rows,
+                                 rows_have_part=True) -> None:
     """Grouped fetch -> merge pipeline: the device-computed per-partition
     row histogram gives partition bounds WITHOUT fetching keys first, so
     per-partition merge+write jobs start while later row groups are still
@@ -678,7 +686,8 @@ def _fetch_merge_write_pipelined(kmdir, config, opts, cf, window_bits,
             # per-sample hard-min on RAW counts, then count-type
             # saturation (count_processor.hpp:61-72 order)
             pre_m = np.where(pre >= hmv, np.minimum(pre, count_max), 0)
-            keys, _pc = _decode_block_keys(rows, cf, window_bits, nr_g)
+            keys, _pc = _decode_block_keys(rows, cf, window_bits, nr_g,
+                                           has_part_col=rows_have_part)
             for p in range(p_lo, p_hi):
                 if part_dev[p] != d:
                     continue
@@ -738,6 +747,13 @@ def _fetch_merge_write_pa_bits(kmdir, config, opts, cf, window_bits, mesh,
     n_planes = 4 + 2 * cb
     stats = np.asarray(jax.device_get(stats_d)).reshape(
         ndev, n_planes, nb_parts, nsamp_p)[..., :nsamp].astype(np.uint64)
+    rows_have_part = True
+    if cf == "kmer":
+        # partition slicing uses the phase-A histogram bounds — drop
+        # the partition column on device before the fetch
+        from kmtricks_tpu.parallel.pipeline import build_col_slice
+        rows_d = build_col_slice(mesh, rows_d.shape[1] - 1)(rows_d)
+        rows_have_part = False
     for d in range(ndev):
         nr = int(nrs[d])
         off = d * rows_cap
@@ -745,7 +761,8 @@ def _fetch_merge_write_pa_bits(kmdir, config, opts, cf, window_bits, mesh,
         tb = _prepare_fetch(packed_d, nr, None, None, off)
         tc = _prepare_fetch(keep_d, nr, None, None, off)
         rows, packed, keepv = ta(), tb(), tc()
-        keys, _pc = _decode_block_keys(rows, cf, window_bits, nr)
+        keys, _pc = _decode_block_keys(rows, cf, window_bits, nr,
+                                       has_part_col=rows_have_part)
         for p in range(nb_parts):
             if part_dev[p] != d:
                 continue
@@ -853,10 +870,18 @@ def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
         pre_d = build_col_slice(mesh, nsamp)(pre_d)
 
     if part_rows is not None and amin_vec is not None:
+        rows_have_part = True
+        if cf == "kmer" and mesh is not None:
+            # the pipelined tail slices by the phase-A histogram and
+            # never reads the partition column — drop it on device
+            # (a full u32 per row on the thin link)
+            from kmtricks_tpu.parallel.pipeline import build_col_slice
+            rows_d = build_col_slice(mesh, rows_d.shape[1] - 1)(rows_d)
+            rows_have_part = False
         _fetch_merge_write_pipelined(
             kmdir, config, opts, cf, window_bits, rows_d, pre_d, nrs,
             maxc, rows_cap, ndev, amin_vec, hard_mins, count_max,
-            want_hists, part_rows)
+            want_hists, part_rows, rows_have_part)
         return
 
     from kmtricks_tpu.core.histogram import KHist
