@@ -397,3 +397,41 @@ def test_shape_bucket_program_reuse(tmp_path):
     assert after == before, (
         "shape bucketing failed: builders re-traced for nsamp=10 after "
         f"nsamp=9 (misses {before} -> {after})")
+
+
+def test_compile_prefetch_predictions_hit(tmp_path, monkeypatch, capfd):
+    """The compile-ahead simulation (_sim_final_caps + the initial
+    chunk/fold shapes) must track the engine's real chunking: every
+    prefetched program is consumed by its real call site (trace lines
+    'compile-prefetch hit'). Guards the replayed arithmetic against
+    drifting from stream_row_chunks/fold behavior. The pinned pair cap
+    is generous so no overflow re-run perturbs the predicted shapes."""
+    from kmtricks_tpu.runtime.device_pipeline import run_mesh_pipeline
+
+    rng = np.random.default_rng(17)
+    lines = []
+    for s in range(3):
+        p = tmp_path / f"S{s}.fasta"
+        write_fasta(p, random_reads(rng, 4200, 64, 81))
+        lines.append(f"S{s} : {p}")
+    fof = tmp_path / "t.fof"
+    fof.write_text("\n".join(lines) + "\n")
+
+    monkeypatch.setenv("KMTRICKS_STREAM_TRACE", "1")
+    monkeypatch.setenv("KMTRICKS_STREAM_PAIR_CAP", str(1 << 16))
+    monkeypatch.setenv("KMTRICKS_STREAM_CHUNK_WINDOWS", "401408")
+    from kmtricks_tpu.runtime.pipeline import stage_config, stage_repart
+    from kmtricks_tpu.runtime.pipeline import resolve_soft_min
+    from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream
+
+    opts = _opts(str(fof), tmp_path / "run", soft_min="1", share_min=0,
+                 threads=2)
+    kmdir, config = stage_config(opts)
+    repart = stage_repart(kmdir, config, opts)
+    amin = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
+    stage_mesh_stream(kmdir, config, opts, repart, amin,
+                      chunk_windows=401_408, use_stream=True)
+    out = capfd.readouterr().out
+    hits = [ln for ln in out.splitlines() if "compile-prefetch hit" in ln]
+    for kind in ("chunk", "fold4", "phaseA"):
+        assert any(kind in h for h in hits), (kind, hits)
