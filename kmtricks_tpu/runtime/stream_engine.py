@@ -223,6 +223,13 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
 
     _env_cap = _os.environ.get("KMTRICKS_STREAM_PAIR_CAP")
     pair_cap = int(_env_cap) if _env_cap else None
+    # adaptive sizing: with a striped prologue, the PRODUCTION pair cap
+    # is decided at consolidation time from the sum of the quarters'
+    # observed pair counts (union <= sum, so the margin is built in) —
+    # the r4 policy sized it from the FIRST chunk alone and every
+    # deep-coverage run paid mid-stream overflow re-runs (VERDICT r4)
+    adaptive_bump = _env_cap is None and bool(prologue) and use_stream
+    pred_cap = None       # wave-2 compile-ahead's guess at the bump
     runs = []             # accumulated pair runs [(words, cnt, cap, n)]
     inflight = []         # [(n_pairs dev, dropped dev, host_chunk, slot)]
     n_chunks = 0
@@ -239,72 +246,76 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     # their first real call, so same-signature compiles never race; on
     # warm runs the dummies execute in the device's initial idle window.
     prefetch_futs: dict = {}
+    _pex = None
+    pc0 = (pair_cap if pair_cap
+           else max(1 << 14, _pow2ceil(local) // 32))
+
+    def _sim_final_caps(qcap, ccap):
+        """Replay the chunk/fold arithmetic to predict phase A's
+        (n_runs, in_caps) — exact when the bank row estimates are
+        exact, reads fit L, and no pair-cap overflow fires; any
+        misprediction only wastes a compile thread. ``qcap``: the
+        pair cap of the prologue quarters; ``ccap``: the cap from the
+        consolidation onward (the adaptive bump, or qcap when pinned)."""
+        if use_stream:
+            if any(e.max_size > L for e in ests):
+                return None        # long-read splits: rows unknowable
+            rows_total = sum(e.sequences for e in ests)
+        else:
+            rows_total = batch.shape[0]
+        qq = prologue[0] if prologue else None
+        if qq and rows_total < 4 * qq + 1:
+            return None            # tiny bank: loads are cheap anyway
+        seq = []
+        rt = rows_total
+        if qq:
+            seq += [qq] * 4
+            rt -= 4 * qq
+        nf, rem = divmod(max(0, rt), rows_per_chunk)
+        seq += [rows_per_chunk] * nf
+        if rem:
+            if qq and rem <= rows_per_chunk - qq:
+                seq += [qq] * (-(-rem // qq))
+            else:
+                seq += [rows_per_chunk]
+        caps: list = []
+        for i in range(len(seq)):
+            caps.append(qcap if (qq and i < 4) else ccap)
+            if qq and i == 3:
+                caps = [ccap]      # prologue consolidation
+            elif sum(caps) + ccap > table_hbm:
+                caps = [max(min(table_hbm, _pow2ceil(sum(caps))) // 2,
+                            1 << 14)]
+        return tuple(caps)
+
     if (nproc == 1 and use_stream
             and _os.environ.get("KMTRICKS_COMPILE_PREFETCH", "1") != "0"):
         from concurrent.futures import ThreadPoolExecutor
 
         from kmtricks_tpu.parallel.pipeline import shape_bucket as _sb
-        pc0 = (pair_cap if pair_cap
-               else max(1 << 14, _pow2ceil(local) // 32))
 
         # dummies materialize ON DEVICE (eager jnp fills — no host
         # payload: device_put of the 8.4M-cap zero runs measured ~20 s
         # of tunnel time per run, swamping the compile win)
-        def _dummy_chunk(rows_n):
+        def _dummy_chunk(rows_n, pc):
             local_b = -(-(rows_n * W) // ndev)
             cap_b = min(local_b,
                         _sb(int(local_b * skew * ndev * 1.5) + 1024))
-            out = pairs_step(pc0, False, cap_b)(
+            out = pairs_step(pc, False, cap_b)(
                 jnp.zeros((L // 4, rows_n), jnp.uint8),
                 jnp.zeros(rows_n, jnp.int32), jnp.zeros(rows_n, jnp.int32),
                 table_jnp)
             jax.device_get(out[2])
 
-        def _dummy_fold():
-            m = build_table_merge(mesh, nw=nw, out_cap=pc0, n_streams=4,
-                                  in_caps=(pc0,) * 4)
-            zw = jnp.full((ndev * pc0,), 0xFFFFFFFF, jnp.uint32)
-            zc = jnp.zeros((ndev * pc0,), jnp.uint32)
+        def _dummy_fold(in_cap, out_cap):
+            m = build_table_merge(mesh, nw=nw, out_cap=out_cap,
+                                  n_streams=4, in_caps=(in_cap,) * 4)
+            zw = jnp.full((ndev * in_cap,), 0xFFFFFFFF, jnp.uint32)
+            zc = jnp.zeros((ndev * in_cap,), jnp.uint32)
             args = []
             for _ in range(4):
                 args.extend([zw] * nw + [zc])
             jax.device_get(m(*args)[2])
-
-        def _sim_final_caps():
-            """Replay the chunk/fold arithmetic to predict phase A's
-            (n_runs, in_caps) — exact when the bank row estimates are
-            exact, reads fit L, and no pair-cap overflow fires; any
-            misprediction only wastes this compile thread."""
-            if use_stream:
-                if any(e.max_size > L for e in ests):
-                    return None        # long-read splits: rows unknowable
-                rows_total = sum(e.sequences for e in ests)
-            else:
-                rows_total = batch.shape[0]
-            qq = prologue[0] if prologue else None
-            if qq and rows_total < 4 * qq + 1:
-                return None            # tiny bank: loads are cheap anyway
-            seq = []
-            rt = rows_total
-            if qq:
-                seq += [qq] * 4
-                rt -= 4 * qq
-            nf, rem = divmod(max(0, rt), rows_per_chunk)
-            seq += [rows_per_chunk] * nf
-            if rem:
-                if qq and rem <= rows_per_chunk - qq:
-                    seq += [qq] * (-(-rem // qq))
-                else:
-                    seq += [rows_per_chunk]
-            caps: list = []
-            for i in range(len(seq)):
-                caps.append(pc0)
-                if qq and i == 3:
-                    caps = [pc0]       # prologue consolidation
-                elif sum(caps) + pc0 > table_hbm:
-                    caps = [max(min(table_hbm, _pow2ceil(sum(caps))) // 2,
-                                1 << 14)]
-            return tuple(caps)
 
         def _dummy_phase_a(caps):
             f = build_table_sort_collapse(
@@ -318,18 +329,45 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                             + [jnp.zeros((ndev * c,), jnp.uint32)])
             jax.device_get(f(*args)[2])
 
-        _pex = ThreadPoolExecutor(max_workers=3)
+        _pex = ThreadPoolExecutor(max_workers=4)
         for rn in ({rows_per_chunk} | ({prologue[0]} if prologue
                                        else set())):
             prefetch_futs[("chunk", rn, pc0)] = _pex.submit(
-                _dummy_chunk, rn)
-        if prologue:
-            prefetch_futs[("fold4", pc0)] = _pex.submit(_dummy_fold)
-        _caps = _sim_final_caps()
+                _dummy_chunk, rn, pc0)
+        if prologue and not adaptive_bump:
+            prefetch_futs[("fold4", pc0, pc0)] = _pex.submit(
+                _dummy_fold, pc0, pc0)
+        if not adaptive_bump:
+            # adaptive runs predict phase A in wave 2 (the consolidated
+            # cap is unknowable before the first quarter's pair count)
+            _caps = _sim_final_caps(pc0, pc0)
+            if _caps:
+                prefetch_futs[("phaseA", _caps)] = _pex.submit(
+                    _dummy_phase_a, _caps)
+
+    def _prefetch_wave2(obs_q0: int) -> int:
+        """Adaptive runs: the first quarter's observed pair count is the
+        earliest predictor of the consolidated production cap (quarters
+        are striped alike, so 4x the first is ~the quarter sum). Fire
+        the bumped-cap program family now — full/tail chunk steps, the
+        consolidation fold and phase A — so the consolidation-time bump
+        below finds them compiled (cold runs; warm runs hit caches)."""
+        if _pex is None:
+            return None     # no compiles fired -> nothing to keep exact
+        pred = max(pair_cap, _pow2ceil(4 * obs_q0))
+        if pred == pc0:
+            return pred
+        for rn in {rows_per_chunk, prologue[0]}:
+            key = ("chunk", rn, pred)
+            if key not in prefetch_futs:
+                prefetch_futs[key] = _pex.submit(_dummy_chunk, rn, pred)
+        prefetch_futs[("fold4", pair_cap, pred)] = _pex.submit(
+            _dummy_fold, pair_cap, pred)
+        _caps = _sim_final_caps(pair_cap, pred)
         if _caps:
             prefetch_futs[("phaseA", _caps)] = _pex.submit(
                 _dummy_phase_a, _caps)
-        _pex.shutdown(wait=False)
+        return pred
 
     def _await_prefetch(key):
         fut = prefetch_futs.pop(key, None)
@@ -371,12 +409,19 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
 
     def verify_inflight(keep_last: int) -> bool:
         """Resolve queued (n_pairs, dropped) checks; chunk overflow
-        re-runs the kept host chunk with a doubled pair_cap program.
-        Returns True if any run slot was replaced (callers that already
-        dispatched downstream programs must re-dispatch)."""
+        re-runs the kept host chunk at a bumped pair_cap program
+        (device recompute from the retained chunk arrays — no re-upload).
+        Overflow-lag tightening: ONE overflow discovery drains and checks
+        every already-dispatched chunk in the same pass, all re-running
+        at the single largest bumped cap — the r4 policy re-discovered
+        the overflow per lagged chunk, re-running serially at stale
+        caps. Returns True if any run slot was replaced (callers that
+        already dispatched downstream programs must re-dispatch)."""
         nonlocal pair_cap
         replaced = False
-        while len(inflight) > keep_last:
+        drain = False
+        reruns = []
+        while len(inflight) > (0 if drain else keep_last):
             n_pairs_d, dropped_d, host_chunk, slot = inflight.pop(0)
             n_pairs, dropped = jax.device_get((n_pairs_d, dropped_d))
             if int(dropped):
@@ -384,23 +429,30 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                     "all_to_all capacity exceeded in the streaming "
                     "engine; re-run with more partitions or a larger "
                     "--max-memory")
-            if int(n_pairs.max()) > runs[slot][2]:
-                pair_cap = _pow2ceil(int(n_pairs.max()) * 2)
+            obs = int(n_pairs.max())
+            if obs > runs[slot][2]:
+                pair_cap = max(pair_cap, _pow2ceil(obs * 2))
                 log.warning("chunk pair overflow - re-running chunk with "
                             "pair_cap %d", pair_cap)
                 (pw, pc2, np_d, dr_d), pc_used = call_step(host_chunk)
                 runs[slot] = (pw, pc2, pc_used, None)
-                inflight.append((np_d, dr_d, host_chunk, slot))
+                reruns.append((np_d, dr_d, host_chunk, slot))
                 replaced = True
+                drain = True
             else:
-                runs[slot] = runs[slot][:3] + (int(n_pairs.max()),)
+                runs[slot] = runs[slot][:3] + (obs,)
+        inflight.extend(reruns)
+        if keep_last == 0 and reruns:
+            # callers needing fully-verified runs: the re-runs' own
+            # checks (at the bumped cap) must resolve too
+            replaced = verify_inflight(0) or replaced
         return replaced
 
     fold_pending = []     # deferred fold checks [(n_d, streams, caps, cap)]
 
     def _dispatch_fold(streams, in_caps, out_cap):
-        if len(streams) == 4 and in_caps == (out_cap,) * 4:
-            _await_prefetch(("fold4", out_cap))
+        if len(streams) == 4 and in_caps == (in_caps[0],) * 4:
+            _await_prefetch(("fold4", in_caps[0], out_cap))
         return build_table_merge(
             mesh, nw=nw, out_cap=out_cap, n_streams=len(streams),
             in_caps=in_caps)(
@@ -468,7 +520,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             # size pair_cap from the first chunk (synchronous once):
             # start small — oversized pair runs bloat the finalize sort
             # width — and grow exactly on overflow
-            pair_cap = max(1 << 14, _pow2ceil(local) // 32)
+            pair_cap = pc0
             (pw, pc, np_d, dr_d), pc_used = call_step(chunk)
             n_pairs, dropped = jax.device_get((np_d, dr_d))
             if int(dropped):
@@ -480,6 +532,8 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                 n_pairs = jax.device_get(np_d)
                 assert int(n_pairs.max()) <= pc_used
             runs.append((pw, pc, pc_used, int(n_pairs.max())))
+            if adaptive_bump:
+                pred_cap = _prefetch_wave2(int(n_pairs.max()))
         else:
             (pw, pc, np_d, dr_d), pc_used = call_step(chunk)
             runs.append((pw, pc, pc_used, None))
@@ -491,6 +545,24 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         n_chunks += 1
         trace(f"chunk {n_chunks - 1} dispatched ({len(runs)} runs)")
         if prologue and n_chunks == len(prologue):
+            if adaptive_bump:
+                # size the PRODUCTION cap from the quarters' observed
+                # pair counts: the consolidated union is <= their sum,
+                # and a full chunk's distinct pairs ~ the union of four
+                # quarters' (same windows' worth of reads) — so
+                # pow2ceil(sum) covers both the consolidation fold and
+                # the full-cap chunks with margin built in. The r4
+                # first-chunk-only policy undersized here and every
+                # deep-coverage bench paid overflow re-runs mid-stream.
+                verify_inflight(keep_last=0)
+                sum_q = sum(r[3] for r in runs)
+                new_cap = max(pair_cap, _pow2ceil(sum_q))
+                if pred_cap is not None and pred_cap >= new_cap:
+                    new_cap = pred_cap   # keep the wave-2 compiles exact
+                if new_cap != pair_cap:
+                    trace(f"pair cap {pair_cap} -> {new_cap} "
+                          f"(quarter pairs {sum_q})")
+                    pair_cap = new_cap
             # consolidate the quarter runs while the first full chunks
             # decode/upload on the prefetch thread; deferred — the cap
             # check resolves at the next fold or before phase A

@@ -435,3 +435,42 @@ def test_compile_prefetch_predictions_hit(tmp_path, monkeypatch, capfd):
     hits = [ln for ln in out.splitlines() if "compile-prefetch hit" in ln]
     for kind in ("chunk", "fold4", "phaseA"):
         assert any(kind in h for h in hits), (kind, hits)
+
+def test_adaptive_pair_cap_no_overflow_reruns(tmp_path, caplog):
+    """Adaptive (un-pinned) pair-cap sizing: high-diversity reads make
+    every full chunk's distinct-pair count exceed the r4 first-chunk
+    starting cap, so the old policy paid mid-stream overflow re-runs on
+    EVERY such run (the r4 bench tail). The consolidation-time bump
+    (pow2ceil of the quarters' pair-count sum) must absorb them: zero
+    'chunk pair overflow' warnings, output byte-equal to the host
+    backend."""
+    import logging
+
+    from kmtricks_tpu.runtime.pipeline import (
+        resolve_soft_min, stage_config, stage_repart)
+    from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream
+
+    rng = np.random.default_rng(23)
+    lines = []
+    for s in range(3):
+        p = tmp_path / f"S{s}.fasta"
+        write_fasta(p, random_reads(rng, 4200, 64, 81))
+        lines.append(f"S{s} : {p}")
+    fof = tmp_path / "t.fof"
+    fof.write_text("\n".join(lines) + "\n")
+
+    host = run_pipeline(_opts(str(fof), tmp_path / "host", backend="host",
+                              soft_min="1", share_min=0))
+
+    opts = _opts(str(fof), tmp_path / "stream", soft_min="1", share_min=0,
+                 threads=2)
+    kmdir, config = stage_config(opts)
+    repart = stage_repart(kmdir, config, opts)
+    amin = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
+    with caplog.at_level(logging.WARNING, logger="kmtricks_tpu"):
+        stage_mesh_stream(kmdir, config, opts, repart, amin,
+                          chunk_windows=401_408, use_stream=True)
+    overflow = [r for r in caplog.records
+                if "chunk pair overflow" in r.getMessage()]
+    assert not overflow, [r.getMessage() for r in overflow]
+    assert _matrices(kmdir) == _matrices(host)
