@@ -425,6 +425,11 @@ def bf_rows_from_merge(result: MergeResult, lower: int, upper: int,
         # narrowed (u8) fetch here so this copy is the exception
         cs = (cs > 0)
 
+    from kmtricks_tpu import native
+    if native.bf_fill(cs, hashes, rows, threads=threads):
+        # fused native pack+scatter (one pass, ~3x the numpy pair)
+        return rows
+
     def fill(lo, hi):
         rows[hashes[lo:hi]] = np.packbits(cs[lo:hi], axis=1,
                                           bitorder="little")

@@ -425,12 +425,15 @@ def write_vector_matrix_file(path: str, rows: np.ndarray, bits: int,
                              window: int, compressed: bool = False) -> None:
     """rows: (window, nbytes(bits)) uint8 — one row per hash value, dense."""
     rows = np.ascontiguousarray(rows, dtype=np.uint8)
-    payload = rows.tobytes()
+    # memoryview, not tobytes(): a bloom-scale window is ~117 MB and the
+    # copy alone costs ~100 ms — write straight from the array buffer
+    # (the lz4 binding needs a bytes object, so only that path copies)
     with open(path, "wb") as f:
         _write_header(f, compressed, C.MAGIC_BITMATRIX,
                       struct.pack("<IQQII", bits, first, window,
                                   sample_id, partition))
-        f.write(lz4.compress(payload) if compressed else payload)
+        f.write(lz4.compress(rows.tobytes()) if compressed
+                else memoryview(rows).cast("B"))
 
 
 def read_vector_matrix_file(path: str):

@@ -99,6 +99,12 @@ def lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # batch, B, L
             ctypes.c_void_p, ctypes.c_void_p,         # out (L/4,B), counts
             ctypes.c_int64, ctypes.c_int64]           # row range
+        L.km_bf_fill.restype = ctypes.c_int64
+        L.km_bf_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p,         # counts, hashes
+            ctypes.c_int64, ctypes.c_int64,           # n, nsamp
+            ctypes.c_void_p, ctypes.c_int64,          # rows, nb
+            ctypes.c_int64, ctypes.c_int64]           # slice range
         _lib = L
         return _lib
 
@@ -272,3 +278,33 @@ def unpack_superkmer(data: bytes, k: int, nbk: int) -> np.ndarray | None:
     out = np.empty(total, dtype=np.uint8)
     L.km_unpack_superkmer(data, k, nbk, out.ctypes.data)
     return out
+
+
+def bf_fill(counts: np.ndarray, hashes: np.ndarray, rows: np.ndarray,
+            threads: int = 1):
+    """Presence bits of ``counts`` (n, nsamp) u8/bool scattered into the
+    dense window ``rows`` (window, nb) at row indices ``hashes`` (n,)
+    i64, LSB-first per byte (BITSET order, utils.hpp:52-55) — the fused
+    native write_as_bf fill. Returns True on success, None when the
+    native library is unavailable (callers fall back to numpy)."""
+    L = lib()
+    if L is None:
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.uint8)
+    hashes = np.ascontiguousarray(hashes, dtype=np.int64)
+    n, nsamp = counts.shape
+    nb = rows.shape[1]
+    threads = max(1, min(threads, n // (1 << 16) or 1))
+    if threads == 1:
+        r = L.km_bf_fill(counts.ctypes.data, hashes.ctypes.data, n, nsamp,
+                         rows.ctypes.data, nb, 0, n)
+        return True if r >= 0 else None
+    from concurrent.futures import ThreadPoolExecutor
+    step = -(-n // threads)
+    rngs = [(i, min(n, i + step)) for i in range(0, n, step)]
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        rs = list(ex.map(
+            lambda ab: L.km_bf_fill(counts.ctypes.data, hashes.ctypes.data,
+                                    n, nsamp, rows.ctypes.data, nb,
+                                    ab[0], ab[1]), rngs))
+    return True if all(r >= 0 for r in rs) else None

@@ -611,3 +611,35 @@ int64_t km_pack2bit_t(const uint8_t* batch, int64_t B, int64_t L,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Fused presence-bit pack + dense-row scatter for write_as_bf windows
+// (merge.hpp:575-600 semantics: row index == hash - lower; absent rows
+// stay zero). One pass replaces numpy's packbits + fancy-index row
+// scatter (~330 ms -> ~90 ms for a 16.7M x 50 window on the bench
+// host); the caller threads over disjoint [lo, hi) slices of the
+// sorted unique hash list (target rows are disjoint, ctypes releases
+// the GIL).
+int64_t km_bf_fill(const uint8_t* counts, const int64_t* hashes,
+                   int64_t n, int64_t nsamp, uint8_t* rows, int64_t nb,
+                   int64_t lo, int64_t hi) {
+  if (lo < 0 || hi > n || lo > hi || nb * 8 < nsamp) return -1;
+  for (int64_t i = lo; i < hi; i++) {
+    const uint8_t* c = counts + i * nsamp;
+    uint8_t* dst = rows + hashes[i] * nb;
+    int64_t s = 0;
+    for (int64_t b = 0; b < nb; b++) {
+      uint8_t v = 0;
+      const int64_t lim = (nsamp - s < 8) ? (nsamp - s) : 8;
+      for (int64_t j = 0; j < lim; j++)
+        v |= (uint8_t)((c[s + j] != 0) << j);
+      dst[b] = v;
+      s += 8;
+    }
+  }
+  return hi - lo;
+}
+
+}  // extern "C"

@@ -94,3 +94,30 @@ def _py_pack(codes, k):
     if uid > 0:
         out.append(newbyte)
     return bytes(out)
+
+def test_bf_fill_matches_numpy_packbits():
+    """km_bf_fill (fused presence pack + dense-row scatter) is bit-equal
+    to the numpy packbits+scatter path across sample widths that span
+    byte boundaries, including counts dtypes u8 and bool."""
+    import numpy as np
+
+    from kmtricks_tpu import native
+
+    if native.lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    for nsamp in (1, 7, 8, 9, 50, 64):
+        for dt in (np.uint8, np.bool_):
+            window = 4096
+            n = 1500
+            hashes = np.sort(rng.choice(window, n, replace=False)
+                             .astype(np.int64))
+            cs = rng.integers(0, 3, (n, nsamp)).astype(dt)
+            nb = (nsamp + 7) // 8
+            rows = np.zeros((window, nb), np.uint8)
+            assert native.bf_fill(cs, hashes, rows, threads=3)
+            ref = np.zeros((window, nb), np.uint8)
+            ref[hashes] = np.packbits(cs.astype(bool), axis=1,
+                                      bitorder="little")
+            assert np.array_equal(rows, ref), (nsamp, dt)
