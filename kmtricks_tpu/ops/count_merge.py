@@ -31,6 +31,36 @@ U32 = jnp.uint32
 I32 = jnp.int32
 
 
+def rev_cummin_1d(x):
+    """Reverse (suffix) cumulative min, two-level blocked.
+
+    XLA's 1-D cummin at streaming-chunk width costs ~30 ms for 62.5M
+    i32 on a v5e; reshaping to (R, 7680) rows, scanning rows in
+    parallel and combining with a tiny row-carry suffix min measures
+    13.9 ms — 2.1x, bit-exact (scripts/profile_cummin.py). Falls back
+    to the native primitive for small or indivisible inputs."""
+    n = x.shape[0]
+    C = 7680
+    R = n // C
+    if R < 64:
+        return jax.lax.cummin(x, reverse=True)
+    rem = n - R * C
+    ident = jnp.asarray(jnp.iinfo(x.dtype).max, dtype=x.dtype)
+    if rem:
+        tail_cm = jax.lax.cummin(x[R * C:], reverse=True)
+        tail_min = tail_cm[0]
+    else:
+        tail_min = ident
+    body = x[:R * C].reshape(R, C)
+    rowmin = jax.lax.cummin(body, axis=1, reverse=True)
+    heads = rowmin[:, 0]
+    z = jnp.concatenate([heads[1:],
+                         jnp.full((1,), tail_min, dtype=x.dtype)])
+    carry = jax.lax.cummin(z, reverse=True)
+    out = jnp.minimum(rowmin, carry[:, None]).ravel()
+    return jnp.concatenate([out, tail_cm]) if rem else out
+
+
 def _next_boundary(mark, idx, n):
     """First index strictly greater than i where ``mark`` holds (else n).
 
@@ -38,7 +68,7 @@ def _next_boundary(mark, idx, n):
     lowering, unlike generic associative_scan with custom operators)."""
     bound = jnp.where(mark, idx, n)
     nxt = jnp.concatenate([bound[1:], jnp.full((1,), n, dtype=I32)])
-    return jax.lax.cummin(nxt, reverse=True)
+    return rev_cummin_1d(nxt)
 
 
 def _seg_total(x, head):

@@ -113,11 +113,14 @@ def chunk_count_pairs(ws, pair_cap: int):
     head = jnp.ones((n,), dtype=bool).at[1:].set(~eq) & valid
 
     # run length per head: distance to the next head-or-invalid boundary
+    # (two-level blocked suffix min: 2.1x the 1-D primitive at chunk
+    # width, ops/count_merge.rev_cummin_1d)
+    from kmtricks_tpu.ops.count_merge import rev_cummin_1d
     idx = jax.lax.broadcasted_iota(I32, (n,), 0)
     mark = jnp.ones((n,), dtype=bool).at[1:].set(~eq) | ~valid
     bound = jnp.where(mark, idx, n)
     nxt = jnp.concatenate([bound[1:], jnp.full((1,), n, dtype=I32)])
-    nxt = jax.lax.cummin(nxt, reverse=True)
+    nxt = rev_cummin_1d(nxt)
     cnt = jnp.where(head, (nxt - idx).astype(U32), U32(0))
 
     # compact heads to the front: 1-key sort on (~head | position),
@@ -146,6 +149,35 @@ def _pad_to(x, size: int, fill):
     return jnp.concatenate([x, pad])
 
 
+def run_sum_bounded(ws, cnt, R: int):
+    """Per-run saturating total of ``cnt`` over equal-key runs of the
+    merged sorted words ``ws``; runs have length <= R (entries come from
+    R merged streams each with unique keys).
+
+    Log-doubling (Hillis-Steele) with an explicit "no run boundary in
+    (i, i+s]" mask that itself doubles — the r4 version materialized a
+    full-width ``cumsum`` of run ids just to compare them, ~30 ms at
+    phase-A width (59M) on a v5e. After step k, total[i] covers
+    cnt[i .. min(i + 2^k - 1, run end)], so each run's FIRST entry ends
+    with the whole run's sum. Returns (run_start bool, total)."""
+    n = cnt.shape[0]
+    eq_prev = jnp.zeros((n,), dtype=bool).at[1:].set(_words_equal_next(ws))
+    # nc[i] = "i+1 continues i's run" = eq_prev[i + 1]
+    nc = jnp.concatenate([eq_prev[1:], jnp.zeros((1,), dtype=bool)])
+    total = cnt
+    shift = 1
+    while shift < R:
+        fwd = jnp.concatenate([total[shift:],
+                               jnp.zeros((shift,), dtype=total.dtype)])
+        total = jnp.where(nc, _sat_add(total, fwd), total)
+        shift *= 2
+        if shift < R:     # extend the mask: nc_2s[i] = nc_s[i] & nc_s[i+s]
+            half = shift // 2
+            nc = nc & jnp.concatenate(
+                [nc[half:], jnp.zeros((half,), dtype=bool)])
+    return ~eq_prev, total
+
+
 def merge_pair_streams(streams, out_cap: int):
     """Merge R sorted unique (packed, count) pair streams into one.
 
@@ -158,23 +190,7 @@ def merge_pair_streams(streams, out_cap: int):
     R = len(streams)
     ws, cnt = merged_sorted_ops(streams)
     n = ws[0].shape[0]
-
-    # collapse equal-key runs (length <= R): segmented suffix sum by
-    # log-doubling (Hillis-Steele with static run ids) — after step k,
-    # total[i] covers cnt[i .. min(i + 2^k - 1, run end)], so each run's
-    # FIRST entry ends with the whole run's (saturating) sum
-    eq_prev = jnp.zeros((n,), dtype=bool).at[1:].set(_words_equal_next(ws))
-    run_start = ~eq_prev
-    run_id = jnp.cumsum(run_start.astype(I32))
-    total = cnt
-    shift = 1
-    while shift < R:
-        fwd = jnp.concatenate([total[shift:],
-                               jnp.zeros((shift,), dtype=total.dtype)])
-        rid_fwd = jnp.concatenate([run_id[shift:],
-                                   jnp.full((shift,), -1, dtype=I32)])
-        total = jnp.where(run_id == rid_fwd, _sat_add(total, fwd), total)
-        shift *= 2
+    run_start, total = run_sum_bounded(ws, cnt, R)
     head = run_start & ((ws[0] >> U32(31)) == 0)
     summed = jnp.where(head, total, U32(0))
 

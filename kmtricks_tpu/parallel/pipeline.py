@@ -457,23 +457,11 @@ def build_table_sort_collapse(mesh: Mesh, *, layout: str, nsamp: int,
         if n_runs == 1:
             ws, cnt = tuple(runs[0][0]), runs[0][1]
         else:
-            from kmtricks_tpu.ops.table import merged_sorted_ops
+            from kmtricks_tpu.ops.table import (merged_sorted_ops,
+                                                run_sum_bounded)
             ws, cnt = merged_sorted_ops(runs)
-            n = cnt.shape[0]
-            eq_prev = jnp.zeros((n,), dtype=bool).at[1:].set(
-                _words_equal_next(ws))
-            run_id = jnp.cumsum((~eq_prev).astype(I32))
-            total = cnt
-            shift = 1
-            while shift < n_runs:
-                fwd = jnp.concatenate(
-                    [total[shift:], jnp.zeros((shift,), total.dtype)])
-                rid_fwd = jnp.concatenate(
-                    [run_id[shift:], jnp.full((shift,), -1, I32)])
-                total = jnp.where(run_id == rid_fwd,
-                                  _sat_add(total, fwd), total)
-                shift *= 2
-            cnt = jnp.where(~eq_prev, total, U32(0))
+            run_start, total = run_sum_bounded(ws, cnt, n_runs)
+            cnt = jnp.where(run_start, total, U32(0))
         present, row_head, _key_head = _table_presence(
             layout, ws, cnt, nsamp, hard_min, key_bits, window_bits)
         nrows = jnp.sum(row_head.astype(I32))
