@@ -56,6 +56,7 @@ def _link_probe():
 
 
 print(f"link before warm: {_link_probe():.1f} MB/s", flush=True)
+os.environ["KMTRICKS_STREAM_TRACE"] = "1"
 shutil.rmtree("/tmp/kmtricks_bench_e2e", ignore_errors=True)
 t0 = time.perf_counter()
 run_mesh_pipeline(_opts("/tmp/kmtricks_bench_e2e"))
