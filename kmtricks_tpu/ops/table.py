@@ -45,17 +45,26 @@ def _sat_add(a, b):
 
 def _use_pair_merge(n_words: int) -> bool:
     """Backend for re-ordering concatenated SORTED pair runs:
-    KMTRICKS_TPU_PAIR_MERGE = pallas | xla | auto. Default auto = the
-    Pallas log2(R)-level run merge on TPU up to 5 compare words (same
-    envelope as the routed merge; on-chip at 4 runs x 8.4M x 4 words:
-    124.6 vs 226.6 ms lax.sort — scripts/profile_phase_a_merge.py)."""
+    KMTRICKS_TPU_PAIR_MERGE = pallas | xla | auto.
+
+    The Pallas log2(R)-level run merge wins on-chip (4 runs x 8.4M x
+    4 words: 124.6 vs 226.6 ms lax.sort, ~0.4 s per e2e) — but its
+    serialized Mosaic kernel payload is MLIR-context-dependent: the
+    SAME program lowered after other Pallas lowerings produces
+    different bytes (measured: byte-identical module text, 32728- vs
+    32809-byte custom-call body), so jax's persistent compilation
+    cache key changes with the process's lowering history and every
+    fresh process RECOMPILES the fold/phase-A programs (~56 s each
+    through a remote-compile tunnel, silently). Until Mosaic
+    serialization is deterministic, ``auto`` = the pure-XLA merge
+    (cache-stable, proven cross-process hits); set
+    KMTRICKS_TPU_PAIR_MERGE=pallas on locally-attached chips or for
+    long-lived processes where compiles amortize."""
     import os
     mode = os.environ.get("KMTRICKS_TPU_PAIR_MERGE", "auto")
     if mode == "pallas":
-        return True
-    if mode == "xla":
-        return False
-    return jax.default_backend() == "tpu" and n_words <= 5
+        return True       # forced (interpret mode off-TPU — tests)
+    return False
 
 
 def merged_sorted_ops(streams):

@@ -55,6 +55,59 @@ def _pow2ceil(x: int) -> int:
 # single-shot walls of link-dependent phases are not evidence)
 last_phase_walls: dict = {}
 
+def _history_path() -> str | None:
+    """Shape-history file: the engine's data-dependent program shapes
+    (final pair cap, phase-A run caps, phase-B row capacity) from past
+    runs, keyed by the run's shape signature. A repeat run of the same
+    shape family fires EVERY big compile in one parallel wave at t=0
+    instead of three serial data-gated waves (the reference binary has
+    zero per-run program cost, src/kmtricks.cpp:32-126; this is the
+    closest a compiled-program system gets). KMTRICKS_SHAPE_HISTORY
+    overrides the path; "0" disables."""
+    import os
+    p = os.environ.get("KMTRICKS_SHAPE_HISTORY")
+    if p == "0":
+        return None
+    if p:
+        return p
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.expanduser("~/.cache"))
+    return os.path.join(base, "kmtricks_tpu", "shape_history.json")
+
+
+def _history_load() -> dict:
+    import json
+    import os
+    p = _history_path()
+    if not p or not os.path.exists(p):
+        return {}
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _history_store(key: str, value: dict) -> None:
+    import json
+    import os
+    p = _history_path()
+    if not p:
+        return
+    try:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        h = _history_load()
+        if h.get(key) == value:
+            return
+        h[key] = value
+        tmp = f"{p}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(h, f)
+        os.replace(tmp, p)      # atomic vs concurrent module processes
+    except OSError:
+        pass                    # best-effort: history is an optimization
+
+
 # program signatures already compiled+executed in THIS process: the
 # compile-ahead dummies skip them. A warm in-process run (the bench's
 # timed run; any repeated engine use) otherwise re-EXECUTES every dummy
@@ -257,6 +310,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     # deep-coverage run paid mid-stream overflow re-runs (VERDICT r4)
     adaptive_bump = _env_cap is None and bool(prologue) and use_stream
     pred_cap = None       # wave-2 compile-ahead's guess at the bump
+    hist_fold_in = None   # consolidation fold in_cap (shape history)
     runs = []             # accumulated pair runs [(words, cnt, cap, n)]
     inflight = []         # [(n_pairs dev, dropped dev, host_chunk, slot)]
     n_chunks = 0
@@ -294,6 +348,18 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
 
     def _is_warm(key) -> bool:
         return (_sig_base + key) in _warmed_sigs
+
+    # shape-history key: everything that shapes the engine's programs
+    # (see _history_path); caps stored under it feed the t=0 prefetch
+    hist_key = repr((_sig_base, opts.recurrence_min, opts.share_min,
+                     count_max, config.count_bytes, _mode, _out,
+                     table_hbm, bool(_env_cap)))
+    hist_pair_cap = None
+    # will the tail take the device pa-bits fast path? (predictable at
+    # t=0: every condition is a run parameter)
+    pa_pred = (_mode == "pa" and _out == "bin" and not opts.plugin
+               and not want_hists and amin_vec is not None
+               and _os.environ.get("KMTRICKS_PA_DEVICE", "1") != "0")
 
     def _sim_final_caps(qcap, ccap):
         """Replay the chunk/fold arithmetic to predict phase A's
@@ -389,7 +455,36 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                             * (nw + 1))
             f.lower(*args).compile()
 
-        _pex = ThreadPoolExecutor(max_workers=4)
+        def _dummy_phase_b(sum_caps, rc):
+            f = build_table_compact(
+                mesh, layout=layout, nsamp=nsamp_p, key_bits=key_bits,
+                window_bits=window_bits, hard_min=dev_hard_min,
+                rows_cap=rc, mode=cf)
+            args = [_sds((ndev * sum_caps,), jnp.uint32, _sh_v)] * (nw + 1)
+            f.lower(*args).compile()
+
+        def _dummy_pa_fin(rc):
+            from jax.sharding import SingleDeviceSharding
+
+            from kmtricks_tpu.parallel.pipeline import \
+                build_merge_finalize_bits
+            mb = build_merge_finalize_bits(
+                mesh, nsamp=nsamp_p, rows_cap=rc,
+                rmin=opts.recurrence_min, save_if=opts.share_min,
+                count_max=count_max, nb_parts=config.nb_partitions,
+                count_bytes=config.count_bytes)
+            dev0 = SingleDeviceSharding(jax.local_devices()[0])
+            mb.lower(
+                _sds((ndev * rc, nsamp_p), jnp.uint32, _sh_v),
+                _sds((nsamp_p,), jnp.uint32, dev0),
+                _sds((nsamp_p,), jnp.uint32, dev0),
+                _sds((ndev * (config.nb_partitions + 1),), jnp.int32,
+                     dev0),
+            ).compile()
+
+        # remote compiles parallelize ~linearly; the history/candidate
+        # waves can queue 8+ programs
+        _pex = ThreadPoolExecutor(max_workers=8)
 
         def _submit(key, fn, *a):
             """Fire a dummy compile unless this process already built AND
@@ -419,6 +514,61 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             if _caps:
                 _submit(("phaseA", _caps), _dummy_phase_a, _caps)
 
+        # shape history: a previous run of this shape family recorded
+        # its data-dependent program shapes — fire the WHOLE family in
+        # one parallel wave now instead of three serial data-gated
+        # waves (q0 sizing -> consolidation bump -> phase-A rows)
+        _hv = _history_load().get(hist_key)
+        if _hv:
+            hist_pair_cap = int(_hv["pair_cap"])
+            caps_h = tuple(int(c) for c in _hv["caps"])
+            rc_h = int(_hv["rows_cap"])
+            for rn in ({rows_per_chunk} | ({prologue[0]} if prologue
+                                           else set())):
+                _submit(("chunk", rn, hist_pair_cap), _dummy_chunk, rn,
+                        hist_pair_cap)
+            if prologue:
+                # the consolidation fold's in_cap depends on whether q0
+                # overflowed: no overflow -> pc0; overflow with history
+                # -> the jump lands ON hist_pair_cap; plus the recorded
+                # variant from the last run — fire all three (dedup'd)
+                _submit(("fold4", pc0, hist_pair_cap), _dummy_fold, pc0,
+                        hist_pair_cap)
+                fi = int(_hv.get("fold_in", pc0))
+                _submit(("fold4", fi, hist_pair_cap), _dummy_fold, fi,
+                        hist_pair_cap)
+                _submit(("fold4", hist_pair_cap, hist_pair_cap),
+                        _dummy_fold, hist_pair_cap, hist_pair_cap)
+            _submit(("phaseA", caps_h), _dummy_phase_a, caps_h)
+            _submit(("phaseB", sum(caps_h), rc_h), _dummy_phase_b,
+                    sum(caps_h), rc_h)
+            if pa_pred:
+                _submit(("paFin", rc_h), _dummy_pa_fin, rc_h)
+        elif adaptive_bump and prologue:
+            # first-ever run of this shape family: shallow banks (pairs
+            # ~ windows, little coverage dedup) overflow q0's starting
+            # cap BY CONSTRUCTION (pc0 < quarter windows), and the r4
+            # engine then compiled the re-run program inline (measured
+            # 54 s mid-stream). Fire the full-distinct candidate family
+            # now: quarter/full chunk programs, the consolidation fold
+            # and phase A at the caps a no-dedup bank would settle on.
+            # Deep banks waste these compiles once — their real shapes
+            # land in the history for every later run.
+            qWd = -(-(prologue[0] * W) // ndev)
+            cfd1 = _pow2ceil(2 * qWd)
+            cfd2 = _pow2ceil(4 * qWd)
+            if cfd1 > pc0:
+                _submit(("chunk", prologue[0], cfd1), _dummy_chunk,
+                        prologue[0], cfd1)
+                _submit(("chunk", prologue[0], cfd2), _dummy_chunk,
+                        prologue[0], cfd2)
+                _submit(("chunk", rows_per_chunk, cfd2), _dummy_chunk,
+                        rows_per_chunk, cfd2)
+                _submit(("fold4", cfd1, cfd2), _dummy_fold, cfd1, cfd2)
+                _caps = _sim_final_caps(cfd1, cfd2)
+                if _caps:
+                    _submit(("phaseA", _caps), _dummy_phase_a, _caps)
+
     def _prefetch_wave2(obs_q0: int) -> int:
         """Adaptive runs: the first quarter's observed pair count is the
         earliest predictor of the consolidated production cap (quarters
@@ -429,6 +579,8 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         if _pex is None:
             return None     # no compiles fired -> nothing to keep exact
         pred = max(pair_cap, _pow2ceil(4 * obs_q0))
+        if hist_pair_cap and hist_pair_cap >= pred:
+            pred = hist_pair_cap    # history programs are already firing
         if pred == pc0:
             return pred
         for rn in {rows_per_chunk, prologue[0]}:
@@ -607,6 +759,11 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                                  "first streamed chunk")
             if int(n_pairs.max()) > pc_used:
                 pair_cap = _pow2ceil(int(n_pairs.max()) * 2)
+                if hist_pair_cap and hist_pair_cap >= pair_cap:
+                    # jump straight to the recorded production cap: the
+                    # re-run then reuses the prefetched history program
+                    # instead of compiling an intermediate family
+                    pair_cap = hist_pair_cap
                 (pw, pc, np_d, dr_d), pc_used = call_step(chunk)
                 n_pairs = jax.device_get(np_d)
                 assert int(n_pairs.max()) <= pc_used
@@ -645,6 +802,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             # consolidate the quarter runs while the first full chunks
             # decode/upload on the prefetch thread; deferred — the cap
             # check resolves at the next fold or before phase A
+            hist_fold_in = runs[0][2]
             fold_runs(start_cap=pair_cap, deferred=True)
             trace(f"prologue consolidation dispatched (cap {runs[0][2]})")
         elif sum(r[2] for r in runs) + pair_cap > table_hbm:
@@ -694,20 +852,31 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             f"dense output matrix too large ({rows_cap} rows x "
             f"{nsamp} samples); raise --nb-partitions so partitions "
             "shard the key space")
+    _sum_caps = sum(r[2] for r in runs)
+    _await_prefetch(("phaseB", _sum_caps, rows_cap))
     compactf = build_table_compact(
         mesh, layout=layout, nsamp=nsamp_p, key_bits=key_bits,
         window_bits=window_bits, hard_min=dev_hard_min,
         rows_cap=rows_cap, mode=cf)
     rows_d, pre_d, _nrows_d, _maxc_d, _npres_d = compactf(
         *(list(ws_d) + [cnt_d]))
+    _mark_warm(("phaseB", _sum_caps, rows_cap))
     trace(f"phase B dispatched (nrows {int(nrs.max())})")
+    # record this run's data-dependent shapes for the next same-family
+    # run's t=0 compile wave (see _history_path)
+    _history_store(hist_key, {
+        "pair_cap": int(pair_cap if pair_cap else 0) or int(runs[0][2]),
+        "caps": [int(r[2]) for r in runs],
+        "rows_cap": int(rows_cap),
+        "fold_in": int(hist_fold_in if hist_fold_in else 0)
+                   or int(runs[0][2])})
 
     _fetch_merge_write(
         kmdir, config, opts, cf, window_bits, rows_d, pre_d, nrs,
         int(maxc), rows_cap, ndev, amin_vec, hard_mins, count_max,
         want_hists,
         part_rows=np.asarray(phist).reshape(ndev, config.nb_partitions),
-        mesh=mesh)
+        mesh=mesh, awaiter=(_await_prefetch, _mark_warm))
     trace("fetch + merge + write done")
     _t_end = _time.perf_counter()
     last_phase_walls.clear()
@@ -940,7 +1109,7 @@ def _fetch_merge_write_pipelined(kmdir, config, opts, cf, window_bits,
 def _fetch_merge_write_pa_bits(kmdir, config, opts, cf, window_bits, mesh,
                                rows_d, pre_d, nrs, rows_cap, ndev,
                                amin_vec, hard_mins, count_max,
-                               part_rows) -> None:
+                               part_rows, awaiter=None) -> None:
     """Presence/absence fast tail: the merge semantics run ON DEVICE
     (build_merge_finalize_bits) and only packed pa bit rows + keep flags
     + exact per-partition stats cross the link — ~30x fewer bytes than
@@ -966,6 +1135,8 @@ def _fetch_merge_write_pa_bits(kmdir, config, opts, cf, window_bits, mesh,
     cb = config.count_bytes
     nproc = jax.process_count()
     part_dev = partition_to_device(nb_parts, ndev)
+    if awaiter:
+        awaiter[0](("paFin", rows_cap))
     mb = build_merge_finalize_bits(
         mesh, nsamp=nsamp_p, rows_cap=rows_cap, rmin=opts.recurrence_min,
         save_if=opts.share_min, count_max=count_max, nb_parts=nb_parts,
@@ -998,6 +1169,8 @@ def _fetch_merge_write_pa_bits(kmdir, config, opts, cf, window_bits, mesh,
         packed_d, keep_d, stats_d = mb(
             pre_d, jnp.asarray(amin_p), jnp.asarray(hard_p),
             jnp.asarray(bounds.reshape(-1)))
+        if awaiter:
+            awaiter[1](("paFin", rows_cap))
 
     nb8 = (nsamp + 7) // 8
     n_planes = 4 + 2 * cb
@@ -1240,7 +1413,7 @@ def _fetch_merge_write_multiproc(kmdir, config, opts, cf, window_bits,
 def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
                        nrs, maxc, rows_cap, ndev, amin_vec, hard_mins,
                        count_max, want_hists, part_rows=None,
-                       mesh=None) -> None:
+                       mesh=None, awaiter=None) -> None:
     """Fetch per-device compacted row blocks, apply host-side hard-min /
     histogram / soft-min-quantile semantics, run merge_dense per
     partition, write outputs. With a device-computed ``part_rows``
@@ -1263,7 +1436,7 @@ def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
             _fetch_merge_write_pa_bits(
                 kmdir, config, opts, cf, window_bits, mesh, rows_d,
                 pre_d, nrs, rows_cap, ndev, amin_vec, hard_mins,
-                count_max, part_rows)
+                count_max, part_rows, awaiter)
             return
         _fetch_merge_write_multiproc(
             kmdir, config, opts, cf, window_bits, rows_d, pre_d, nrs,
@@ -1276,7 +1449,7 @@ def _fetch_merge_write(kmdir, config, opts, cf, window_bits, rows_d, pre_d,
         _fetch_merge_write_pa_bits(
             kmdir, config, opts, cf, window_bits, mesh, rows_d, pre_d,
             nrs, rows_cap, ndev, amin_vec, hard_mins, count_max,
-            part_rows)
+            part_rows, awaiter)
         return
 
     nsamp = len(kmdir.fof)

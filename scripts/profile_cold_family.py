@@ -36,9 +36,10 @@ run_pipeline(PipelineOptions(
     hard_min=1, soft_min="1", mode="kmer:pa:bin", nb_partitions=16,
     static_repart=True, backend="mesh", max_memory_mb=128))
 print(f"COLD k={K}: {time.perf_counter()-t0:.1f}s", flush=True)
-t0 = time.perf_counter()
-run_pipeline(PipelineOptions(
-    fof=fof, run_dir=os.path.join(td, "run2"), kmer_size=K, threads=4,
-    hard_min=1, soft_min="1", mode="kmer:pa:bin", nb_partitions=16,
-    static_repart=True, backend="mesh", max_memory_mb=128))
-print(f"WARM k={K}: {time.perf_counter()-t0:.1f}s", flush=True)
+if "--once" not in sys.argv:
+    t0 = time.perf_counter()
+    run_pipeline(PipelineOptions(
+        fof=fof, run_dir=os.path.join(td, "run2"), kmer_size=K, threads=4,
+        hard_min=1, soft_min="1", mode="kmer:pa:bin", nb_partitions=16,
+        static_repart=True, backend="mesh", max_memory_mb=128))
+    print(f"WARM k={K}: {time.perf_counter()-t0:.1f}s", flush=True)
