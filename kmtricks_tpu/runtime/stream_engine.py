@@ -229,7 +229,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             # collective order is identical on every process.
             chunks = _mp_sharded_chunks(
                 kmdir, opts, mesh, k, L, rows_per_chunk, prologue, depth,
-                nproc)
+                nproc, ests)
         else:
             chunks = prefetched(_device_put_chunks(_pack_transpose_chunks(
                 stream_row_chunks(kmdir, opts, k, L, rows_per_chunk,
@@ -899,7 +899,7 @@ last_local_rows: int = 0
 
 def _mp_sharded_chunks(kmdir, opts, mesh, k: int, L: int,
                        rows_per_chunk: int, prologue: tuple, depth: int,
-                       nproc: int):
+                       nproc: int, ests=None):
     """Multi-process chunk assembly with sample-striped decode.
 
     Each process decodes only the fof entries with ``idx % nproc ==
@@ -927,7 +927,26 @@ def _mp_sharded_chunks(kmdir, opts, mesh, k: int, L: int,
     pi = jax.process_index()
     lr = rows_per_chunk // nproc
     lprologue = tuple(q // nproc for q in prologue)
-    entries = [(i, e) for i, e in enumerate(kmdir.fof) if i % nproc == pi]
+    if ests is not None:
+        # size-balanced sample assignment (greedy LPT over the bank
+        # estimates, deterministic across processes — every process
+        # computes the same ests): heterogeneous collections otherwise
+        # leave the worker holding the big banks decoding long after
+        # the others exhausted (the reference's LPT repartition plays
+        # the same role for partition sizes, PartiInfo.cpp:48-106)
+        order = sorted(range(len(ests)),
+                       key=lambda i: (-ests[i].sequences, i))
+        loads = [0] * nproc
+        owner = {}
+        for i in order:
+            w = min(range(nproc), key=lambda p: (loads[p], p))
+            owner[i] = w
+            loads[w] += max(1, ests[i].sequences)
+        entries = [(i, e) for i, e in enumerate(kmdir.fof)
+                   if owner[i] == pi]
+    else:
+        entries = [(i, e) for i, e in enumerate(kmdir.fof)
+                   if i % nproc == pi]
     local_gen = _pack_transpose_chunks(
         stream_row_chunks(kmdir, opts, k, L, lr, first_rows=lprologue,
                           entries=entries),
