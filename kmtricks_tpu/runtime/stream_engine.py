@@ -136,8 +136,8 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         build_table_sort_collapse, _layout_words, make_mesh,
         stream_layout)
     from kmtricks_tpu.runtime.device_pipeline import (
-        _load_global_batch, _pack_transpose_chunks, _transpose_mt,
-        estimate_dest_skew, prefetched, stream_row_chunks)
+        _load_global_batch, _pack_transpose_chunks, estimate_dest_skew,
+        prefetched, stream_row_chunks)
 
     import time as _time
     _t_start = _time.perf_counter()
@@ -1138,8 +1138,6 @@ def _fetch_merge_write_pa_bits(kmdir, config, opts, cf, window_bits, mesh,
     import jax
     import jax.numpy as jnp
 
-    from kmtricks_tpu.host.ops import MergeStats
-    from kmtricks_tpu.io import formats as F
     from kmtricks_tpu.ops.compact import _prepare_fetch
     from kmtricks_tpu.parallel.pipeline import (build_merge_finalize_bits,
                                                 partition_to_device)
