@@ -474,3 +474,56 @@ def test_adaptive_pair_cap_no_overflow_reruns(tmp_path, caplog):
                 if "chunk pair overflow" in r.getMessage()]
     assert not overflow, [r.getMessage() for r in overflow]
     assert _matrices(kmdir) == _matrices(host)
+
+def test_shape_history_recorded_and_prefetched(tmp_path, monkeypatch,
+                                               capfd):
+    """The engine records its data-dependent program shapes (pair cap,
+    phase-A caps, phase-B rows_cap, consolidation fold in_cap) in the
+    shape-history file, and a later same-family run fires the recorded
+    phase-B program at t=0 (cold-start economy, VERDICT r5 item 6)."""
+    import json
+
+    from kmtricks_tpu.runtime.pipeline import (
+        resolve_soft_min, stage_config, stage_repart)
+    from kmtricks_tpu.runtime import stream_engine as se
+
+    hist_file = tmp_path / "hist.json"
+    monkeypatch.setenv("KMTRICKS_SHAPE_HISTORY", str(hist_file))
+    monkeypatch.setenv("KMTRICKS_STREAM_TRACE", "1")
+
+    rng = np.random.default_rng(29)
+    lines = []
+    for s in range(3):
+        p = tmp_path / f"S{s}.fasta"
+        write_fasta(p, random_reads(rng, 4200, 64, 81))
+        lines.append(f"S{s} : {p}")
+    fof = tmp_path / "t.fof"
+    fof.write_text("\n".join(lines) + "\n")
+
+    def run(d):
+        opts = _opts(str(fof), tmp_path / d, soft_min="1", share_min=0,
+                     threads=2)
+        kmdir, config = stage_config(opts)
+        repart = stage_repart(kmdir, config, opts)
+        amin = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
+        se.stage_mesh_stream(kmdir, config, opts, repart, amin,
+                             chunk_windows=401_408, use_stream=True)
+
+    run("r1")
+    h = json.loads(hist_file.read_text())
+    assert len(h) == 1
+    (rec,) = h.values()
+    assert set(rec) >= {"pair_cap", "caps", "rows_cap", "fold_in"}
+    assert rec["pair_cap"] >= 1 << 14 and rec["rows_cap"] >= 1 << 12
+    assert all(isinstance(c, int) for c in rec["caps"])
+
+    # second run in a FRESH warmed-sig state (simulate a new process):
+    # the history wave must fire phase B at t=0 with the recorded shape
+    se._warmed_sigs.clear()
+    capfd.readouterr()
+    run("r2")
+    out = capfd.readouterr().out
+    fired = [ln for ln in out.splitlines()
+             if "compile-prefetch fire: ('phaseB'" in ln]
+    assert fired, "history did not fire the phase-B prefetch"
+    assert f"{rec['rows_cap']})" in fired[0]
