@@ -399,8 +399,11 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                             1 << 14)]
         return tuple(caps)
 
-    if (nproc == 1 and use_stream
+    if (use_stream
             and _os.environ.get("KMTRICKS_COMPILE_PREFETCH", "1") != "0"):
+        # multi-process too: the AOT dummies run NO device code and no
+        # collectives (lower+compile is process-local on a multi-
+        # controller mesh), so they cannot perturb SPMD program order
         from concurrent.futures import ThreadPoolExecutor
 
         from jax.sharding import NamedSharding
@@ -473,13 +476,20 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                 rmin=opts.recurrence_min, save_if=opts.share_min,
                 count_max=count_max, nb_parts=config.nb_partitions,
                 count_bytes=config.count_bytes)
-            dev0 = SingleDeviceSharding(jax.local_devices()[0])
+            if nproc > 1:
+                # the multi-process pa tail passes replicated globals
+                # and a device-sharded bounds vector
+                rep = NamedSharding(mesh, _P())
+                shb = _sh_v
+            else:
+                rep = SingleDeviceSharding(jax.local_devices()[0])
+                shb = rep
             mb.lower(
                 _sds((ndev * rc, nsamp_p), jnp.uint32, _sh_v),
-                _sds((nsamp_p,), jnp.uint32, dev0),
-                _sds((nsamp_p,), jnp.uint32, dev0),
+                _sds((nsamp_p,), jnp.uint32, rep),
+                _sds((nsamp_p,), jnp.uint32, rep),
                 _sds((ndev * (config.nb_partitions + 1),), jnp.int32,
-                     dev0),
+                     shb),
             ).compile()
 
         # remote compiles parallelize ~linearly; the history/candidate
