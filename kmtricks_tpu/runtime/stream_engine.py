@@ -530,25 +530,30 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         # waves (q0 sizing -> consolidation bump -> phase-A rows)
         _hv = _history_load().get(hist_key)
         if _hv:
-            hist_pair_cap = int(_hv["pair_cap"])
+            if nproc == 1:
+                # SHAPE DECISIONS (the q0 cap jump, the consolidation
+                # preference) may only follow history single-process:
+                # multi-host home dirs are not necessarily shared, and
+                # a per-host divergent jump would give each process a
+                # different program shape mid-SPMD. The speculative
+                # COMPILES below are process-local and harmless either
+                # way.
+                hist_pair_cap = int(_hv["pair_cap"])
             caps_h = tuple(int(c) for c in _hv["caps"])
             rc_h = int(_hv["rows_cap"])
+            hp_h = int(_hv["pair_cap"])
             for rn in ({rows_per_chunk} | ({prologue[0]} if prologue
                                            else set())):
-                _submit(("chunk", rn, hist_pair_cap), _dummy_chunk, rn,
-                        hist_pair_cap)
+                _submit(("chunk", rn, hp_h), _dummy_chunk, rn, hp_h)
             if prologue:
                 # the consolidation fold's in_cap depends on whether q0
                 # overflowed: no overflow -> pc0; overflow with history
-                # -> the jump lands ON hist_pair_cap; plus the recorded
-                # variant from the last run — fire all three (dedup'd)
-                _submit(("fold4", pc0, hist_pair_cap), _dummy_fold, pc0,
-                        hist_pair_cap)
+                # -> the jump lands ON the recorded cap; plus the
+                # recorded variant from the last run — fire all three
+                _submit(("fold4", pc0, hp_h), _dummy_fold, pc0, hp_h)
                 fi = int(_hv.get("fold_in", pc0))
-                _submit(("fold4", fi, hist_pair_cap), _dummy_fold, fi,
-                        hist_pair_cap)
-                _submit(("fold4", hist_pair_cap, hist_pair_cap),
-                        _dummy_fold, hist_pair_cap, hist_pair_cap)
+                _submit(("fold4", fi, hp_h), _dummy_fold, fi, hp_h)
+                _submit(("fold4", hp_h, hp_h), _dummy_fold, hp_h, hp_h)
             _submit(("phaseA", caps_h), _dummy_phase_a, caps_h)
             _submit(("phaseB", sum(caps_h), rc_h), _dummy_phase_b,
                     sum(caps_h), rc_h)
