@@ -19,6 +19,14 @@ Extra metrics (same JSON line, "extra"):
   instead (measured 6.0 ms vs 9.6 ms re-sort for 8 x 512k on a v5e).
 - matrix_build_wall_s_10samp: wall time to build a 10-sample count matrix
   from 2.5M read-windows, device steps + host matrix assembly included.
+- pipeline_e2e_*: the streaming-engine FASTA->matrices run, with the
+  measured link rate BEFORE and AFTER (the tunnel has weather), the
+  engine's per-phase walls (stream/finalize/tail) and the serial
+  physical-model floor at the measured link rate — the wall should sit
+  within ~20% of the floor; BELOW it means the payload beat the
+  random-byte probe rate (the transport compresses).
+- device_fetch_rt_ms: one tunnel fetch round trip — step metrics are
+  measured at iteration counts that amortize it to <= 5%.
 
 Baseline: the reference (tlemane/kmtricks) publishes no numbers
 (BASELINE.md); README.md:22 puts its counting "slightly slower than KMC",

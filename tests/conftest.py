@@ -9,6 +9,9 @@ import os
 
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep the suite off the user's shape-history file (tests that exercise
+# the history opt in with a tmp path via monkeypatch)
+os.environ.setdefault("KMTRICKS_SHAPE_HISTORY", "0")
 
 import jax
 

@@ -420,6 +420,11 @@ def test_compile_prefetch_predictions_hit(tmp_path, monkeypatch, capfd):
     monkeypatch.setenv("KMTRICKS_STREAM_TRACE", "1")
     monkeypatch.setenv("KMTRICKS_STREAM_PAIR_CAP", str(1 << 16))
     monkeypatch.setenv("KMTRICKS_STREAM_CHUNK_WINDOWS", "401408")
+    # earlier tests in this worker may have warmed the same shape
+    # family, which would (correctly) suppress the prefetch dummies —
+    # this test asserts the dummies fire, so reset the per-process set
+    from kmtricks_tpu.runtime import stream_engine as _se
+    _se._warmed_sigs.clear()
     from kmtricks_tpu.runtime.pipeline import stage_config, stage_repart
     from kmtricks_tpu.runtime.pipeline import resolve_soft_min
     from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream
