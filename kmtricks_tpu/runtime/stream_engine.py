@@ -430,13 +430,12 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             local_b = -(-(rows_n * W) // ndev)
             cap_b = min(local_b,
                         _sb(int(local_b * skew * ndev * 1.5) + 1024))
-            pairs_step(pc, False, cap_b).lower(
+            return pairs_step(pc, False, cap_b).lower(
                 _sds((L // 4, rows_n), jnp.uint8, _sh_b),
                 _sds((rows_n,), jnp.int32, _sh_v),
                 _sds((rows_n,), jnp.int32, _sh_v),
                 jax.ShapeDtypeStruct(table_jnp.shape, table_jnp.dtype,
-                                     sharding=table_jnp.sharding)
-            ).compile()
+                                     sharding=table_jnp.sharding))
 
         def _dummy_fold(in_cap, out_cap):
             m = build_table_merge(mesh, nw=nw, out_cap=out_cap,
@@ -445,7 +444,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             args = []
             for _ in range(4):
                 args.extend([zw] * (nw + 1))
-            m.lower(*args).compile()
+            return m.lower(*args)
 
         def _dummy_phase_a(caps):
             f = build_table_sort_collapse(
@@ -456,7 +455,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             for c in caps:
                 args.extend([_sds((ndev * c,), jnp.uint32, _sh_v)]
                             * (nw + 1))
-            f.lower(*args).compile()
+            return f.lower(*args)
 
         def _dummy_phase_b(sum_caps, rc):
             f = build_table_compact(
@@ -464,7 +463,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                 window_bits=window_bits, hard_min=dev_hard_min,
                 rows_cap=rc, mode=cf)
             args = [_sds((ndev * sum_caps,), jnp.uint32, _sh_v)] * (nw + 1)
-            f.lower(*args).compile()
+            return f.lower(*args)
 
         def _dummy_pa_fin(rc):
             from jax.sharding import SingleDeviceSharding
@@ -484,32 +483,48 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             else:
                 rep = SingleDeviceSharding(jax.local_devices()[0])
                 shb = rep
-            mb.lower(
+            return mb.lower(
                 _sds((ndev * rc, nsamp_p), jnp.uint32, _sh_v),
                 _sds((nsamp_p,), jnp.uint32, rep),
                 _sds((nsamp_p,), jnp.uint32, rep),
                 _sds((ndev * (config.nb_partitions + 1),), jnp.int32,
-                     shb),
-            ).compile()
+                     shb))
 
         # remote compiles parallelize ~linearly; the history/candidate
         # waves can queue 8+ programs
         _pex = ThreadPoolExecutor(max_workers=8)
 
+        from kmtricks_tpu.ops.table import _use_pair_merge
+        _main_lower = _use_pair_merge(nw + 1)
+
         def _submit(key, fn, *a):
-            """Fire a dummy compile unless this process already built AND
-            ran the program (then the dummy would only burn device time
-            re-executing zeros — measured ~2.4 s at the head of a warm
-            e2e run)."""
+            """Fire a dummy AOT compile unless this process already
+            built AND ran the program. In Pallas-merge mode the
+            LOWERING happens on the calling thread in code order —
+            Mosaic's serialized payload depends on the process's
+            lowering history, so racing lowerings on the pool would
+            randomize every LATER program's persistent-cache key
+            (measured: 40-213 s of silent ladder recompiles per bench
+            run). Only the compile rides the pool either way."""
             if _is_warm(key) or key in prefetch_futs:
                 return
-
-            def _run():
-                fn(*a)
-                _mark_warm(key)
-                trace(f"compile-prefetch done: {key}")
-
             trace(f"compile-prefetch fire: {key}")
+            if _main_lower:
+                try:
+                    low = fn(*a)
+                except Exception:   # noqa: BLE001 - best-effort warmup
+                    return
+
+                def _run(low=low):
+                    low.compile()
+                    _mark_warm(key)
+                    trace(f"compile-prefetch done: {key}")
+            else:
+                def _run():
+                    fn(*a).compile()
+                    _mark_warm(key)
+                    trace(f"compile-prefetch done: {key}")
+
             prefetch_futs[key] = _pex.submit(_run)
 
         for rn in ({rows_per_chunk} | ({prologue[0]} if prologue
