@@ -68,7 +68,7 @@ stage_mesh_stream(kmdir, config, opts, repart, amin, chunk_windows=3000,
 multihost_utils.sync_global_devices("writes_done")
 
 # sharded-decode contract: this worker parsed only its sample stripe
-total_reads = 200 * 3        # the tests' banks: 3 samples x 200 reads
+total_reads = int(os.environ.get("KMTRICKS_TEST_TOTAL_READS", "600"))
 assert 0 < stream_engine.last_local_rows < total_reads, \
     stream_engine.last_local_rows
 with open(os.path.join(rundir, f"decode_rows_{pid}.txt"), "w") as f:

@@ -270,3 +270,59 @@ def test_two_process_pa_device_bits(tmp_path):
                   f"partition{p}.merge_info").read()
         assert sa == sb, f"partition {p} stats differ"
     assert n_nonempty > 0
+
+
+def test_two_process_heterogeneous_banks(tmp_path):
+    """Sample-striped decode with WILDLY uneven banks: the LPT
+    assignment gives one worker the big bank and the other the small
+    ones; the small-side worker exhausts its stripe chunks earlier and
+    must contribute padding shards through the continuation consensus.
+    One bank carries interior 'N' bytes, so the validity-plane program
+    variant must be agreed per chunk even when only one process's shard
+    needs it. Byte parity vs a single-process 8-device run."""
+    rng = np.random.default_rng(123)
+    genome = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=9000)
+    sizes = [500, 60, 40]
+    lines = []
+    for s, nreads in enumerate(sizes):
+        p = tmp_path / f"S{s}.fasta"
+        with open(p, "wb") as f:
+            for r in range(nreads):
+                start = int(rng.integers(0, len(genome) - 130))
+                seq = bytearray(genome[start:start + 130].tobytes())
+                if s == 1 and r % 3 == 0:
+                    seq[50] = ord("N")     # interior invalid byte
+                f.write(b">r%d\n" % r)
+                f.write(bytes(seq) + b"\n")
+        lines.append(f"S{s} : {p}")
+    fof = tmp_path / "s.fof"
+    fof.write_text("\n".join(lines) + "\n")
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_stream_worker.py")
+    port = _free_port()
+    run_mp = tmp_path / "run_mp"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["KMTRICKS_TEST_TOTAL_READS"] = str(sum(sizes))
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), str(fof),
+         str(run_mp)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=570)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    shares = sorted(int(open(run_mp / f"decode_rows_{pid}.txt").read())
+                    for pid in range(2))
+    # LPT: the small banks (60+40) go to one worker, the big one to the
+    # other — each parsed exactly its stripe
+    assert shares == [100, 500], shares
+
+    _single_proc_engine(fof, tmp_path / "run_sp", "kmer:count:bin", "2",
+                        "0")
+    for p in range(8):
+        a = open(run_mp / "matrices" / f"matrix_{p}.count", "rb").read()
+        b = open(tmp_path / "run_sp" / "matrices" / f"matrix_{p}.count",
+                 "rb").read()
+        assert a == b, f"partition {p}: multi-process != single-process"

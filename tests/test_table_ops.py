@@ -127,3 +127,22 @@ def test_merged_sorted_ops_pallas_parity(monkeypatch):
     ws_p, cnt_p = jax.jit(lambda: merged_sorted_ops(streams))()
     for a, b in zip(ws_x + (cnt_x,), ws_p + (cnt_p,)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rev_cummin_1d_edges():
+    """Two-level blocked suffix min == lax.cummin across the edge
+    geometry: remainder tails, exact multiples of the 7680 row width,
+    the small-input fallback, and sentinel-heavy values."""
+    import jax
+    import numpy as np
+
+    from kmtricks_tpu.ops.count_merge import rev_cummin_1d
+
+    rng = np.random.default_rng(3)
+    for n in (7, 4096, 7680 * 64, 7680 * 64 + 1, 7680 * 65 + 1008,
+              500_000):
+        x = rng.integers(0, 2**31 - 1, n).astype(np.int32)
+        x[rng.random(n) < 0.9] = np.int32(2**31 - 1)  # sparse boundaries
+        got = np.asarray(jax.jit(rev_cummin_1d)(x))
+        ref = np.minimum.accumulate(x[::-1])[::-1]
+        assert np.array_equal(got, ref), n
