@@ -326,3 +326,57 @@ def test_two_process_heterogeneous_banks(tmp_path):
         b = open(tmp_path / "run_sp" / "matrices" / f"matrix_{p}.count",
                  "rb").read()
         assert a == b, f"partition {p}: multi-process != single-process"
+
+
+def test_three_process_streaming_engine(tmp_path):
+    """Three gloo processes (12 global devices, more devices than the 8
+    partitions — some devices own no partition): the continuation
+    consensus, LPT striping and the shared-run-dir write contract must
+    hold for non-power-of-two process counts too. Byte parity vs
+    single-process."""
+    fof = _gen_bank(tmp_path, seed=201)
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_stream_worker.py")
+    port = _free_port()
+    run_mp = tmp_path / "run_mp"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "3", str(port), str(fof),
+         str(run_mp)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(3)]
+    outs = [p.communicate(timeout=570)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    shares = [int(open(run_mp / f"decode_rows_{pid}.txt").read())
+              for pid in range(3)]
+    assert sorted(shares) == [200, 200, 200], shares
+
+    from kmtricks_tpu.runtime.pipeline import (PipelineOptions,
+                                               resolve_soft_min,
+                                               stage_config, stage_repart)
+    from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream
+    os.environ["KMTRICKS_STREAM_TABLE_CAP"] = "4096"
+    try:
+        opts = PipelineOptions(
+            fof=str(fof), run_dir=str(tmp_path / "run_sp"), kmer_size=31,
+            hard_min=1, soft_min="2", share_min=2, mode="kmer:count:bin",
+            static_repart=True, nb_partitions=8, backend="mesh",
+            max_memory_mb=64, threads=2)
+        kmdir, config = stage_config(opts)
+        repart = stage_repart(kmdir, config, opts)
+        amin = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
+        # 12 virtual devices is beyond the 8-device conftest mesh;
+        # compare against the canonical 8-device single-process run —
+        # matrices are device-count-invariant (order-free sums)
+        stage_mesh_stream(kmdir, config, opts, repart, amin,
+                          chunk_windows=3000, use_stream=True,
+                          n_devices=8)
+    finally:
+        del os.environ["KMTRICKS_STREAM_TABLE_CAP"]
+    for p in range(8):
+        a = open(run_mp / "matrices" / f"matrix_{p}.count", "rb").read()
+        b = open(tmp_path / "run_sp" / "matrices" / f"matrix_{p}.count",
+                 "rb").read()
+        assert a == b, f"partition {p}: 3-process != single-process"
