@@ -532,3 +532,42 @@ def test_shape_history_recorded_and_prefetched(tmp_path, monkeypatch,
              if "compile-prefetch fire: ('phaseB'" in ln]
     assert fired, "history did not fire the phase-B prefetch"
     assert f"{rec['rows_cap']})" in fired[0]
+
+def test_adaptive_pair_cap_deep_coverage_no_overflow(tmp_path, caplog):
+    """Deep-coverage adaptive sizing (the soak regime, CPU-scale): high
+    duplicate structure makes quarter pair counts genome-bound rather
+    than window-bound — the consolidation bump must still absorb the
+    full chunks with zero overflow re-runs, byte-equal to the host
+    backend."""
+    import logging
+
+    from kmtricks_tpu.runtime.pipeline import (
+        resolve_soft_min, stage_config, stage_repart)
+    from kmtricks_tpu.runtime.stream_engine import stage_mesh_stream
+
+    rng = np.random.default_rng(31)
+    genome = "".join(rng.choice(list("ACGT"), 3000))
+    lines = []
+    for s in range(3):
+        p = tmp_path / f"S{s}.fasta"
+        starts = rng.integers(0, len(genome) - 80, 4200)   # ~100x depth
+        write_fasta(p, [genome[st:st + 80] for st in starts])
+        lines.append(f"S{s} : {p}")
+    fof = tmp_path / "t.fof"
+    fof.write_text("\n".join(lines) + "\n")
+
+    host = run_pipeline(_opts(str(fof), tmp_path / "host", backend="host",
+                              soft_min="1", share_min=0))
+
+    opts = _opts(str(fof), tmp_path / "stream", soft_min="1", share_min=0,
+                 threads=2)
+    kmdir, config = stage_config(opts)
+    repart = stage_repart(kmdir, config, opts)
+    amin = resolve_soft_min(opts.soft_min, kmdir, len(kmdir.fof))
+    with caplog.at_level(logging.WARNING, logger="kmtricks_tpu"):
+        stage_mesh_stream(kmdir, config, opts, repart, amin,
+                          chunk_windows=401_408, use_stream=True)
+    overflow = [r for r in caplog.records
+                if "chunk pair overflow" in r.getMessage()]
+    assert not overflow, [r.getMessage() for r in overflow]
+    assert _matrices(kmdir) == _matrices(host)
