@@ -380,3 +380,25 @@ def test_three_process_streaming_engine(tmp_path):
         b = open(tmp_path / "run_sp" / "matrices" / f"matrix_{p}.count",
                  "rb").read()
         assert a == b, f"partition {p}: 3-process != single-process"
+
+
+def test_two_process_hash_mode(tmp_path):
+    """Two-process hash-mode run (h2 packed layout, window hashes):
+    the sharded decode + device table + multi-process tail must be
+    byte-equal to single-process for the hash count format too (the
+    other gloo suites all run kmer mode)."""
+    fof = _gen_bank(tmp_path, seed=303)
+    run_mp = tmp_path / "run_mp"
+    _spawn_two_proc(fof, run_mp, "hash:count:bin", "2", "0")
+    _single_proc_engine(fof, tmp_path / "run_sp", "hash:count:bin", "2",
+                        "0")
+    for p in range(8):
+        a = open(run_mp / "matrices" / f"matrix_{p}.count_hash",
+                 "rb").read()
+        b = open(tmp_path / "run_sp" / "matrices" /
+                 f"matrix_{p}.count_hash", "rb").read()
+        assert a == b, f"partition {p}: multi-process != single-process"
+        sa = open(run_mp / "merge_infos" / f"partition{p}.merge_info").read()
+        sb = open(tmp_path / "run_sp" / "merge_infos" /
+                  f"partition{p}.merge_info").read()
+        assert sa == sb, f"partition {p} stats differ"
