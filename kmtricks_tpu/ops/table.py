@@ -55,16 +55,21 @@ def _use_pair_merge(n_words: int) -> bool:
     32809-byte custom-call body), so jax's persistent compilation
     cache key changes with the process's lowering history and every
     fresh process RECOMPILES the fold/phase-A programs (~56 s each
-    through a remote-compile tunnel, silently). Until Mosaic
-    serialization is deterministic, ``auto`` = the pure-XLA merge
-    (cache-stable, proven cross-process hits); set
-    KMTRICKS_TPU_PAIR_MERGE=pallas on locally-attached chips or for
-    long-lived processes where compiles amortize."""
+    through a remote-compile tunnel, silently). The interface-keyed
+    executable cache (runtime/exe_cache.py) sidesteps that: the
+    engine's Pallas-bearing families serialize under OUR stable key and
+    fresh processes load them without lowering — so ``auto`` is the
+    Pallas merge wherever that cache is active (TPU, single process),
+    and the pure-XLA merge elsewhere (jax's persistent cache covers it
+    cross-process). KMTRICKS_TPU_PAIR_MERGE=pallas|xla overrides."""
     import os
     mode = os.environ.get("KMTRICKS_TPU_PAIR_MERGE", "auto")
     if mode == "pallas":
         return True       # forced (interpret mode off-TPU — tests)
-    return False
+    if mode == "xla":
+        return False
+    from kmtricks_tpu.runtime import exe_cache
+    return exe_cache.enabled()
 
 
 def merged_sorted_ops(streams):

@@ -349,6 +349,42 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     def _is_warm(key) -> bool:
         return (_sig_base + key) in _warmed_sigs
 
+    # interface-keyed AOT executable cache (runtime/exe_cache.py): a
+    # disk hit replaces BOTH the lowering and the compile of a
+    # prefetched program family — the loaded executable is called
+    # directly at the dispatch site, so the jit path never sees the
+    # program and Mosaic's context-dependent serialization (see
+    # ops.table._use_pair_merge) cannot destabilize cold starts
+    from kmtricks_tpu.ops.table import _use_pair_merge as _upm
+    from kmtricks_tpu.runtime import exe_cache as _exc
+    _exe_on = _exc.enabled()
+    _exe_tail = (config.mmer_scheme, bool(opts.static_repart),
+                 opts.recurrence_min, opts.share_min, count_max,
+                 config.count_bytes, float(skew),
+                 tuple(table_jnp.shape), _upm(nw + 1))
+
+    def _exe_key(key) -> str:
+        return _exc.exe_key((_sig_base, _exe_tail, key))
+
+    def _aot_exec(key):
+        return _exc.cached(_exe_key(key)) if _exe_on else None
+
+    def _dispatch(key, build, *args):
+        """Run the program for ``key``: the exe-cache executable when
+        one is loaded (identical flat calling convention — the AOT
+        dummies lower exactly these shapes/shardings), else the jitted
+        program from ``build()``. A loaded executable that rejects its
+        args (sharding drift) falls back to jit with a warning rather
+        than failing the run."""
+        ex = _aot_exec(key) if key is not None else None
+        if ex is not None:
+            try:
+                return ex(*args)
+            except Exception as e:  # noqa: BLE001 - arg/sharding drift
+                log.warning("exe-cache dispatch fell back to jit for %s "
+                            "(%s)", key, type(e).__name__)
+        return build()(*args)
+
     # shape-history key: everything that shapes the engine's programs
     # (see _history_path); caps stored under it feed the t=0 prefetch
     hist_key = repr((_sig_base, opts.recurrence_min, opts.share_min,
@@ -508,6 +544,22 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             run). Only the compile rides the pool either way."""
             if _is_warm(key) or key in prefetch_futs:
                 return
+            ck = _exe_key(key) if _exe_on else None
+            if ck is not None and _exc.have(ck):
+                # serialized executable on disk: load it on the pool —
+                # no lowering at all (nothing perturbs the process's
+                # lowering sequence), and the dispatch site runs the
+                # loaded executable directly
+                trace(f"exe-cache load fire: {key}")
+
+                def _load():
+                    if _exc.get(ck) is None:    # corrupt entry: compile
+                        fn(*a).compile()
+                    _mark_warm(key)
+                    trace(f"exe-cache ready: {key}")
+
+                prefetch_futs[key] = _pex.submit(_load)
+                return
             trace(f"compile-prefetch fire: {key}")
             if _main_lower:
                 try:
@@ -516,12 +568,16 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
                     return
 
                 def _run(low=low):
-                    low.compile()
+                    comp = low.compile()
+                    if ck is not None:
+                        _exc.put(ck, comp)
                     _mark_warm(key)
                     trace(f"compile-prefetch done: {key}")
             else:
                 def _run():
-                    fn(*a).compile()
+                    comp = fn(*a).compile()
+                    if ck is not None:
+                        _exc.put(ck, comp)
                     _mark_warm(key)
                     trace(f"compile-prefetch done: {key}")
 
@@ -655,14 +711,15 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         fewer upload bytes on the link, the e2e bottleneck."""
         pk, vb, cl, cs = chunk
         pc, cap_b = _chunk_caps(chunk)
-        if vb is None:
-            _await_prefetch(("chunk", pk.shape[1], pc))
-        f = pairs_step(pc, vb is not None, cap_b)
+        key = ("chunk", pk.shape[1], pc) if vb is None else None
+        if key is not None:
+            _await_prefetch(key)
         args = ((pk, cl, cs, table_jnp) if vb is None
                 else (pk, vb, cl, cs, table_jnp))
-        out = f(*args)
-        if vb is None:
-            _mark_warm(("chunk", pk.shape[1], pc))
+        out = _dispatch(key, lambda: pairs_step(pc, vb is not None, cap_b),
+                        *args)
+        if key is not None:
+            _mark_warm(key)
         return out, pc
 
     def verify_inflight(keep_last: int) -> bool:
@@ -709,14 +766,19 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     fold_pending = []     # deferred fold checks [(n_d, streams, caps, cap)]
 
     def _dispatch_fold(streams, in_caps, out_cap):
-        if len(streams) == 4 and in_caps == (in_caps[0],) * 4:
-            _await_prefetch(("fold4", in_caps[0], out_cap))
-        out = build_table_merge(
-            mesh, nw=nw, out_cap=out_cap, n_streams=len(streams),
-            in_caps=in_caps)(
+        key = (("fold4", in_caps[0], out_cap)
+               if len(streams) == 4 and in_caps == (in_caps[0],) * 4
+               else None)
+        if key is not None:
+            _await_prefetch(key)
+        out = _dispatch(
+            key,
+            lambda: build_table_merge(mesh, nw=nw, out_cap=out_cap,
+                                      n_streams=len(streams),
+                                      in_caps=in_caps),
             *[x for s_ in streams for x in (list(s_[0]) + [s_[1]])])
-        if len(streams) == 4 and in_caps == (in_caps[0],) * 4:
-            _mark_warm(("fold4", in_caps[0], out_cap))
+        if key is not None:
+            _mark_warm(key)
         return out
 
     def resolve_fold():
@@ -849,13 +911,17 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     # phase B: dense compaction at that capacity, its outputs consumed
     # by device-side fetch slices dispatched WITHOUT waiting for it.
     def dispatch_phase_a():
-        _await_prefetch(("phaseA", tuple(r[2] for r in runs)))
-        sortc = build_table_sort_collapse(
-            mesh, layout=layout, nsamp=nsamp_p, hard_min=dev_hard_min,
-            n_runs=len(runs), key_bits=key_bits, window_bits=window_bits,
-            nb_parts=config.nb_partitions)
-        out = sortc(*[x for r in runs for x in (list(r[0]) + [r[1]])])
-        _mark_warm(("phaseA", tuple(r[2] for r in runs)))
+        key = ("phaseA", tuple(r[2] for r in runs))
+        _await_prefetch(key)
+        out = _dispatch(
+            key,
+            lambda: build_table_sort_collapse(
+                mesh, layout=layout, nsamp=nsamp_p,
+                hard_min=dev_hard_min, n_runs=len(runs),
+                key_bits=key_bits, window_bits=window_bits,
+                nb_parts=config.nb_partitions),
+            *[x for r in runs for x in (list(r[0]) + [r[1]])])
+        _mark_warm(key)
         return out
 
     # dispatch OPTIMISTICALLY before draining the lagged overflow checks:
@@ -884,11 +950,12 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
             "shard the key space")
     _sum_caps = sum(r[2] for r in runs)
     _await_prefetch(("phaseB", _sum_caps, rows_cap))
-    compactf = build_table_compact(
-        mesh, layout=layout, nsamp=nsamp_p, key_bits=key_bits,
-        window_bits=window_bits, hard_min=dev_hard_min,
-        rows_cap=rows_cap, mode=cf)
-    rows_d, pre_d, _nrows_d, _maxc_d, _npres_d = compactf(
+    rows_d, pre_d, _nrows_d, _maxc_d, _npres_d = _dispatch(
+        ("phaseB", _sum_caps, rows_cap),
+        lambda: build_table_compact(
+            mesh, layout=layout, nsamp=nsamp_p, key_bits=key_bits,
+            window_bits=window_bits, hard_min=dev_hard_min,
+            rows_cap=rows_cap, mode=cf),
         *(list(ws_d) + [cnt_d]))
     _mark_warm(("phaseB", _sum_caps, rows_cap))
     trace(f"phase B dispatched (nrows {int(nrs.max())})")
@@ -906,7 +973,7 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
         int(maxc), rows_cap, ndev, amin_vec, hard_mins, count_max,
         want_hists,
         part_rows=np.asarray(phist).reshape(ndev, config.nb_partitions),
-        mesh=mesh, awaiter=(_await_prefetch, _mark_warm))
+        mesh=mesh, awaiter=(_await_prefetch, _mark_warm, _aot_exec))
     trace("fetch + merge + write done")
     _t_end = _time.perf_counter()
     last_phase_walls.clear()
@@ -1184,10 +1251,22 @@ def _fetch_merge_write_pa_bits(kmdir, config, opts, cf, window_bits, mesh,
     part_dev = partition_to_device(nb_parts, ndev)
     if awaiter:
         awaiter[0](("paFin", rows_cap))
-    mb = build_merge_finalize_bits(
-        mesh, nsamp=nsamp_p, rows_cap=rows_cap, rmin=opts.recurrence_min,
-        save_if=opts.share_min, count_max=count_max, nb_parts=nb_parts,
-        count_bytes=cb)
+
+    def mb(*args):
+        # exe-cache executable when the prefetch loaded one (single-
+        # process engine runs; see _dispatch in stage_mesh_stream)
+        ex = (awaiter[2](("paFin", rows_cap))
+              if awaiter and len(awaiter) > 2 else None)
+        if ex is not None:
+            try:
+                return ex(*args)
+            except Exception as e:  # noqa: BLE001 - arg/sharding drift
+                log.warning("exe-cache dispatch fell back to jit for "
+                            "paFin (%s)", type(e).__name__)
+        return build_merge_finalize_bits(
+            mesh, nsamp=nsamp_p, rows_cap=rows_cap,
+            rmin=opts.recurrence_min, save_if=opts.share_min,
+            count_max=count_max, nb_parts=nb_parts, count_bytes=cb)(*args)
     pad = nsamp_p - nsamp
     amin_p = np.concatenate([np.minimum(amin_vec, count_max),
                              np.full(pad, count_max)]).astype(np.uint32)
