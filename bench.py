@@ -452,7 +452,13 @@ def main() -> None:
         result["extra"][f"pipeline_e2e_{_k}"] = _v
     del os.environ["KMTRICKS_STREAM_PAIR_CAP"]
     del os.environ["KMTRICKS_STREAM_CHUNK_WINDOWS"]
-    del os.environ["KMTRICKS_TPU_PAIR_MERGE"]
+    # the ladder/repart phases below must be Mosaic-free: their
+    # programs are NOT exe-cached (non-engine paths), so any Pallas
+    # lowering would tie their persistent-cache keys to this process's
+    # lowering history (which shifts whenever the exe cache's contents
+    # change) and de-converge the cold walls. Pin pure-XLA — identical
+    # to what a fresh CLI process resolves for these small-bank runs.
+    os.environ["KMTRICKS_TPU_PAIR_MERGE"] = "xla"
 
     # --- BASELINE config ladder (configs 3-5) as end-to-end pipeline
     # walls: real run_pipeline invocations at compact sizes (config 1 is

@@ -68,8 +68,16 @@ def _use_pair_merge(n_words: int) -> bool:
         return True       # forced (interpret mode off-TPU — tests)
     if mode == "xla":
         return False
-    from kmtricks_tpu.runtime import exe_cache
-    return exe_cache.enabled()
+    return _ENGINE_PALLAS[0]
+
+
+# Set by the streaming engine (stage_mesh_stream) when its exe cache is
+# active: ``auto`` resolves to the Pallas merge only for engine-built
+# programs — every other path (mesh backend, small-bank batch path)
+# stays pure-XLA so its persistent-cache keys are independent of the
+# process's lowering sequence (Mosaic payloads are the only unstable
+# ingredient; keeping them out of a path makes it cold-stable forever).
+_ENGINE_PALLAS = [False]
 
 
 def merged_sorted_ops(streams):

@@ -355,9 +355,16 @@ def stage_mesh_stream(kmdir: KmDir, config: Config, opts: PipelineOptions,
     # directly at the dispatch site, so the jit path never sees the
     # program and Mosaic's context-dependent serialization (see
     # ops.table._use_pair_merge) cannot destabilize cold starts
+    from kmtricks_tpu.ops import table as _tbl
     from kmtricks_tpu.ops.table import _use_pair_merge as _upm
     from kmtricks_tpu.runtime import exe_cache as _exc
     _exe_on = _exc.enabled()
+    if _exe_on:
+        # engine context: `auto` pair-merge resolves to Pallas for the
+        # programs built below (the exe cache makes them cold-stable);
+        # non-engine paths in this process stay XLA unless they run
+        # after an engine run (one workload per process in practice)
+        _tbl._ENGINE_PALLAS[0] = True
     _exe_tail = (config.mmer_scheme, bool(opts.static_repart),
                  opts.recurrence_min, opts.share_min, count_max,
                  config.count_bytes, float(skew),
